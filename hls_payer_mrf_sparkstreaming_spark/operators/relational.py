@@ -1,0 +1,537 @@
+"""Relational query surface (reference Tier-B operators, generalized).
+
+Covers every query-shape the reference exercises on its bronze output
+(SURVEY.md §2 Tier B: filter/project/substr/explode/nested-access/cross
+join/multi-way equi-join/parameterized predicates/null filters/count/limit)
+plus the general analytics the reference lacks (aggregation, windows,
+rollup, set ops, semi/anti/outer joins, sessionization) — all stock
+DataFrame API, so Catalyst supplies pushdown, pruning, broadcast joins, AQE.
+
+Scale notes per query in docstrings; the common rules:
+- dimension tables (region/nation/part/supplier) broadcast — no shuffle of
+  the fact table for their joins;
+- aggregates go through exact integer units (see suite.py);
+- every top-k has a total tiebreak order so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+def _bp(col) -> F.Column:
+    """basis points: exact integer for 4-decimal rates (discount, tax)."""
+    return F.round(col * 10000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Tier-B core shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_eq",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'click'
+    """,
+    description="string-equality filter + projection (ref q_filter_eq/q_project)",
+)
+def filter_eq(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "project_substr",
+    oracle="""
+        SELECT doc_id, substring(text, 1, 20) AS prefix, n_chars
+        FROM documents
+    """,
+    description="substring projection (ref q_substr: substr(json_payload,1,20))",
+)
+def project_substr(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("prefix"),
+        "n_chars",
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    description="array unnest + aggregate (ref q_explode); generator stays "
+    "narrow, the single shuffle is the token groupBy",
+)
+def explode_tokens(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "array_index",
+    oracle="""
+        SELECT string_split(text, ' ')[1] AS first_token, count(*) AS cnt
+        FROM documents GROUP BY first_token
+    """,
+    description="array element access (ref q_array_index: json_payload[0])",
+)
+def array_index(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.split("text", " ").getItem(0).alias("first_token"))
+        .groupBy("first_token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "nested_extract",
+    oracle="""
+        SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_val,
+               count(*) AS cnt
+        FROM events WHERE props IS NOT NULL
+        GROUP BY k_val
+    """,
+    description="semi-structured field extraction + is-not-null filter "
+    "(ref q_nested_access/q_is_not_null, JVM-side regexp, no UDF)",
+)
+def nested_extract(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select(
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+            .cast("long")
+            .alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "cross_join",
+    oracle="""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    description="cross join of two broadcast-size dims (ref q_join_cross 'on 1=1')",
+)
+def cross_join(spark, sf_dir):
+    return load(spark, sf_dir, "region").crossJoin(
+        load(spark, sf_dir, "nation").select("n_name")
+    ).select("r_name", "n_name")
+
+
+@query(
+    "surrogate_keys",
+    oracle="""
+        SELECT md5(concat(n_name, '|', r_name)) AS sk, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    description="deterministic content-derived surrogate key (replaces the "
+    "reference's uuid(), 01_payer_mrf_demo.py:165,180 — retry-safe at scale)",
+)
+def surrogate_keys(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.md5(F.concat("n_name", F.lit("|"), "r_name")).alias("sk"),
+        "n_name",
+        "r_name",
+    )
+
+
+@query(
+    "param_filter",
+    oracle="""
+        SELECT p.p_brand, strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+               sum(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13' AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY p.p_brand, ship_date
+    """,
+    description="parameterized predicate + broadcast dim join (ref "
+    "q_filter_nested getArgument pattern); filter pushed to part scan",
+)
+def param_filter(spark, sf_dir, brand: str = "Brand#13"):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    return (
+        l.filter(F.col("l_shipdate") >= "1997-01-01")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date")
+        )
+        .agg((F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"))
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    description="global top-k with total order (ref q_limit; TakeOrderedAndProject "
+    "— per-partition top-k then driver merge, no full sort at scale)",
+)
+def limit_topk(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# General analytics (beyond the reference's surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) / 1000000.0
+                   AS sum_disc_price,
+               sum(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                   / 100.0 / count(*) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-shape aggregation; partial aggregation map-side, "
+    "exact integer units so parallel sum order can't drift",
+)
+def pricing_summary(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    )
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_bp = _bp(F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty_c) / 100.0).alias("sum_qty"),
+        (F.sum(price_c) / 100.0).alias("sum_base_price"),
+        (F.sum(price_c * (10000 - disc_bp)) / 1000000.0).alias("sum_disc_price"),
+        (F.sum(qty_c) / 100.0 / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "star_join_revenue",
+    oracle="""
+        SELECT r_name, n_name,
+               sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) / 1000000.0
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name
+    """,
+    description="flagship 5-way star join (TPC-H Q5 shape; ref q_join_equi "
+    "generalized). customer/nation/region broadcast; single fact shuffle "
+    "on l_orderkey for the orders join",
+)
+def star_join_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dim = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(
+            r, F.col("n_regionkey") == r.r_regionkey
+        )
+    )
+    revenue_c = _cents(F.col("l_extendedprice")) * (
+        10000 - _bp(F.col("l_discount"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(revenue_c) / 1000000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn <= 3
+    """,
+    description="window function top-k per group; rank shuffle partitions by "
+    "group key only — no global sort",
+)
+def window_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "rollup_counts",
+    oracle="""
+        SELECT r_name, n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    description="hierarchical rollup (grouping sets) over broadcast dims",
+)
+def rollup_counts(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+        SELECT c_custkey, 'both' AS tag FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders
+        )
+        UNION ALL
+        SELECT c_custkey, 'no_orders' AS tag FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey FROM orders
+        )
+    """,
+    description="INTERSECT / EXCEPT / UNION ALL composition",
+)
+def set_ops(spark, sf_dir):
+    seg = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    with_orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = seg.intersect(with_orders).withColumn("tag", F.lit("both"))
+    none = seg.exceptAll(with_orders.distinct()).distinct().withColumn(
+        "tag", F.lit("no_orders")
+    )
+    return both.unionAll(none)
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+        SELECT c_custkey, 'has_orders' AS tag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'no_orders' AS tag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left-semi and left-anti joins (EXISTS / NOT EXISTS)",
+)
+def semi_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("has_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "outer_join_counts",
+    oracle="""
+        SELECT n_name, count(c_custkey) AS n_customers,
+               coalesce(min(c_acctbal), 0.0) AS min_acctbal
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
+    description="left outer join with null-aware aggregates",
+)
+def outer_join_counts(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(F.min("c_acctbal"), F.lit(0.0)).alias("min_acctbal"),
+        )
+    )
+
+
+@query(
+    "windowed_agg_events",
+    oracle="""
+        SELECT epoch(time_bucket(INTERVAL '1 hour', ts)) AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               sum(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        GROUP BY window_start_epoch, event_type
+    """,
+    description="tumbling-window aggregation (batch twin of the streaming "
+    "pipeline in streaming/events.py; epoch output dodges tz-type skew)",
+)
+def windowed_agg_events(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             <= 1800000000
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM marked GROUP BY user_id
+    """,
+    description="gap-based sessionization via lag window (batch twin of "
+    "stateful streaming sessionization); microsecond-exact gap compare",
+)
+def sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+            )
+            <= gap_us,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    description="exact distinct aggregation (two-phase: partial distinct "
+    "then merge)",
+)
+def distinct_agg(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Bronze -> silver -> gold relational pipeline for CMS MRF data.
+
+Re-expresses the reference demo notebook's SQL
+(/root/reference/01_payer_mrf_demo.py:118-238) as composable DataFrame
+functions:
+
+- no RDD round-trip / runtime schema inference — ``from_json`` with the
+  pinned CMS schema keeps everything JVM-side (01_payer_mrf_demo.py:118-129
+  replaced);
+- non-deterministic ``uuid()`` surrogate keys (01_payer_mrf_demo.py:165,180)
+  replaced by content+position-derived ``xxhash64`` keys, which are stable
+  across retries/restarts — at 100 TB a task retry with uuid() keys silently
+  orphans child rows, xxhash keys cannot;
+- the provider-references x payer cross join (01_payer_mrf_demo.py:157-158)
+  is an explicit ``crossJoin`` against a 1-row broadcast dimension.
+
+Scale notes: every transform here is a narrow projection/generate over the
+bronze rows — the only shuffles in the whole pipeline are the gold query's
+joins, which Catalyst turns into broadcast joins for the small dimension
+sides. Explode fan-out (negotiated_rates -> negotiated_prices) stays within
+a partition; partition sizing is controlled upstream by the source's
+``chunktargetbytes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.plans import schemas as S
+from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+    HEADER_KEY_IN_NETWORK,
+    HEADER_KEY_PROVIDER_REFERENCES,
+    read_payer_mrf,
+)
+
+
+# ---------------------------------------------------------------------------
+# bronze -> typed
+# ---------------------------------------------------------------------------
+
+
+def parse_header(bronze: DataFrame) -> DataFrame:
+    """Header fragments -> one typed row per fragment (merged downstream)."""
+    return (
+        bronze.filter(F.col("header_key") == "")
+        .select(F.from_json("json_payload", S.HEADER_SCHEMA).alias("h"))
+        .select("h.*")
+    )
+
+
+def parse_provider_references(bronze: DataFrame) -> DataFrame:
+    """provider_references chunks -> one row per provider-reference object."""
+    from pyspark.sql.types import ArrayType
+
+    return (
+        bronze.filter(F.col("header_key") == HEADER_KEY_PROVIDER_REFERENCES)
+        .select(
+            F.explode(
+                F.from_json(
+                    "json_payload", ArrayType(S.PROVIDER_REFERENCE_SCHEMA)
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+
+
+def parse_in_network(bronze: DataFrame) -> DataFrame:
+    """in_network chunks -> one row per in_network item."""
+    from pyspark.sql.types import ArrayType
+
+    return (
+        bronze.filter(F.col("header_key") == HEADER_KEY_IN_NETWORK)
+        .select(
+            F.explode(
+                F.from_json("json_payload", ArrayType(S.IN_NETWORK_ITEM_SCHEMA))
+            ).alias("n")
+        )
+        .select("n.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# silver star model (01_payer_mrf_demo.py:148-213)
+# ---------------------------------------------------------------------------
+
+
+def _sk(*cols) -> F.Column:
+    """Deterministic surrogate key (replaces uuid(); see module docstring)."""
+    return F.xxhash64(*cols)
+
+
+def provider_references_x_payer(
+    provider_refs: DataFrame, header: DataFrame
+) -> DataFrame:
+    """Exploded provider groups x reporting entity
+    (01_payer_mrf_demo.py:148-158)."""
+    groups = provider_refs.select(
+        "provider_group_id", F.explode("provider_groups").alias("group_array")
+    ).select(
+        "provider_group_id",
+        F.col("group_array.npi").alias("npi"),
+        F.col("group_array.tin").alias("tin"),
+    )
+    entity = (
+        header.filter(F.col("reporting_entity_name").isNotNull())
+        .select("reporting_entity_name", "reporting_entity_type")
+        .limit(1)
+    )
+    return groups.crossJoin(F.broadcast(entity)).select(
+        "reporting_entity_name",
+        "reporting_entity_type",
+        "provider_group_id",
+        "npi",
+        "tin",
+    )
+
+
+def in_network_codes(in_network: DataFrame) -> DataFrame:
+    """Procedure table with surrogate key (01_payer_mrf_demo.py:160-171)."""
+    return in_network.select(
+        _sk(
+            "billing_code", "billing_code_type", "billing_code_type_version"
+        ).alias("sk_in_network_id"),
+        "billing_code",
+        "billing_code_type",
+        "billing_code_type_version",
+        "description",
+        "name",
+        "negotiation_arrangement",
+        "negotiated_rates",
+    )
+
+
+def in_network_rates(codes: DataFrame) -> DataFrame:
+    """Exploded negotiated_rates with rate surrogate key
+    (01_payer_mrf_demo.py:173-184). posexplode keeps the key deterministic
+    for identical rate payloads within one code."""
+    return codes.select(
+        "sk_in_network_id",
+        F.posexplode("negotiated_rates").alias("rate_pos", "negotiated_rates_array"),
+    ).select(
+        _sk("sk_in_network_id", "rate_pos").alias("sk_rate_id"),
+        "sk_in_network_id",
+        "negotiated_rates_array",
+    )
+
+
+def in_network_prices(rates: DataFrame) -> DataFrame:
+    """Exploded negotiated_prices, negotiated-type only
+    (01_payer_mrf_demo.py:186-200)."""
+    return (
+        rates.select(
+            "sk_in_network_id",
+            "sk_rate_id",
+            F.explode("negotiated_rates_array.negotiated_prices").alias("price"),
+        )
+        .filter(F.col("price.negotiated_type") == "negotiated")
+        .select(
+            "sk_in_network_id",
+            "sk_rate_id",
+            F.col("price.billing_class").alias("billing_class"),
+            F.col("price.billing_code_modifier").alias("billing_code_modifier"),
+            F.col("price.expiration_date").alias("expiration_date"),
+            F.col("price.negotiated_rate").alias("negotiated_rate"),
+            F.col("price.negotiated_type").alias("negotiated_type"),
+            F.col("price.service_code").alias("service_code"),
+        )
+    )
+
+
+def in_network_par_providers(rates: DataFrame) -> DataFrame:
+    """Rate -> provider_reference_id links (01_payer_mrf_demo.py:202-213)."""
+    return rates.select(
+        F.explode("negotiated_rates_array.provider_references").alias(
+            "provider_reference_id"
+        ),
+        "sk_rate_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gold (01_payer_mrf_demo.py:225-238)
+# ---------------------------------------------------------------------------
+
+
+def shoppable_price(
+    codes: DataFrame,
+    prices: DataFrame,
+    par_providers: DataFrame,
+    providers_x_payer: DataFrame,
+    billing_code: str,
+    tin_value: str,
+) -> DataFrame:
+    """Parameterized price-comparison query: price for a procedure within a
+    provider group (the CMS 2023 mandate query)."""
+    proc = codes.filter(
+        (F.col("billing_code") == billing_code)
+        & (F.col("negotiation_arrangement") == "ffs")
+    )
+    provider = providers_x_payer.filter(F.col("tin.value") == tin_value)
+    # proc (one billing code) and the tin-filtered provider dim are both tiny
+    # vs the price fact; broadcast them explicitly — the payer-mrf scan has
+    # no stats, so Catalyst would otherwise pick shuffle joins.
+    return (
+        F.broadcast(proc)
+        .join(prices, "sk_in_network_id")
+        .join(par_providers, "sk_rate_id")
+        .join(
+            F.broadcast(provider),
+            F.col("provider_reference_id") == F.col("provider_group_id"),
+        )
+        .select(
+            "billing_code",
+            "description",
+            "billing_class",
+            "billing_code_modifier",
+            "service_code",
+            "negotiated_rate",
+            "npi",
+            "tin",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-call pipeline
+# ---------------------------------------------------------------------------
+
+
+class MrfSilverTables:
+    """All silver tables derived from one bronze DataFrame."""
+
+    def __init__(self, bronze: DataFrame):
+        self.bronze = bronze
+        self.header = parse_header(bronze)
+        self.provider_references = parse_provider_references(bronze)
+        self.in_network = parse_in_network(bronze)
+        self.codes = in_network_codes(self.in_network)
+        self.rates = in_network_rates(self.codes)
+        self.prices = in_network_prices(self.rates)
+        self.par_providers = in_network_par_providers(self.rates)
+        self.providers_x_payer = provider_references_x_payer(
+            self.provider_references, self.header
+        )
+
+    def shoppable_price(self, billing_code: str, tin_value: str) -> DataFrame:
+        return shoppable_price(
+            self.codes,
+            self.prices,
+            self.par_providers,
+            self.providers_x_payer,
+            billing_code,
+            tin_value,
+        )
+
+    def save_all(self, spark: SparkSession, database: str) -> None:
+        """CTAS equivalents (01_payer_mrf_demo.py:148-213)."""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        for name, df in [
+            ("provider_header", self.header),
+            ("provider_references_x_payer", self.providers_x_payer),
+            ("in_network_codes", self.codes),
+            ("in_network_rates", self.rates),
+            ("in_network_prices", self.prices),
+            ("in_network_par_providers", self.par_providers),
+        ]:
+            df.write.mode("overwrite").saveAsTable(f"{database}.{name}")
+
+
+def build_silver(spark: SparkSession, path: str, **options) -> MrfSilverTables:
+    """Read an MRF file and derive the full silver star model."""
+    return MrfSilverTables(read_payer_mrf(spark, path, **options))

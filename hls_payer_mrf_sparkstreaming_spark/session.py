@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for correctness-at-scale first (AQE on, skew-join handling
+on) and then local-mode speed. On a real cluster the same config holds;
+only master/shuffle-partition count change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hls-payer-mrf-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF path; never row-at-a-time python UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics for oracle comparisons.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Register our custom data sources on every session.
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import register
+
+    register(spark)
+    return spark

@@ -1,0 +1,91 @@
+"""Filesystem abstraction for the payer-mrf source.
+
+Local paths use builtin ``open``; any ``scheme://`` path goes through
+``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs:// ... all give
+seekable input files), so executor-side ranged reads work on cloud storage.
+Replaces the reference's executor-side ``FileSystem.get(new Configuration)``
+(JsonChunks.scala:106-108) which silently ignored session Hadoop conf.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+from typing import BinaryIO
+
+_GZ_COPY_BUFFER = 16 * 1024 * 1024
+
+
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file:") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
+def is_remote(path: str) -> bool:
+    p = _strip_file_scheme(path)
+    return "://" in p
+
+
+def open_input(path: str) -> BinaryIO:
+    """Open a seekable binary reader for a local or remote path."""
+    p = _strip_file_scheme(path)
+    if "://" in p:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(p)
+        return fs.open_input_file(rel)
+    return open(p, "rb")
+
+
+def file_size(path: str) -> int:
+    p = _strip_file_scheme(path)
+    if "://" in p:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(p)
+        return fs.get_file_info(rel).size
+    return os.path.getsize(p)
+
+
+def decompress_gz(path: str, target_dir: str | None = None) -> str:
+    """One-time driver-side pre-pass: ``.gz`` -> sibling uncompressed file
+    (gzip is not splittable/seekable, executors need ranged reads — same
+    strategy as reference JsonMRFSourceProvider.scala:38-46).
+
+    ``target_dir`` overrides the output directory (the source directory may
+    be read-only). Idempotent: an existing up-to-date output is reused.
+    """
+    p = _strip_file_scheme(path)
+    if "://" in p:
+        raise NotImplementedError(
+            "gz pre-pass for remote paths: download/decompress to a shared "
+            "filesystem via decompressdir first"
+        )
+    base = os.path.basename(p)
+    out_name = base[: -len(".gz")] if base.endswith(".gz") else base + ".json"
+    out_dir = target_dir or os.path.dirname(p)
+    out_path = os.path.join(out_dir, out_name)
+    if os.path.exists(out_path) and os.path.getmtime(out_path) >= os.path.getmtime(p):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_path + ".tmp"
+    with gzip.open(p, "rb") as src, open(tmp, "wb") as dst:
+        shutil.copyfileobj(src, dst, _GZ_COPY_BUFFER)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def resolve_input_path(path: str, decompress_dir: str | None = None) -> str:
+    """Normalize a user path: validate extension, run the gz pre-pass."""
+    p = _strip_file_scheme(path)
+    if p.endswith(".gz"):
+        return decompress_gz(p, decompress_dir)
+    if not p.endswith(".json"):
+        raise ValueError(
+            f"payer-mrf source supports .json / .json.gz inputs, got: {path}"
+        )
+    return p

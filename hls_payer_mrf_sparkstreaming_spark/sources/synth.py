@@ -1,0 +1,141 @@
+"""Deterministic CMS in-network-rates MRF synthesizer.
+
+Generates schema-shaped JSON (same field inventory as the public CMS
+price-transparency examples the reference tests against:
+provider_references with provider_groups/location variants, in_network with
+negotiated_rates -> negotiated_prices / provider_references) at any size,
+for unit tests, end-to-end tests, and splitter throughput benchmarks.
+Seeded -> byte-identical across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from typing import IO
+
+
+def _provider_group(rng: random.Random) -> dict:
+    return {
+        "npi": [rng.randrange(10**9, 10**10) for _ in range(rng.randint(1, 6))],
+        "tin": {
+            "type": rng.choice(["ein", "npi"]),
+            "value": f"{rng.randrange(10, 99)}-{rng.randrange(10**6, 10**7)}",
+        },
+    }
+
+
+def _provider_reference(rng: random.Random, gid: int) -> dict:
+    if rng.random() < 0.1:
+        return {
+            "provider_group_id": gid,
+            "location": f"https://example.com/provider_group_{gid}.json",
+        }
+    return {
+        "provider_group_id": gid,
+        "provider_groups": [_provider_group(rng) for _ in range(rng.randint(1, 3))],
+    }
+
+
+def _negotiated_price(rng: random.Random) -> dict:
+    p = {
+        "negotiated_type": rng.choice(
+            ["negotiated", "negotiated", "negotiated", "fee schedule"]
+        ),
+        "negotiated_rate": round(rng.uniform(5, 25000), 2),
+        "expiration_date": "2026-01-01",
+        "billing_class": rng.choice(["professional", "institutional"]),
+    }
+    if rng.random() < 0.7:
+        p["service_code"] = rng.sample(
+            ["01", "05", "06", "07", "11", "18", "19", "21", "22"],
+            rng.randint(1, 3),
+        )
+    if rng.random() < 0.3:
+        p["billing_code_modifier"] = rng.sample(["AS", "26", "TC", "50"], 1)
+    return p
+
+
+def _negotiated_rate(rng: random.Random, n_provider_refs: int) -> dict:
+    r: dict = {}
+    if n_provider_refs and rng.random() < 0.5:
+        r["provider_references"] = sorted(
+            rng.sample(
+                range(1, n_provider_refs + 1), rng.randint(1, min(3, n_provider_refs))
+            )
+        )
+    else:
+        r["provider_groups"] = [
+            _provider_group(rng) for _ in range(rng.randint(1, 2))
+        ]
+    r["negotiated_prices"] = [
+        _negotiated_price(rng) for _ in range(rng.randint(1, 3))
+    ]
+    return r
+
+
+def _in_network_item(rng: random.Random, i: int, n_provider_refs: int) -> dict:
+    code = str(10000 + (i * 7919) % 89999)
+    return {
+        "negotiation_arrangement": "ffs",
+        "name": f"Procedure {code}",
+        "billing_code_type": rng.choice(["CPT", "HCPCS", "MS-DRG"]),
+        "billing_code_type_version": "2025",
+        "billing_code": code,
+        "description": f"Synthetic description for billing code {code} "
+        + "x" * rng.randint(0, 120),
+        "negotiated_rates": [
+            _negotiated_rate(rng, n_provider_refs)
+            for _ in range(rng.randint(1, 4))
+        ],
+    }
+
+
+def write_mrf(
+    out: IO[str],
+    n_in_network: int = 50,
+    n_provider_refs: int = 10,
+    seed: int = 42,
+    indent: bool = True,
+) -> dict:
+    """Stream a synthetic MRF JSON document to ``out``; returns summary counts.
+
+    Streams item by item so multi-GB files can be generated in O(1) memory.
+    """
+    rng = random.Random(seed)
+    dump = (lambda o: json.dumps(o, indent=2)) if indent else json.dumps
+    out.write("{\n")
+    header = {
+        "reporting_entity_name": "synthetic payer",
+        "reporting_entity_type": "payer",
+        "plan_name": "synthetic plan",
+        "plan_id_type": "hios",
+        "plan_id": "99999999999",
+        "plan_market_type": "group",
+        "last_updated_on": "2026-08-01",
+    }
+    for k, v in header.items():
+        out.write(f"{json.dumps(k)}: {json.dumps(v)},\n")
+    out.write('"provider_references": [')
+    for gid in range(1, n_provider_refs + 1):
+        if gid > 1:
+            out.write(",")
+        out.write(dump(_provider_reference(rng, gid)))
+    out.write('],\n"in_network": [')
+    for i in range(n_in_network):
+        if i:
+            out.write(",")
+        out.write(dump(_in_network_item(rng, i, n_provider_refs)))
+    out.write('],\n"version": "1.0.0"\n}\n')
+    return {"in_network": n_in_network, "provider_references": n_provider_refs}
+
+
+def write_mrf_file(
+    path: str,
+    n_in_network: int = 50,
+    n_provider_refs: int = 10,
+    seed: int = 42,
+    indent: bool = True,
+) -> dict:
+    with open(path, "w", encoding="utf-8") as f:
+        return write_mrf(f, n_in_network, n_provider_refs, seed, indent)

@@ -1,0 +1,222 @@
+"""Unit + property tests for the MRF byte splitter.
+
+Mirrors the reference's test strategy (SURVEY.md §5): primitive-level
+assertions plus whole-file reassembly invariants, extended with randomized
+buffer-boundary property tests (the reference's known weak spot,
+JsonMRFSource.scala:114).
+"""
+
+import gzip
+import io
+import json
+import os
+
+import pytest
+
+from hls_payer_mrf_sparkstreaming_spark.sources.chunker import (
+    EOB,
+    ChunkScanner,
+    MalformedMRFError,
+    repair_header_fragment,
+    scalar_value_end,
+    seek_matching_end,
+    skip_string,
+    split_elements,
+    wrap_array_payload,
+)
+from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+REFERENCE_FIXTURES = [
+    "/root/reference/src/test/resources/in-network-rates-fee-for-service-single-plan-sample.json",
+    "/root/reference/src/test/resources/in-network-rates-capitation-single-plan-sample.json",
+    "/root/reference/src/test/resources/in-network-rates-bundle-single-plan-sample.json",
+    "/root/reference/src/test/resources/in-network-rates-multiple-plans-sample.json",
+]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def test_skip_string_simple():
+    assert skip_string(b'"abc" rest', 0) == 5
+
+
+def test_skip_string_escaped_quote():
+    assert skip_string(b'"a\\"b"x', 0) == 6
+
+
+def test_skip_string_escaped_backslash_then_close():
+    assert skip_string(b'"a\\\\"x', 0) == 5
+
+
+def test_skip_string_unterminated():
+    assert skip_string(b'"abc', 0) == EOB
+
+
+def test_seek_matching_end_nested():
+    s = b'{"a": [1, {"b": "}"}], "c": 2}'
+    assert seek_matching_end(s, 0) == len(s) - 1
+
+
+def test_seek_matching_end_eob():
+    assert seek_matching_end(b'{"a": [1, 2', 0) == EOB
+
+
+def test_scalar_value_end():
+    assert scalar_value_end(b"123, 4", 0) == 2
+    assert scalar_value_end(b"true }", 0) == 3
+    assert scalar_value_end(b"12", 0) == EOB
+
+
+def test_repair_header_fragment_shapes():
+    assert json.loads(repair_header_fragment(b'{"a": 1,')) == {"a": 1}
+    assert json.loads(repair_header_fragment(b'"v": "1.0"}')) == {"v": "1.0"}
+    assert json.loads(repair_header_fragment(b', "a": {"b": 1},')) == {"a": {"b": 1}}
+    assert json.loads(repair_header_fragment(b'{"a": 1}')) == {"a": 1}
+    assert json.loads(repair_header_fragment(b'"a": 1')) == {"a": 1}
+    assert json.loads(repair_header_fragment(b"  ")) == {}
+
+
+def test_split_elements_mixed():
+    raw = b'{"a": 1}, "str", 42, [1, 2], null'
+    assert [json.loads(e) for e in split_elements(raw)] == [
+        {"a": 1},
+        "str",
+        42,
+        [1, 2],
+        None,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# whole-file reassembly invariant
+# ---------------------------------------------------------------------------
+
+
+def reassemble(raw: bytes, chunk_target: int, read_size: int):
+    """Scan + executor-side repair; return (header_dict, arrays_dict, chunks)."""
+    chunks = list(
+        ChunkScanner(io.BytesIO(raw), chunk_target, read_size).scan()
+    )
+    headers: dict = {}
+    arrays: dict = {}
+    n_elems: dict = {}
+    for c in chunks:
+        piece = raw[c.start : c.end + 1]
+        if c.header_key == "":
+            headers.update(json.loads(repair_header_fragment(piece)))
+        else:
+            elems = json.loads(wrap_array_payload(piece))
+            assert len(elems) == c.n_elements
+            split = [json.loads(e) for e in split_elements(piece)]
+            assert split == elems
+            arrays.setdefault(c.header_key, []).extend(elems)
+            n_elems[c.header_key] = n_elems.get(c.header_key, 0) + len(elems)
+    return headers, arrays, chunks
+
+
+def check_roundtrip(raw: bytes, chunk_target: int, read_size: int):
+    doc = json.loads(raw)
+    headers, arrays, chunks = reassemble(raw, chunk_target, read_size)
+    for k, v in doc.items():
+        if isinstance(v, list):
+            assert arrays.get(k, []) == v, f"array {k} mismatch"
+        else:
+            assert headers.get(k) == v, f"header field {k} mismatch"
+    # empty top-level arrays have no elements, hence no chunks
+    assert set(arrays) == {k for k, v in doc.items() if isinstance(v, list) and v}
+    return chunks
+
+
+@pytest.mark.parametrize("path", REFERENCE_FIXTURES)
+@pytest.mark.parametrize("read_size", [64 * 1024, 97, 256])
+def test_reference_fixtures_roundtrip(path, read_size):
+    raw = open(path, "rb").read()
+    check_roundtrip(raw, chunk_target=1024, read_size=read_size)
+
+
+def test_gz_fixture_roundtrip(tmp_path):
+    gz = "/root/reference/src/test/resources/in-network-rates-fee-for-service-single-plan-sample1.json.gz"
+    raw = gzip.open(gz, "rb").read()
+    check_roundtrip(raw, chunk_target=512, read_size=128)
+
+
+def test_synthetic_roundtrip(tmp_path):
+    p = os.path.join(tmp_path, "synth.json")
+    write_mrf_file(p, n_in_network=200, n_provider_refs=30, seed=7)
+    raw = open(p, "rb").read()
+    chunks = check_roundtrip(raw, chunk_target=4096, read_size=1000)
+    in_net = [c for c in chunks if c.header_key == "in_network"]
+    assert sum(c.n_elements for c in in_net) == 200
+    # chunk sizing: every chunk except per-array tails stays near target
+    for c in in_net[:-1]:
+        assert c.end - c.start + 1 >= 4096 or c.n_elements == 1
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_property_random_buffer_boundaries(tmp_path, seed):
+    """Random read sizes must never change the reassembled document."""
+    import random
+
+    rng = random.Random(seed)
+    p = os.path.join(tmp_path, "synth.json")
+    write_mrf_file(
+        p,
+        n_in_network=rng.randint(1, 60),
+        n_provider_refs=rng.randint(1, 12),
+        seed=seed,
+        indent=bool(seed % 2),
+    )
+    raw = open(p, "rb").read()
+    check_roundtrip(
+        raw,
+        chunk_target=rng.choice([300, 1024, 10**7]),
+        read_size=rng.choice([71, 128, 1023, 65536]),
+    )
+
+
+def test_unicode_and_escapes_roundtrip():
+    doc = {
+        "name": 'payer "A" \\ EUR cost: 12',
+        "note": "ünïcødé — 医療費 🏥",
+        "in_network": [
+            {"billing_code": "x]y}z", "desc": "brackets ][ in } strings {"},
+            {"billing_code": "esc\\\"aped", "v": [1, 2, 3]},
+        ],
+        "provider_references": [{"provider_group_id": 1, "u": "日本語テキスト"}],
+        "version": "1.0.0",
+    }
+    raw = json.dumps(doc, ensure_ascii=False, indent=1).encode("utf-8")
+    check_roundtrip(raw, chunk_target=64, read_size=37)
+
+
+def test_scalar_and_nested_top_level_arrays():
+    doc = {
+        "a": [1, 2.5, "three", None, True],
+        "b": [[1, 2], [3]],
+        "c": [],
+        "k": "v",
+    }
+    raw = json.dumps(doc).encode()
+    check_roundtrip(raw, chunk_target=8, read_size=5)
+
+
+def test_empty_object():
+    headers, arrays, chunks = reassemble(b"{}", 1024, 64)
+    assert headers == {} and arrays == {}
+
+
+def test_malformed_raises():
+    with pytest.raises(MalformedMRFError):
+        list(ChunkScanner(io.BytesIO(b'{"a": [1, 2'), 64, 8).scan())
+    with pytest.raises(MalformedMRFError):
+        list(ChunkScanner(io.BytesIO(b"[1, 2]"), 64, 8).scan())
+
+
+def test_element_larger_than_read_buffer():
+    big = {"in_network": [{"d": "x" * 100_000}, {"d": "y" * 50}], "h": 1}
+    raw = json.dumps(big).encode()
+    chunks = check_roundtrip(raw, chunk_target=1024, read_size=256)
+    assert sum(c.n_elements for c in chunks if c.header_key == "in_network") == 2

@@ -1,0 +1,152 @@
+"""End-to-end tests of the payer-mrf data source (batch + streaming).
+
+Equivalents of reference TST01-05
+(/root/reference/src/test/scala/com/databricks/SparkStreamingSource.scala:10-172).
+"""
+
+import gzip
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+    read_payer_mrf,
+    stream_payer_mrf,
+)
+
+
+def test_batch_read_header_key_classes(spark, mrf_file):
+    """TST01: at least one row per header_key class."""
+    df = read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+    counts = {
+        r["header_key"]: r["n"]
+        for r in df.groupBy("header_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("in_network", 0) >= 1
+    assert counts.get("provider_references", 0) >= 1
+    assert counts.get("", 0) >= 1
+
+
+def test_batch_payloads_parse_as_json(spark, mrf_file):
+    """TST02: every json_payload is standalone-parseable JSON."""
+    rows = read_payer_mrf(spark, mrf_file, chunktargetbytes=4096).collect()
+    total_elems = 0
+    for r in rows:
+        obj = json.loads(r["json_payload"])
+        if r["header_key"]:
+            assert isinstance(obj, list) and obj
+            total_elems += len(obj)
+        else:
+            assert isinstance(obj, dict)
+    assert total_elems == 120 + 25
+
+
+def test_batch_silver_parses_with_spark_json(spark, mrf_file):
+    """TST03: in_network payloads round-trip through spark JSON parsing with
+    expected columns and no corrupt records."""
+    df = read_payer_mrf(spark, mrf_file, chunktargetbytes=8192)
+    payloads = df.filter(F.col("header_key") == "in_network").select(
+        "json_payload"
+    )
+    parsed = spark.read.json(payloads.rdd.map(lambda r: r[0]))
+    assert "_corrupt_record" not in parsed.columns
+    exploded = parsed  # read.json on array strings already yields one row/elem
+    assert exploded.count() == 120
+    cols = set(exploded.columns)
+    assert {"billing_code", "billing_code_type", "negotiated_rates"} <= cols
+
+
+def test_payload_as_array(spark, mrf_file):
+    """TST04: payloadAsArray=true yields array<string> of element strings."""
+    df = read_payer_mrf(
+        spark, mrf_file, payloadAsArray="true", chunktargetbytes=4096
+    )
+    assert dict(df.dtypes)["json_payload"] == "array<string>"
+    row = (
+        df.filter(F.col("header_key") == "in_network")
+        .select(F.col("json_payload")[0].alias("first"))
+        .first()
+    )
+    elem = json.loads(row["first"])
+    assert "billing_code" in elem
+    n = (
+        df.filter(F.col("header_key") != "")
+        .select(F.explode("json_payload"))
+        .count()
+    )
+    assert n == 120 + 25
+
+
+def test_gz_input(spark, mrf_file, tmp_path):
+    """TST05: .json.gz input via the decompress pre-pass."""
+    gz_path = str(tmp_path / "sample.json.gz")
+    with open(mrf_file, "rb") as src, gzip.open(gz_path, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    df = read_payer_mrf(
+        spark, gz_path, decompressdir=str(tmp_path / "out"), chunktargetbytes=4096
+    )
+    assert df.filter(F.col("header_key") == "in_network").count() >= 1
+    assert os.path.exists(str(tmp_path / "out" / "sample.json"))
+
+
+def test_reference_fixture_batch(spark):
+    """Read the actual CMS sample from the reference test resources."""
+    path = (
+        "/root/reference/src/test/resources/"
+        "in-network-rates-fee-for-service-single-plan-sample.json"
+    )
+    df = read_payer_mrf(spark, path, chunktargetbytes=1024)
+    in_net = df.filter(F.col("header_key") == "in_network").collect()
+    elems = [e for r in in_net for e in json.loads(r["json_payload"])]
+    assert {e["billing_code"] for e in elems} == {"27447", "27448"}
+
+
+def test_streaming_to_parquet(spark, mrf_file, tmp_path):
+    """Streaming mode: availableNow trigger, parquet sink, full coverage."""
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    elems = 0
+    for r in got.filter(F.col("header_key") != "").collect():
+        elems += len(json.loads(r["json_payload"]))
+    assert elems == 120 + 25
+    header = [
+        json.loads(r["json_payload"])
+        for r in got.filter(F.col("header_key") == "").collect()
+    ]
+    merged = {}
+    for h in header:
+        merged.update(h)
+    assert merged["reporting_entity_name"] == "synthetic payer"
+    assert merged["version"] == "1.0.0"
+
+
+def test_streaming_matches_batch(spark, mrf_file, tmp_path):
+    batch = read_payer_mrf(spark, mrf_file, chunktargetbytes=2048)
+    out = str(tmp_path / "b2")
+    q = (
+        stream_payer_mrf(spark, mrf_file, chunktargetbytes=2048)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    a = {(r["header_key"], r["json_payload"]) for r in batch.collect()}
+    b = {(r["header_key"], r["json_payload"]) for r in streamed.collect()}
+    assert a == b

@@ -1,0 +1,123 @@
+"""Silver/gold pipeline tests against the synthetic MRF fixture and the
+reference CMS sample (gold query parity with 01_payer_mrf_demo.py:229-238).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
+
+
+@pytest.fixture(scope="module")
+def tables(spark, mrf_file):
+    return build_silver(spark, mrf_file, chunktargetbytes=8192)
+
+
+def test_header_merges(tables):
+    h = tables.header.collect()
+    merged = {}
+    for r in h:
+        merged.update({k: v for k, v in r.asDict().items() if v is not None})
+    assert merged["reporting_entity_name"] == "synthetic payer"
+    assert merged["version"] == "1.0.0"
+
+
+def test_counts_match_source(tables, mrf_file):
+    doc = json.load(open(mrf_file))
+    assert tables.in_network.count() == len(doc["in_network"])
+    assert tables.provider_references.count() == len(doc["provider_references"])
+    n_rates = sum(len(i["negotiated_rates"]) for i in doc["in_network"])
+    assert tables.rates.count() == n_rates
+    n_prices = sum(
+        sum(
+            1
+            for p in r["negotiated_prices"]
+            if p["negotiated_type"] == "negotiated"
+        )
+        for i in doc["in_network"]
+        for r in i["negotiated_rates"]
+    )
+    assert tables.prices.count() == n_prices
+    n_groups = sum(
+        len(p.get("provider_groups", [])) for p in doc["provider_references"]
+    )
+    assert tables.providers_x_payer.count() == n_groups
+
+
+def test_surrogate_keys_join_consistent(tables):
+    # every price row joins back to exactly one code row
+    joined = tables.prices.join(tables.codes, "sk_in_network_id").count()
+    assert joined == tables.prices.count()
+    # rate keys unique
+    assert (
+        tables.rates.select("sk_rate_id").distinct().count()
+        == tables.rates.count()
+    )
+
+
+def test_gold_shoppable_price(tables, mrf_file):
+    doc = json.load(open(mrf_file))
+    # pick a (billing_code, tin) pair guaranteed to hit via provider_references
+    target = None
+    provider_tins = {
+        p["provider_group_id"]: [
+            g["tin"]["value"] for g in p.get("provider_groups", [])
+        ]
+        for p in doc["provider_references"]
+    }
+    for item in doc["in_network"]:
+        for r in item["negotiated_rates"]:
+            for ref in r.get("provider_references", []):
+                if provider_tins.get(ref) and any(
+                    p["negotiated_type"] == "negotiated"
+                    for p in r["negotiated_prices"]
+                ):
+                    target = (item["billing_code"], provider_tins[ref][0])
+                    break
+            if target:
+                break
+        if target:
+            break
+    assert target, "fixture must contain a referenced provider with a price"
+    billing_code, tin = target
+    rows = tables.shoppable_price(billing_code, tin).collect()
+    assert rows
+    for r in rows:
+        assert r["billing_code"] == billing_code
+        assert r["tin"]["value"] == tin
+        assert r["negotiated_rate"] > 0
+
+
+def test_gold_on_reference_sample(spark):
+    path = (
+        "/root/reference/src/test/resources/"
+        "in-network-rates-fee-for-service-single-plan-sample.json"
+    )
+    tables = build_silver(spark, path, chunktargetbytes=1024)
+    # billing code 27448 rate 12003.45 is linked via provider_reference id 1,
+    # whose two provider groups carry tins 11-1111111 and 22-2222222
+    for tin in ["11-1111111", "22-2222222"]:
+        rows = tables.shoppable_price("27448", tin).collect()
+        assert len(rows) == 1
+        assert rows[0]["negotiated_rate"] == 12003.45
+        assert rows[0]["tin"]["value"] == tin
+    rows = tables.shoppable_price("27448", "11-1111111").collect()
+    # 27447 only has inline provider_groups (no provider_references) -> empty
+    assert tables.shoppable_price("27447", "11-1111111").count() == 0
+
+
+def test_capitation_and_bundle_fixtures_parse(spark):
+    for name, array_field in [
+        ("in-network-rates-capitation-single-plan-sample.json", "covered_services"),
+        ("in-network-rates-bundle-single-plan-sample.json", "bundled_codes"),
+    ]:
+        tables = build_silver(
+            spark,
+            f"/root/reference/src/test/resources/{name}",
+            chunktargetbytes=1024,
+        )
+        items = tables.in_network
+        assert items.count() >= 1
+        assert items.filter(F.col(array_field).isNotNull()).count() >= 1
