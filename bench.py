@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the MRF
+splitter's standalone throughput. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "mrf_gb_per_min": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "pricing_summary",
+    "star_join_revenue",
+    "window_topk_per_group",
+    "explode_tokens",
+    "windowed_agg_events",
+    "sessionize",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "mrf_bronze",
+    "mrf_gold_shoppable",
+]
+
+
+def bench_splitter() -> float:
+    """GB/min of chunk discovery on a ~200 MB synthetic MRF file."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.chunker import scan_chunks
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    p = os.path.join("/tmp", "payer_mrf_bench", "mrf_200mb.json")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    if not os.path.exists(p):
+        write_mrf_file(p, n_in_network=90000, n_provider_refs=4000, seed=1)
+    size = os.path.getsize(p)
+    # warm the page cache so we measure the scanner, not cold disk
+    with open(p, "rb") as f:
+        while f.read(64 * 1024 * 1024):
+            pass
+    t0 = time.time()
+    n = sum(1 for _ in scan_chunks(p))
+    dt = time.time() - t0
+    assert n > 0
+    return size / 1e9 / dt * 60
+
+
+def main() -> None:
+    from hls_payer_mrf_sparkstreaming_spark.session import get_spark
+
+    mrf_gb_per_min = bench_splitter()
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # warm-up pass compiles the plan + primes file cache; measured pass
+        # reflects steady-state execution
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "mrf_gb_per_min": round(mrf_gb_per_min, 2),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Multimodal columns: opaque binary payloads + typed metadata structs.
+
+Pattern for image/audio/video at 100 TB: the bytes live in a ``binary``
+column (or object-store URIs for >1 MB payloads), typed metadata travels in
+a sibling struct, and decode/feature steps run as Arrow-batched
+``mapInPandas`` over the binary column — partition-parallel, no driver
+involvement, and the Python boundary is crossed once per batch, not per
+row.
+
+The decode kernel itself is STUBBED here (image/audio libraries are not in
+this container): ``fake_decode_meta`` derives deterministic pseudo
+width/height/duration from the payload bytes so the plumbing — schema,
+batching, partitioning — is real and testable; ``decode_image`` raises
+NotImplementedError where PIL/libvips would plug in.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT source,
+               count(*) AS n_blobs,
+               sum(octet_length(encode(text))) AS total_bytes,
+               min(octet_length(encode(text))) AS min_bytes,
+               max(octet_length(encode(text))) AS max_bytes
+        FROM documents GROUP BY source
+    """,
+    description="binary-column construction + metadata aggregation: blobs "
+    "as binary, stats computed on metadata only (bytes never shuffled)",
+)
+def multimodal_meta(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    size = F.octet_length("blob")
+    return blobs.groupBy("source").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(size).alias("total_bytes"),
+        F.min(size).alias("min_bytes"),
+        F.max(size).alias("max_bytes"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("frame_sample", BinaryType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """Real decoder plug point (PIL/libvips/ffmpeg live here in prod)."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "container; use fake_decode_meta for plumbing tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a decoder: pseudo width/height derived
+    from the payload bytes."""
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0x7FFFFFFF
+    return 64 + h % 1024, 64 + (h // 1024) % 1024
+
+
+def decode_blobs(blobs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Arrow-batched decode over a (doc_id, blob) DataFrame.
+
+    mapInPandas: one Python process per partition, pandas batches in/out —
+    the scalable shape for real decoders (swap fake_decode_meta for
+    decode_image)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h = zip(*(fake_decode_meta(b) for b in pdf["blob"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": media_type,
+                    "n_bytes": [len(b) for b in pdf["blob"]],
+                    "width": list(w),
+                    "height": list(h),
+                    # frame sample = first 16 bytes (stand-in for a thumbnail)
+                    "frame_sample": [bytes(b[:16]) for b in pdf["blob"]],
+                }
+            )
+
+    return blobs.mapInPandas(decode, DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas decode stub; checked in tests/test_llm_ops.py
+    description="Arrow-batched mapInPandas decode pipeline over binary "
+    "blobs (deterministic stub kernel; real decoder is a drop-in)",
+)
+def multimodal_decode(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return decode_blobs(blobs).select(
+        "doc_id", "media_type", "n_bytes", "width", "height"
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one pass over the
+  embeddings table, TakeOrderedAndProject (per-partition top-k + driver
+  merge), no shuffle of vectors;
+- hyperplane-LSH bucketed search: the scale path — deterministic seeded
+  hyperplanes baked into the plan as literals, bucket equi-join prunes the
+  candidate set before any cosine is computed. At 100 TB the bucket join
+  shuffles 8-byte bucket ids, not 256-byte vectors (vectors rejoin only for
+  surviving candidates);
+- embedding near-dup pairs: same-bucket pairwise cosine.
+
+All vector math is zip_with/aggregate in codegen (functions/vector.py) —
+no UDFs, so DuckDB list-lambda oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.functions import vector as V
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+_DIM = 64
+
+
+def _planes(n_planes: int, dim: int = _DIM, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+_PLANES_8 = _planes(8)
+_PLANES_16 = _planes(16, seed=11)
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id, e.label,
+               round({V.cosine_sql(_EMB_D.replace('embedding', 'e.embedding'), 'q.qv')}, 6)
+                   AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    description="brute-force cosine top-k vs query vector (exact ANN "
+    "baseline); TakeOrderedAndProject, no vector shuffle",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        V.to_double_array("embedding").alias("qv")
+    )
+    e = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, {_EMB_D} AS ev,
+                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_8)} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT ev AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, b.label,
+               round({V.cosine_sql('b.ev', 'q.qv')}, 6) AS cosine_sim
+        FROM b CROSS JOIN q
+        WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    description="hyperplane-LSH bucketed ANN: 8 sign-bits -> bucket id; "
+    "cosine only within the query's bucket (the 100 TB path: candidate "
+    "pruning before any vector math)",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, {_EMB_D} AS ev,
+                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_16)} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({V.cosine_sql('a.ev', 'b.ev')}, 6) AS cosine_sim
+        FROM b a JOIN b b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {V.cosine_sql('a.ev', 'b.ev')} >= 0.8
+    """,
+    description="embedding-cosine near-dup pairs within 16-bit LSH buckets "
+    "(pairwise work bounded per bucket, never all-pairs)",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16))
+    a2 = b.alias("a")
+    b2 = b.alias("b")
+    sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )

@@ -15,6 +15,9 @@ vs DuckDB. MIN/MAX/COUNT are order-insensitive and used raw.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -52,8 +55,43 @@ def query(name: str, oracle: Optional[str] = None, description: str = ""):
     return deco
 
 
+def _usec_copy(path: str) -> str:
+    """Spark rejects parquet TIMESTAMP(NANOS) columns ([PARQUET_TYPE_ILLEGAL]);
+    DuckDB truncates them to micros. Make a one-time µs-cast copy so both
+    engines see identical values. No-op for files without ns timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    if not any(
+        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+    ):
+        return path
+    key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_usec", key)
+    out = os.path.join(out_dir, os.path.basename(path))
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        table = pq.read_table(path)
+        target = pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.timestamp("us")
+                    if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                    else f.type,
+                )
+                for f in table.schema
+            ]
+        )
+        tmp = out + ".tmp"
+        pq.write_table(table.cast(target, safe=False), tmp)
+        os.replace(tmp, out)
+    return out
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return spark.read.parquet(_usec_copy(f"{sf_dir}/{table}.parquet"))
 
 
 def all_queries() -> dict[str, QueryPair]:

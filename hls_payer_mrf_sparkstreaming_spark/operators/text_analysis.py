@@ -1,0 +1,171 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in column expressions (regex/array/hash
+functions) — zero Python in the hot path, so they run at scan speed over
+100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+# fixed stopword lists for the n-gram-free language-ID heuristic
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "une", "des", "en", "du", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"],
+}
+
+
+def _sw_array_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS[lang]) + "]"
+
+
+def _sw_array(lang: str) -> F.Column:
+    return F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+
+
+def _is_stopword(lang: str):
+    # 1-arg lambda factory: a second lambda param would be interpreted by
+    # pyspark as the array index
+    arr = _sw_array(lang)
+    return lambda x: F.array_contains(arr, x)
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_measured,
+               n_chars
+        FROM documents
+    """,
+    description="whitespace token counting + char length",
+)
+def text_token_count(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                   AS uniq_ratio,
+               round(CAST(len(list_filter(toks,
+                     x -> list_contains({en_sw}, x))) AS DOUBLE) / len(toks), 6)
+                   AS stopword_ratio
+        FROM t WHERE len(toks) > 0
+    """.format(en_sw=_sw_array_sql("en")),
+    description="quality scoring: token stats, uniqueness, stopword ratio "
+    "(the C4/Gopher-style quality-filter feature set)",
+)
+def text_quality(spark, sf_dir):
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", toks.alias("toks")
+    )
+    n = F.size("toks")
+    return d.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n, 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct("toks")).cast("double") / n, 6).alias(
+            "uniq_ratio"
+        ),
+        F.round(
+            F.size(F.filter(F.col("toks"), _is_stopword("en"))).cast("double")
+            / n,
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({en}, x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS en_score,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({es}, x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS es_score
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN en_score >= 0.05 AND en_score >= es_score THEN 'en'
+                    WHEN es_score >= 0.05 THEN 'es'
+                    ELSE 'other' END AS predicted_lang
+        FROM scored
+    """.format(en=_sw_array_sql("en"), es=_sw_array_sql("es")),
+    description="stopword-ratio language-ID heuristic (fastText-free "
+    "baseline; per-language score columns, argmax via CASE)",
+)
+def text_lang_id(spark, sf_dir):
+    toks = F.split("text", " ")
+    n = F.size(toks)
+
+    def score(lang):
+        return F.size(F.filter(toks, _is_stopword(lang))).cast("double") / n
+
+    en, es = score("en"), score("es")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when((en >= 0.05) & (en >= es), "en")
+        .when(es >= 0.05, "es")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    description="normalization fingerprint (lowercase + whitespace collapse "
+    "+ md5) for cross-corpus document identity",
+)
+def text_fingerprint(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle=None,  # xxhash64 chain is Spark-specific; invariant-tested in pytest
+    description="order-sensitive rolling fingerprint over tokens: left fold "
+    "of xxhash64(acc, token) — overflow-free under ANSI mode, "
+    "position-sensitive unlike a token-set hash",
+)
+def text_rolling_hash(spark, sf_dir):
+    rolled = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.xxhash64(acc, tok),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", rolled.alias("rolling_hash")
+    )

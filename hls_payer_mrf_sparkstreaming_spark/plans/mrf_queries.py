@@ -1,0 +1,79 @@
+"""MRF-domain queries for the driver's rows-only checks.
+
+These exercise the actual payer-mrf engine (chunker -> source -> silver ->
+gold) end-to-end. They run on a deterministic synthetic MRF file (seeded,
+generated once into a work dir) because the oracle's DuckDB views only
+cover the TPC-H-ish tables — correctness of these paths is enforced by
+tests/test_datasource.py and tests/test_silver.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import query
+from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
+from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
+from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+_N_ITEMS = 200
+_SEED = 42
+
+
+def fixture_path() -> str:
+    """Deterministic synthetic MRF file, generated once per machine."""
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_n{_N_ITEMS}_s{_SEED}.json")
+    if not os.path.exists(p):
+        write_mrf_file(p, n_in_network=_N_ITEMS, n_provider_refs=40, seed=_SEED)
+    return p
+
+
+@query(
+    "mrf_bronze",
+    oracle=None,  # engine-specific source; covered by tests/test_datasource.py
+    description="payer-mrf source end-to-end: chunk counts per header_key",
+)
+def mrf_bronze(spark, sf_dir):
+    df = read_payer_mrf(spark, fixture_path(), chunktargetbytes=65536)
+    return df.groupBy("header_key").agg(F.count("*").alias("n_chunks"))
+
+
+@query(
+    "mrf_silver_prices",
+    oracle=None,  # covered by tests/test_silver.py count/key invariants
+    description="bronze->silver explode pipeline: negotiated prices by "
+    "billing_class",
+)
+def mrf_silver_prices(spark, sf_dir):
+    t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
+    return t.prices.groupBy("billing_class").agg(
+        F.count("*").alias("n_prices"),
+        F.min("negotiated_rate").alias("min_rate"),
+        F.max("negotiated_rate").alias("max_rate"),
+    )
+
+
+@query(
+    "mrf_gold_shoppable",
+    oracle=None,  # covered by tests/test_silver.py gold parity on CMS sample
+    description="gold shoppable-price query (4-way join, parameterized)",
+)
+def mrf_gold_shoppable(spark, sf_dir):
+    t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
+    hit = (
+        t.par_providers.join(t.prices, "sk_rate_id")
+        .join(t.codes, "sk_in_network_id")
+        .join(
+            t.providers_x_payer,
+            F.col("provider_reference_id") == F.col("provider_group_id"),
+        )
+        .select("billing_code", F.col("tin.value").alias("tin_value"))
+        .orderBy("billing_code", "tin_value")
+        .first()
+    )
+    return t.shoppable_price(hit["billing_code"], hit["tin_value"])

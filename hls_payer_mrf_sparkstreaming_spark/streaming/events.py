@@ -1,0 +1,110 @@
+"""Structured Streaming pipelines over event streams.
+
+The reference uses streaming purely as a file-splitting transport (SURVEY.md
+Tier C: no watermarks/windows/stateful ops). A real 100 TB pipeline needs
+them, so this module supplies the streaming counterparts of the batch
+operators in operators/relational.py:
+
+- windowed_event_counts: tumbling-window aggregate with watermark (late
+  data bounded state);
+- sessionize_stream: gap-based sessions via applyInPandasWithState.
+
+tests/test_streaming_ops.py proves stream == batch on the same input.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_events_from_parquet(spark, events_dir: str) -> DataFrame:
+    """Re-play a directory of events parquet files as a file stream (schema
+    pinned from the existing files)."""
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with watermark — the
+    streaming twin of relational.windowed_agg_events (same output columns,
+    so batch results validate the stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_GAP_SECONDS = 30 * 60
+
+
+def _session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: emit one row per closed session."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, start_ts, n = state.get
+    else:
+        last_ts, start_ts, n = None, None, 0
+    out = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_ts is not None and ts_us - last_ts > _GAP_SECONDS * 1_000_000:
+                out.append((user_id, pd.Timestamp(start_ts, unit="us"), n))
+                start_ts, n = ts_us, 0
+            if start_ts is None:
+                start_ts = ts_us
+            last_ts = ts_us
+            n += 1
+    state.update((last_ts, start_ts, n))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "session_start", "n_events"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState) — the pattern the reference lacks entirely."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType="last_ts long, start_ts long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,105 @@
+"""Property tests for the Spark-only LLM-pipeline operators (the ones with
+no DuckDB oracle): MinHash/LSH, SimHash, rolling hash, multimodal decode.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_docs,
+    simhash,
+)
+from hls_payer_mrf_sparkstreaming_spark.operators.multimodal import (
+    decode_blobs,
+    fake_decode_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm", "cold")  # one-token edit -> near-dup
+    far = (
+        "completely different text about spark structured streaming with "
+        "watermarks state stores and micro batch execution semantics here"
+    )
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup
+        Row(doc_id=3, text=near),  # near dup
+        Row(doc_id=4, text=far),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_identical_docs_full_signature_match(dup_docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_docs(dup_docs).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup shares most signature positions
+    matches = sum(1 for a, b in zip(sigs[1], sigs[3]) if a == b)
+    assert matches >= len(sigs[1]) // 2
+    # far doc shares almost none
+    far = sum(1 for a, b in zip(sigs[1], sigs[4]) if a == b)
+    assert far <= len(sigs[1]) // 4
+
+
+def test_lsh_finds_dups_not_far(dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(minhash_docs(dup_docs)).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup lands in a band
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_deterministic_across_runs(dup_docs):
+    a = minhash_docs(dup_docs).collect()
+    b = minhash_docs(dup_docs).collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {
+        r["doc_id"]: r["sig"] for r in b
+    }
+
+
+def test_simhash_invariants(spark, dup_docs):
+    out = dup_docs.select(
+        "doc_id",
+        simhash(F.array_distinct(F.split("text", " "))).alias("sh"),
+    )
+    sh = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert sh[1] == sh[2]  # identical token sets
+    ham_near = (
+        spark.createDataFrame([Row(a=sh[1], b=sh[3])])
+        .select(hamming64(F.col("a"), F.col("b")).alias("h"))
+        .first()["h"]
+    )
+    ham_far = (
+        spark.createDataFrame([Row(a=sh[1], b=sh[4])])
+        .select(hamming64(F.col("a"), F.col("b")).alias("h"))
+        .first()["h"]
+    )
+    assert ham_near < ham_far
+    assert ham_near <= 16
+
+
+def test_multimodal_decode_batch_shape(spark):
+    rows = [Row(doc_id=i, blob=bytes([i] * (10 + i))) for i in range(1, 6)]
+    blobs = spark.createDataFrame(rows)
+    out = decode_blobs(blobs).collect()
+    assert len(out) == 5
+    for r in out:
+        w, h = fake_decode_meta(bytes([r["doc_id"]] * r["n_bytes"]))
+        assert r["width"] == w and r["height"] == h
+        assert r["n_bytes"] == 10 + r["doc_id"]
+        assert len(r["frame_sample"]) == min(16, r["n_bytes"])
+        assert r["media_type"] == "image"
+
+
+def test_fake_decode_deterministic():
+    assert fake_decode_meta(b"abc") == fake_decode_meta(b"abc")
+    assert fake_decode_meta(b"abc") != fake_decode_meta(b"abd")

@@ -1,0 +1,74 @@
+"""Streaming operators: prove stream results == batch results on the same
+input (the check the reference never does — SURVEY.md Tier C)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.streaming.events import (
+    sessionize_stream,
+    stream_events_from_parquet,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Copy events parquet into a dedicated dir (file-stream source wants a
+    directory of just that table; goes through suite.load for the ns->us
+    timestamp normalization)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import load
+
+    d = tmp_path_factory.mktemp("events_stream")
+    load(spark, sf_dir, "events").write.parquet(str(d / "data"), mode="overwrite")
+    return str(d / "data")
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["window_start_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch.withWatermark("ts", "2 hours"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # append mode emits closed sessions only (each user's in-flight final
+    # session stays in state), so assert structural invariants rather than
+    # a total count
+    assert all(r["n_events"] >= 1 for r in rows)
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["session_start"])
+    for starts in per_user.values():
+        assert len(starts) == len(set(starts))
