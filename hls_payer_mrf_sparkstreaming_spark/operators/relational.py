@@ -442,7 +442,8 @@ def outer_join_counts(spark, sf_dir):
 @query(
     "windowed_agg_events",
     oracle="""
-        SELECT epoch(time_bucket(INTERVAL '1 hour', ts)) AS window_start_epoch,
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                   AS window_start_epoch,
                event_type,
                count(*) AS n_events,
                sum(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value

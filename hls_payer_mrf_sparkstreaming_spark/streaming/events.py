@@ -39,7 +39,12 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts/sums per event_type with watermark — the
     streaming twin of relational.windowed_agg_events (same output columns,
-    so batch results validate the stream)."""
+    so batch results validate the stream).
+
+    ``ts`` is cast to TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ, and
+    the testdata parquet is NTZ. The cast is applied identically on the
+    batch path, so stream == batch equality is tz-independent."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -97,6 +102,7 @@ def _session_fn(
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (applyInPandasWithState) — the pattern the reference lacks entirely."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
