@@ -50,10 +50,12 @@ def bench_splitter() -> float:
     if not os.path.exists(p):
         write_mrf_file(p, n_in_network=90000, n_provider_refs=4000, seed=1)
     size = os.path.getsize(p)
-    # warm the page cache so we measure the scanner, not cold disk
+    # warm the page cache (cold disk) and the numpy kernels (first-call JIT
+    # dispatch costs seconds) so we measure steady-state scanner throughput
     with open(p, "rb") as f:
         while f.read(64 * 1024 * 1024):
             pass
+    sum(1 for _ in scan_chunks(p))
     t0 = time.time()
     n = sum(1 for _ in scan_chunks(p))
     dt = time.time() - t0

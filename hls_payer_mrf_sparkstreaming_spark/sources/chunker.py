@@ -149,6 +149,10 @@ _CLS[0x5B] = 3
 _CLS[0x7D] = 4
 _CLS[0x5D] = 5
 _CLS[0x2C] = 6
+# bool LUT for the full-window pass: on this numpy build, uint8-output ops
+# over the whole window run ~15x slower than bool-output ones, so the hot
+# path masks with a bool LUT and classifies only the compressed positions
+_IS_STRUCTURAL = _CLS != 0
 
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int8))
 
@@ -175,11 +179,10 @@ def _structural_candidates(buf, start: int):
     a = np.frombuffer(memoryview(buf)[start:], dtype=np.uint8)
     if a.size == 0:
         return _EMPTY
-    cls_full = _CLS[a]
-    pos = np.flatnonzero(cls_full)
+    pos = np.flatnonzero(_IS_STRUCTURAL[a])
     if pos.size == 0:
         return _EMPTY
-    k = cls_full[pos]
+    k = _CLS[np.take(a, pos)]
 
     quote = k == 1
     if (k == 2).any():
@@ -201,11 +204,15 @@ def _structural_candidates(buf, start: int):
         prev_run[1:] = run_len[:-1]
         quote &= ~(adj & prev_bs & ((prev_run & 1) == 1))
 
-    cs = np.cumsum(quote)
+    # NB: explicit dtype matters — cumsum over bool without one falls off
+    # numpy's SIMD path (~100x slower on this build)
+    cs = np.cumsum(quote, dtype=np.int32)
     outside = (cs & 1) == 0  # quote chars count themselves: open->inside
     opens = (k == 3) & outside
     closes = ((k == 4) | (k == 5)) & outside
-    depth = np.cumsum(opens.view(np.int8) - closes.view(np.int8))
+    depth = np.cumsum(
+        opens.view(np.int8) - closes.view(np.int8), dtype=np.int32
+    )
 
     elem_close = closes & (depth == 0)
     arr_close = (k == 5) & closes & (depth == -1)
