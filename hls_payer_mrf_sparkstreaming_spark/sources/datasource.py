@@ -152,20 +152,34 @@ class PayerMrfDataSource(DataSource):
 
 
 class PayerMrfBatchReader(DataSourceReader):
-    """Batch mode: full manifest -> one partition per chunk."""
+    """Batch mode: full manifest -> one partition per chunk.
+
+    Accepts a file, a directory, or a glob (a 100 TB corpus is many MRF
+    files). Discovery parallelizes across files with driver threads — the
+    numpy scan releases the GIL for its hot loops.
+    """
 
     def __init__(self, opts: _Options):
         self._opts = opts
 
     def partitions(self):
         opts = self._opts
-        path = mrf_io.resolve_input_path(opts.path, opts.decompress_dir)
-        return [
-            _ChunkPartition(
-                path, c.start, c.end, c.header_key, opts.payload_as_array
-            )
-            for c in ck.scan_chunks(path, opts.chunk_target, opts.buffersize)
-        ]
+        paths = mrf_io.resolve_input_paths(opts.path, opts.decompress_dir)
+
+        def scan_one(path: str):
+            return [
+                _ChunkPartition(
+                    path, c.start, c.end, c.header_key, opts.payload_as_array
+                )
+                for c in ck.scan_chunks(path, opts.chunk_target, opts.buffersize)
+            ]
+
+        if len(paths) == 1:
+            return scan_one(paths[0])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            return [p for parts in pool.map(scan_one, paths) for p in parts]
 
     def read(self, partition: _ChunkPartition):
         return _read_partition(partition)
@@ -184,9 +198,9 @@ class PayerMrfStreamReader(DataSourceStreamReader):
 
     def __init__(self, opts: _Options):
         self._opts = opts
-        self._path: str | None = None
         self._gen = None
-        self._manifest: list[ck.Chunk] = []  # index-aligned, GC'd via commit
+        # index-aligned (path, Chunk) entries, GC'd via commit
+        self._manifest: list[tuple[str, ck.Chunk]] = []
         self._gc_base = 0
         self._exhausted = False
 
@@ -194,12 +208,18 @@ class PayerMrfStreamReader(DataSourceStreamReader):
 
     def _ensure_scan(self):
         if self._gen is None:
-            self._path = mrf_io.resolve_input_path(
+            paths = mrf_io.resolve_input_paths(
                 self._opts.path, self._opts.decompress_dir
             )
-            self._gen = ck.scan_chunks(
-                self._path, self._opts.chunk_target, self._opts.buffersize
-            )
+
+            def chain():
+                for p in paths:
+                    for c in ck.scan_chunks(
+                        p, self._opts.chunk_target, self._opts.buffersize
+                    ):
+                        yield (p, c)
+
+            self._gen = chain()
 
     def _discovered(self) -> int:
         return self._gc_base + len(self._manifest)
@@ -247,9 +267,9 @@ class PayerMrfStreamReader(DataSourceStreamReader):
         opts = self._opts
         return [
             _ChunkPartition(
-                self._path, c.start, c.end, c.header_key, opts.payload_as_array
+                p, c.start, c.end, c.header_key, opts.payload_as_array
             )
-            for c in self._manifest[lo - self._gc_base : hi - self._gc_base]
+            for p, c in self._manifest[lo - self._gc_base : hi - self._gc_base]
         ]
 
     def read(self, partition: _ChunkPartition):

@@ -89,3 +89,35 @@ def resolve_input_path(path: str, decompress_dir: str | None = None) -> str:
             f"payer-mrf source supports .json / .json.gz inputs, got: {path}"
         )
     return p
+
+
+def resolve_input_paths(
+    path: str, decompress_dir: str | None = None
+) -> list[str]:
+    """Expand a user path into concrete input files, deterministically
+    ordered.
+
+    Accepts a single file, a directory (all ``*.json`` / ``*.json.gz``
+    inside, non-recursive), or a glob pattern — a 100 TB corpus is many MRF
+    files, and offsets must be stable across restarts, hence the sort.
+    """
+    import glob as _glob
+
+    p = _strip_file_scheme(path)
+    if "://" in p:
+        return [resolve_input_path(p, decompress_dir)]
+    if os.path.isdir(p):
+        cands = sorted(
+            q
+            for q in _glob.glob(os.path.join(p, "*"))
+            if q.endswith(".json") or q.endswith(".json.gz")
+        )
+        if not cands:
+            raise ValueError(f"payer-mrf: no .json/.json.gz files in {path}")
+    elif any(ch in p for ch in "*?["):
+        cands = sorted(_glob.glob(p))
+        if not cands:
+            raise ValueError(f"payer-mrf: glob matched no files: {path}")
+    else:
+        cands = [p]
+    return [resolve_input_path(q, decompress_dir) for q in cands]

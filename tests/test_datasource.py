@@ -150,3 +150,58 @@ def test_streaming_matches_batch(spark, mrf_file, tmp_path):
     a = {(r["header_key"], r["json_payload"]) for r in batch.collect()}
     b = {(r["header_key"], r["json_payload"]) for r in streamed.collect()}
     assert a == b
+
+
+def test_directory_input_batch_and_stream(spark, tmp_path):
+    """Directory input: every file's chunks appear, file_name distinguishes;
+    stream over the directory matches batch."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i, n in enumerate([30, 45, 60]):
+        write_mrf_file(str(d / f"payer_{i}.json"), n_in_network=n, seed=i)
+
+    batch = read_payer_mrf(spark, str(d), chunktargetbytes=4096)
+    per_file = {
+        r["file_name"]: r["n"]
+        for r in batch.filter(F.col("header_key") == "in_network")
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(per_file) == 3
+    elems = 0
+    for r in batch.filter(F.col("header_key") == "in_network").collect():
+        elems += len(json.loads(r["json_payload"]))
+    assert elems == 30 + 45 + 60
+
+    out = str(tmp_path / "bronze_dir")
+    q = (
+        stream_payer_mrf(spark, str(d), chunktargetbytes=4096)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_dir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    a = {(r["file_name"], r["header_key"], r["json_payload"]) for r in batch.collect()}
+    b = {(r["file_name"], r["header_key"], r["json_payload"]) for r in streamed.collect()}
+    assert a == b
+
+
+def test_glob_input(spark, tmp_path):
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    d = tmp_path / "g"
+    d.mkdir()
+    write_mrf_file(str(d / "a.json"), n_in_network=10, seed=1)
+    write_mrf_file(str(d / "b.json"), n_in_network=12, seed=2)
+    write_mrf_file(str(d / "skip.txt.json"), n_in_network=5, seed=3)
+    df = read_payer_mrf(spark, str(d / "[ab].json"), chunktargetbytes=4096)
+    elems = 0
+    for r in df.filter(F.col("header_key") == "in_network").collect():
+        elems += len(json.loads(r["json_payload"]))
+    assert elems == 10 + 12
