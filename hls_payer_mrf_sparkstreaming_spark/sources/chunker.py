@@ -34,6 +34,7 @@ re-designed rather than ported:
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
@@ -352,9 +353,16 @@ class ChunkScanner:
                 header_start = pos
             key_start = pos
             after_key = self._string_end(pos)
-            key = bytes(
-                memoryview(self._buf)[self._rel(pos + 1) : self._rel(after_key - 1)]
-            ).decode("utf-8")
+            # decode with JSON string semantics — keys may contain escapes
+            # (reference caps keys at 25 raw chars and skips unescaping,
+            # ByteParser.scala:36; we decode properly)
+            key = json.loads(
+                bytes(
+                    memoryview(self._buf)[
+                        self._rel(pos) : self._rel(after_key)
+                    ]
+                )
+            )
             colon = self._skip_ws(after_key)
             if colon == EOB or self._peek(colon) != 0x3A:
                 raise MalformedMRFError(f"expected ':' after key {key!r}")

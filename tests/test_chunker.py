@@ -220,3 +220,54 @@ def test_element_larger_than_read_buffer():
     raw = json.dumps(big).encode()
     chunks = check_roundtrip(raw, chunk_target=1024, read_size=256)
     assert sum(c.n_elements for c in chunks if c.header_key == "in_network") == 2
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: arbitrary JSON objects x arbitrary buffer geometry
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    # strings that stress the scanner: quotes, backslashes, brackets,
+    # commas, unicode, whitespace
+    _nasty_text = st.text(
+        alphabet=st.sampled_from('ab"\\{}[],: \t\né中'),
+        max_size=12,
+    )
+    _scalar = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-10**12, 10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        _nasty_text,
+    )
+    _value = st.recursive(
+        _scalar,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(_nasty_text, children, max_size=4),
+        ),
+        max_leaves=12,
+    )
+    _doc = st.dictionaries(
+        _nasty_text.filter(bool),
+        st.one_of(_value, st.lists(_value, max_size=8)),
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        doc=_doc,
+        chunk_target=st.integers(8, 4096),
+        read_size=st.integers(16, 2048),
+        indent=st.sampled_from([None, 1]),
+    )
+    def test_hypothesis_roundtrip(doc, chunk_target, read_size, indent):
+        raw = json.dumps(doc, indent=indent).encode("utf-8")
+        check_roundtrip(raw, chunk_target=chunk_target, read_size=read_size)
