@@ -130,6 +130,8 @@ def embedding_neardup_pairs(spark, sf_dir):
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
     b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16))
+    # bucket projection feeds both sides of the self-join; compute it once
+    b = b.localCheckpoint(eager=False)
     a2 = b.alias("a")
     b2 = b.alias("b")
     sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
