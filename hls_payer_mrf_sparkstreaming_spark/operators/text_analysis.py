@@ -54,6 +54,34 @@ def text_token_count(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks — the coarse split GPT-2-style BPE applies before
+# merges; identical semantics in Java regex (Spark) and RE2 (DuckDB)
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+    """,
+    description="BPE-style pre-tokenizer count (letter/digit/punct runs) "
+    "next to the whitespace count — the token-budget estimator for an LLM "
+    "data pipeline, pure regexp in codegen",
+)
+def text_token_count_bpe(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
 @query(
     "text_quality",
     oracle="""
