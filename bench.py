@@ -33,8 +33,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "dedup_minhash_lsh",
     "text_quality",
+    "text_token_count_bpe",
     "mrf_bronze",
     "mrf_gold_shoppable",
 ]

@@ -108,6 +108,78 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+_IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, {_EMB_D} AS ev FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS cid, ev AS cv FROM e
+            WHERE vec_id % {_IVF_STRIDE} = 1
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, e.ev, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({V.cosine_sql('e.ev', 'c.cv')}, 6) DESC,
+                                c.cid
+                   ) AS rn
+            FROM e CROSS JOIN c
+        ),
+        assigned AS (
+            SELECT vec_id, label, ev, cid FROM scored WHERE rn = 1
+        ),
+        q AS (SELECT ev AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
+        SELECT a.vec_id, a.label,
+               round({V.cosine_sql('a.ev', 'q.qv')}, 6) AS cosine_sim
+        FROM assigned a CROSS JOIN q
+        WHERE a.cid = q.qcid AND a.vec_id <> 0
+        ORDER BY cosine_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    description="IVF-style ANN: deterministic centroid sample, nearest-"
+    "centroid assignment (broadcast centroids, tie-safe argmax), search "
+    "only the query's cell — the coarse-quantizer scale path where LSH "
+    "bucket skew is a concern",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 1).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+    )
+    # assignment = IVF build: centroids broadcast to every vector, argmax by
+    # rounded cosine with cid tiebreak so Spark and the oracle agree exactly
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(V.cosine(F.col("ev"), F.col("cv")), 6).desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "ev", "cid")
+    )
+    assigned = assigned.localCheckpoint(eager=False)
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("cid").alias("qcid")
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
