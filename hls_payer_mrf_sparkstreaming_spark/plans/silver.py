@@ -230,13 +230,32 @@ def shoppable_price(
 
 
 class MrfSilverTables:
-    """All silver tables derived from one bronze DataFrame."""
+    """All silver tables derived from one bronze DataFrame.
 
-    def __init__(self, bronze: DataFrame):
+    ``bronze_header``/``bronze_pr``/``bronze_in`` optionally supply
+    per-branch pruned bronzes (source ``headerkey`` option): each branch's
+    scan then plans only its own byte ranges, so the provider_references
+    branch never reads in_network bytes and vice versa — the IO win the
+    row-level header_key filter alone cannot give a Python data source.
+    """
+
+    def __init__(
+        self,
+        bronze: DataFrame,
+        bronze_header: DataFrame | None = None,
+        bronze_pr: DataFrame | None = None,
+        bronze_in: DataFrame | None = None,
+    ):
         self.bronze = bronze
-        self.header = parse_header(bronze)
-        self.provider_references = parse_provider_references(bronze)
-        self.in_network = parse_in_network(bronze)
+        self.header = parse_header(
+            bronze_header if bronze_header is not None else bronze
+        )
+        self.provider_references = parse_provider_references(
+            bronze_pr if bronze_pr is not None else bronze
+        )
+        self.in_network = parse_in_network(
+            bronze_in if bronze_in is not None else bronze
+        )
         self.codes = in_network_codes(self.in_network)
         self.rates = in_network_rates(self.codes)
         self.prices = in_network_prices(self.rates)
@@ -270,5 +289,23 @@ class MrfSilverTables:
 
 
 def build_silver(spark: SparkSession, path: str, **options) -> MrfSilverTables:
-    """Read an MRF file and derive the full silver star model."""
-    return MrfSilverTables(read_payer_mrf(spark, path, **options))
+    """Read an MRF file and derive the full silver star model.
+
+    Each branch gets its own byte-range-pruned bronze (``headerkey``
+    option), so e.g. the gold query's in_network scans never read
+    provider_references bytes."""
+    if "headerkey" in {k.lower() for k in options}:
+        return MrfSilverTables(read_payer_mrf(spark, path, **options))
+
+    def branch(hk: str | None) -> DataFrame:
+        o = dict(options)
+        if hk is not None:
+            o["headerkey"] = hk
+        return read_payer_mrf(spark, path, **o)
+
+    return MrfSilverTables(
+        branch(None),
+        bronze_header=branch(""),
+        bronze_pr=branch(HEADER_KEY_PROVIDER_REFERENCES),
+        bronze_in=branch(HEADER_KEY_IN_NETWORK),
+    )

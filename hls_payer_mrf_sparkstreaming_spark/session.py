@@ -33,6 +33,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # Let the payer-mrf source prune byte-range partitions on
+        # header_key predicates (read_payer_mrf auto-detects this conf).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -24,6 +24,12 @@ Options (case-insensitive, reference parity):
                        sibling file; ours is configurable because source
                        dirs are often read-only)
   ``maxchunksperbatch`` streaming: max manifest rows per micro-batch
+  ``headerkey``        plan/read ONLY chunks of this header_key — explicit
+                       byte-range pruning (build_silver uses this per branch)
+  ``filterpushdown``   "true" -> enable Catalyst filter pushdown on
+                       header_key (requires
+                       spark.sql.python.filterPushdown.enabled; see
+                       _Options.filter_pushdown for the lineage caveat)
 
 Usage::
 
@@ -40,6 +46,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
     InputPartition,
 )
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
@@ -125,6 +134,24 @@ class _Options:
         return self.get("decompressdir")
 
     @property
+    def filter_pushdown(self) -> bool:
+        """Strictly opt-in, for two reasons: (a) merely DEFINING pushFilters
+        makes Spark error when ``spark.sql.python.filterPushdown.enabled``
+        is false; (b) Spark caches the planned (pruned) scan per ``load()``
+        DataFrame, so a lineage first executed with a header_key filter
+        keeps the pruned partitions for later unfiltered actions. Safe only
+        when one load() is used with one consistent filter. Prefer the
+        ``headerkey`` option, which prunes explicitly and predictably."""
+        return str(self.get("filterpushdown", "false")).lower() == "true"
+
+    @property
+    def header_key(self) -> str | None:
+        """Explicit partition pruning: only chunks whose header_key equals
+        this value are planned/read. The IO-level equivalent of
+        ``WHERE header_key = ...`` without pushdown's plan-caching hazard."""
+        return self.get("headerkey")
+
+    @property
     def max_chunks_per_batch(self) -> int:
         """0 (default) = discover the whole file in the first micro-batch.
 
@@ -145,7 +172,10 @@ class PayerMrfDataSource(DataSource):
         return bronze_schema(_Options(self.options).payload_as_array)
 
     def reader(self, schema):
-        return PayerMrfBatchReader(_Options(self.options))
+        opts = _Options(self.options)
+        if opts.filter_pushdown:
+            return PayerMrfPushdownBatchReader(opts)
+        return PayerMrfBatchReader(opts)
 
     def streamReader(self, schema):
         return PayerMrfStreamReader(_Options(self.options))
@@ -161,10 +191,15 @@ class PayerMrfBatchReader(DataSourceReader):
 
     def __init__(self, opts: _Options):
         self._opts = opts
+        # None = no constraint; the headerkey option narrows it up front
+        self._hk_allowed: set[str] | None = (
+            {opts.header_key} if opts.header_key is not None else None
+        )
 
     def partitions(self):
         opts = self._opts
         paths = mrf_io.resolve_input_paths(opts.path, opts.decompress_dir)
+        allowed = self._hk_allowed
 
         def scan_one(path: str):
             return [
@@ -172,6 +207,7 @@ class PayerMrfBatchReader(DataSourceReader):
                     path, c.start, c.end, c.header_key, opts.payload_as_array
                 )
                 for c in ck.scan_chunks(path, opts.chunk_target, opts.buffersize)
+                if allowed is None or c.header_key in allowed
             ]
 
         if len(paths) == 1:
@@ -183,6 +219,36 @@ class PayerMrfBatchReader(DataSourceReader):
 
     def read(self, partition: _ChunkPartition):
         return _read_partition(partition)
+
+
+class PayerMrfPushdownBatchReader(PayerMrfBatchReader):
+    """Batch reader with ``header_key`` partition pruning.
+
+    Separate subclass because defining ``pushFilters`` at all makes Spark
+    error out when ``spark.sql.python.filterPushdown.enabled`` is false.
+    """
+
+    def pushFilters(self, filters: list[Filter]):
+        """A chunk whose header_key fails an equality/IN predicate cannot
+        produce matching rows, so its byte range is never read — at 100 TB
+        this turns ``WHERE header_key='in_network'`` into an IO-level skip
+        of the provider_references/header ranges. All filters are returned
+        as unsupported so Spark re-applies them row-level; pruning here is
+        purely an IO optimization and cannot change results.
+        """
+        for f in filters:
+            allowed: set[str] | None = None
+            if isinstance(f, EqualTo) and f.attribute == ("header_key",):
+                allowed = {f.value}
+            elif isinstance(f, In) and f.attribute == ("header_key",):
+                allowed = set(f.value)
+            if allowed is not None:
+                self._hk_allowed = (
+                    allowed
+                    if self._hk_allowed is None
+                    else self._hk_allowed & allowed
+                )
+        return filters
 
 
 class PayerMrfStreamReader(DataSourceStreamReader):
@@ -212,12 +278,15 @@ class PayerMrfStreamReader(DataSourceStreamReader):
                 self._opts.path, self._opts.decompress_dir
             )
 
+            hk = self._opts.header_key
+
             def chain():
                 for p in paths:
                     for c in ck.scan_chunks(
                         p, self._opts.chunk_target, self._opts.buffersize
                     ):
-                        yield (p, c)
+                        if hk is None or c.header_key == hk:
+                            yield (p, c)
 
             self._gen = chain()
 

@@ -205,3 +205,71 @@ def test_glob_input(spark, tmp_path):
     for r in df.filter(F.col("header_key") == "in_network").collect():
         elems += len(json.loads(r["json_payload"]))
     assert elems == 10 + 12
+
+
+def test_headerkey_option_prunes_and_matches(spark, mrf_file):
+    """headerkey option: partition-level pruning with identical rows to a
+    row-level filter; works for batch and streaming."""
+    full = read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+    pruned = read_payer_mrf(
+        spark, mrf_file, chunktargetbytes=4096, headerkey="in_network"
+    )
+    a = sorted(r["json_payload"] for r in pruned.collect())
+    b = sorted(
+        r["json_payload"]
+        for r in full.filter(F.col("header_key") == "in_network").collect()
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_filter_pushdown_reader_prunes_partitions(spark, mrf_file):
+    """Explicit pushdown reader: header_key equality filters prune byte
+    ranges at planning time; all filters are handed back for re-apply."""
+    from pyspark.sql.datasource import EqualTo
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        PayerMrfBatchReader,
+        PayerMrfPushdownBatchReader,
+        _Options,
+    )
+
+    opts = _Options({"path": mrf_file, "chunktargetbytes": "4096"})
+    unpruned = len(PayerMrfBatchReader(opts).partitions())
+
+    r = PayerMrfPushdownBatchReader(opts)
+    returned = list(r.pushFilters([EqualTo(("header_key",), "in_network")]))
+    assert len(returned) == 1
+    pruned = r.partitions()
+    assert 0 < len(pruned) < unpruned
+    assert all(p.header_key == "in_network" for p in pruned)
+
+
+def test_filter_pushdown_e2e_single_use_lineage(spark, mrf_file):
+    """filterpushdown=true on a fresh single-purpose DataFrame (the only
+    supported pattern — Spark caches the pruned plan per lineage)."""
+    df = read_payer_mrf(
+        spark,
+        mrf_file,
+        chunktargetbytes=4096,
+        filterpushdown="true",
+    ).filter(F.col("header_key") == "provider_references")
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert all(r["header_key"] == "provider_references" for r in rows)
+
+
+def test_silver_uses_pruned_branches(spark, mrf_file):
+    """build_silver branch bronzes carry the headerkey pruning and still
+    produce the same silver tables as a single unpruned bronze."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        MrfSilverTables,
+        build_silver,
+    )
+
+    t_pruned = build_silver(spark, mrf_file, chunktargetbytes=4096)
+    t_plain = MrfSilverTables(
+        read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+    )
+    for attr in ["codes", "prices", "par_providers"]:
+        a = sorted(map(str, getattr(t_pruned, attr).collect()))
+        b = sorted(map(str, getattr(t_plain, attr).collect()))
+        assert a == b, attr
