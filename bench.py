@@ -21,6 +21,10 @@ os.environ["PYTHONPATH"] = (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# min-of-N timing: this host shows bursty external CPU/IO interference, so a
+# single timed pass can be 10-30x off; the minimum is the least-interfered
+# estimate of the query's true cost
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 HEADLINE = [
     "pricing_summary",
@@ -58,11 +62,44 @@ def bench_splitter() -> float:
         while f.read(64 * 1024 * 1024):
             pass
     sum(1 for _ in scan_chunks(p))
-    t0 = time.time()
-    n = sum(1 for _ in scan_chunks(p))
-    dt = time.time() - t0
-    assert n > 0
+    dt = float("inf")
+    for _ in range(RUNS):
+        t0 = time.time()
+        n = sum(1 for _ in scan_chunks(p))
+        dt = min(dt, time.time() - t0)
+        assert n > 0
     return size / 1e9 / dt * 60
+
+
+def bench_ingest(spark) -> float:
+    """End-to-end bronze GB/min: discovery + parallel executor byte-range
+    reads + payload repair, materialized via noop sink. This is the number
+    comparable to the reference's published 5-7 GB/min parse throughput
+    (its figure covers the full stream-to-bronze pipeline)."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        read_payer_mrf,
+    )
+
+    p = os.path.join("/tmp", "payer_mrf_bench", "mrf_200mb.json")
+    size = os.path.getsize(p)
+    read_payer_mrf(spark, p).write.format("noop").mode("overwrite").save()
+    dt = float("inf")
+    for _ in range(RUNS):
+        t0 = time.time()
+        read_payer_mrf(spark, p).write.format("noop").mode("overwrite").save()
+        dt = min(dt, time.time() - t0)
+    return size / 1e9 / dt * 60
+
+
+def _unpersist_all(spark) -> None:
+    """Drop leftover persisted RDDs (lazy localCheckpoints from self-join
+    queries) so storage from one query can't distort the next one's time."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -77,18 +114,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    mrf_ingest_gb_per_min = bench_ingest(spark)
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # warm-up pass compiles the plan + primes file cache; measured pass
-        # reflects steady-state execution
+        # warm-up pass compiles the plan + primes file cache; then min-of-N
+        # measured passes (see RUNS above)
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        _unpersist_all(spark)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            _unpersist_all(spark)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -104,6 +148,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "mrf_gb_per_min": round(mrf_gb_per_min, 2),
+                "mrf_ingest_gb_per_min": round(mrf_ingest_gb_per_min, 2),
                 "cpus": CPUS,
             }
         )
