@@ -85,11 +85,16 @@ class _ChunkPartition(InputPartition):
 
 
 def _read_partition(part: _ChunkPartition):
-    """Executor side: ranged read + JSON repair -> one bronze row.
+    """Executor side: ranged read + JSON repair -> one bronze row, emitted
+    as an Arrow RecordBatch (pyspark converts tuple rows through pickle;
+    a pre-built batch skips that entirely — the payloads are MB-sized, so
+    per-row conversion cost is the ingest bottleneck).
 
     Reference parity: JsonChunks.scala:37-102 (seek/readFully, header fixup,
     array wrap, payloadAsArray split).
     """
+    import pyarrow as pa
+
     with mrf_io.open_input(part.path) as f:
         f.seek(part.start)
         raw = f.read(part.end - part.start + 1)
@@ -100,7 +105,18 @@ def _read_partition(part: _ChunkPartition):
         payload = ck.split_elements(raw)
     else:
         payload = ck.wrap_array_payload(raw)
-    yield (part.path, part.header_key, payload)
+    if part.as_array:
+        payload_arr = pa.array([payload], type=pa.list_(pa.string()))
+    else:
+        payload_arr = pa.array([payload], type=pa.string())
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array([part.path], type=pa.string()),
+            pa.array([part.header_key], type=pa.string()),
+            payload_arr,
+        ],
+        names=["file_name", "header_key", "json_payload"],
+    )
 
 
 class _Options:
