@@ -357,6 +357,42 @@ def rollup_counts(spark, sf_dir):
 
 
 @query(
+    "cube_counts",
+    oracle="""
+        SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n_events
+        FROM events
+        GROUP BY CUBE(event_type, user_bucket)
+    """,
+    description="full cube over two low-cardinality dimensions (all four "
+    "grouping sets in one pass, map-side partial aggregation)",
+)
+def cube_counts(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL++ sketch is engine-specific; bounded-error pytest check
+    description="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "sketch path for cardinality at 100 TB where exact distinct would "
+    "shuffle every key; rsd=0.01",
+)
+def approx_distinct_users(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+    )
+
+
+@query(
     "set_ops",
     oracle="""
         SELECT c_custkey, 'both' AS tag FROM (

@@ -103,3 +103,29 @@ def test_multimodal_decode_batch_shape(spark):
 def test_fake_decode_deterministic():
     assert fake_decode_meta(b"abc") == fake_decode_meta(b"abc")
     assert fake_decode_meta(b"abc") != fake_decode_meta(b"abd")
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    """HLL++ approx_count_distinct stays within a generous multiple of the
+    configured 1% relative standard deviation of the exact count."""
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5, 0.05 * n), (k, approx[k], n)
