@@ -1,0 +1,49 @@
+"""Skew mitigation: salted joins.
+
+AQE's skew-join split (enabled in session.py) handles most skew at runtime
+by splitting oversized shuffle partitions. Salting is the plan-level
+complement for pathological hot keys — e.g. one user_id owning 1% of a
+100 TB fact table — where even a split partition re-reads the same hot
+key's rows into one task per split without spreading the matching build
+rows.
+
+``salted_join`` spreads each hot key over ``n_salt`` shuffle partitions:
+the fact side gets a deterministic per-row salt, the dimension side is
+exploded ``n_salt`` times, and the join key becomes (key, salt). Results
+are exactly those of the plain join (proved by the oracle-checked
+``skew_salted_join`` query in operators/relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Join ``fact`` (large, possibly skewed on ``on``) with ``dim``
+    (smaller) spreading every key over ``n_salt`` partitions.
+
+    ``salt_from``: fact column whose hash supplies the per-row salt — pick
+    one that VARIES WITHIN a join key (a line number, an event id) so a hot
+    key's rows spread across buckets. Defaults to
+    ``monotonically_increasing_id()``; salt placement never changes join
+    RESULTS (the dim side carries every salt), only shuffle balance, so a
+    nondeterministic default is safe.
+    """
+    salt_col = F.pmod(
+        F.xxhash64(F.col(salt_from) if salt_from else F.monotonically_increasing_id()),
+        F.lit(n_salt),
+    )
+    salted_fact = fact.withColumn("_salt", salt_col)
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    out = salted_fact.join(salted_dim, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -357,6 +357,37 @@ def rollup_counts(spark, sf_dir):
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               o_orderstatus,
+               sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, o_orderstatus
+    """,
+    description="salted fact-dim join (hot keys spread over 8 salt "
+    "buckets; dim exploded per salt) — result provably identical to the "
+    "plain join via the oracle",
+)
+def skew_salted_join(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.functions.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(
+        li, orders, on="l_orderkey", n_salt=8, salt_from="l_linenumber"
+    )
+    return joined.groupBy("l_orderkey", "o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+    )
+
+
+@query(
     "cube_counts",
     oracle="""
         SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n_events
