@@ -29,6 +29,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 HEADLINE = [
     "pricing_summary",
     "star_join_revenue",
+    "skew_salted_join",
     "window_topk_per_group",
     "explode_tokens",
     "windowed_agg_events",
