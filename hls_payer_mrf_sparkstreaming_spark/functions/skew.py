@@ -36,7 +36,17 @@ def salted_join(
     ``monotonically_increasing_id()``; salt placement never changes join
     RESULTS (the dim side carries every salt), only shuffle balance, so a
     nondeterministic default is safe.
+
+    Only ``inner`` and ``left`` joins are supported: the dim side is
+    exploded n_salt times, so an unmatched dim row would surface once per
+    salt under right/full outer semantics — silently wrong results.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left' only (got {how!r}): "
+            "the exploded dim side duplicates unmatched dim rows n_salt "
+            "times under right/full outer semantics"
+        )
     salt_col = F.pmod(
         F.xxhash64(F.col(salt_from) if salt_from else F.monotonically_increasing_id()),
         F.lit(n_salt),

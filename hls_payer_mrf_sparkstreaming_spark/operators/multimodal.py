@@ -36,9 +36,9 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
     oracle="""
         SELECT source,
                count(*) AS n_blobs,
-               sum(octet_length(encode(text))) AS total_bytes,
-               min(octet_length(encode(text))) AS min_bytes,
-               max(octet_length(encode(text))) AS max_bytes
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         FROM documents GROUP BY source
     """,
     description="binary-column construction + metadata aggregation: blobs "
@@ -51,11 +51,14 @@ def multimodal_meta(spark, sf_dir):
         F.encode("text", "utf-8").alias("blob"),
     )
     size = F.octet_length("blob")
+    # both sides present int64: DuckDB's sum() is HUGEINT and Spark's
+    # min/max(octet_length) is int32 — cast here and in the oracle SQL so
+    # the driver's type canonicalization sees identical dtypes.
     return blobs.groupBy("source").agg(
         F.count("*").alias("n_blobs"),
-        F.sum(size).alias("total_bytes"),
-        F.min(size).alias("min_bytes"),
-        F.max(size).alias("max_bytes"),
+        F.sum(size).cast("long").alias("total_bytes"),
+        F.min(size).cast("long").alias("min_bytes"),
+        F.max(size).cast("long").alias("max_bytes"),
     )
 
 

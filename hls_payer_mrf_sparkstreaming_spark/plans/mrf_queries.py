@@ -89,4 +89,17 @@ def mrf_gold_shoppable(spark, sf_dir):
     p = fixture_path()
     t = build_silver(spark, p, chunktargetbytes=65536)
     billing_code, tin_value = _shoppable_params(t, p)
-    return t.shoppable_price(billing_code, tin_value)
+    gold = t.shoppable_price(billing_code, tin_value)
+    # Registered-entry projection only: the driver's pandas canonicalizer
+    # sorts every column, and array/struct cells are unhashable there —
+    # serialize them to deterministic JSON strings for the check.
+    return gold.select(
+        "billing_code",
+        "description",
+        "billing_class",
+        F.to_json("billing_code_modifier").alias("billing_code_modifier"),
+        F.to_json("service_code").alias("service_code"),
+        "negotiated_rate",
+        F.to_json("npi").alias("npi"),
+        F.to_json("tin").alias("tin"),
+    )

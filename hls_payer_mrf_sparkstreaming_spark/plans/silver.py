@@ -8,8 +8,9 @@ functions:
   pinned CMS schema keeps everything JVM-side (01_payer_mrf_demo.py:118-129
   replaced);
 - non-deterministic ``uuid()`` surrogate keys (01_payer_mrf_demo.py:165,180)
-  replaced by content+position-derived ``xxhash64`` keys, which are stable
-  across retries/restarts — at 100 TB a task retry with uuid() keys silently
+  replaced by position-derived ``xxhash64`` keys — (file_name, chunk byte
+  offset, item position) — which are per-row unique AND stable across
+  retries/restarts: at 100 TB a task retry with uuid() keys silently
   orphans child rows, xxhash keys cannot;
 - the provider-references x payer cross join (01_payer_mrf_demo.py:157-158)
   is an explicit ``crossJoin`` against a 1-row broadcast dimension.
@@ -67,17 +68,39 @@ def parse_provider_references(bronze: DataFrame) -> DataFrame:
 
 
 def parse_in_network(bronze: DataFrame) -> DataFrame:
-    """in_network chunks -> one row per in_network item."""
+    """in_network chunks -> one row per in_network item, with a
+    per-row-unique, retry-stable surrogate key.
+
+    Real CMS files repeat a billing code across in_network items (differing
+    name / negotiation_arrangement), so hashing the billing columns alone
+    collides and cross-links prices between unrelated items. The key hashes
+    (file_name, chunk identity, item position within the chunk) instead —
+    unique per item and deterministic across task retries (the reference's
+    uuid() keys, 01_payer_mrf_demo.py:165, are neither). Chunk identity is
+    ``chunk_start`` (byte offset; present when the source ran with
+    ``includeoffsets=true`` — build_silver always sets it), falling back to
+    a hash of the chunk payload for raw 3-column bronzes.
+    """
     from pyspark.sql.types import ArrayType
 
+    chunk_id = (
+        F.col("chunk_start")
+        if "chunk_start" in bronze.columns
+        else F.xxhash64("json_payload")
+    )
     return (
         bronze.filter(F.col("header_key") == HEADER_KEY_IN_NETWORK)
         .select(
-            F.explode(
+            "file_name",
+            chunk_id.alias("_chunk_id"),
+            F.posexplode(
                 F.from_json("json_payload", ArrayType(S.IN_NETWORK_ITEM_SCHEMA))
-            ).alias("n")
+            ).alias("_item_pos", "n"),
         )
-        .select("n.*")
+        .select(
+            _sk("file_name", "_chunk_id", "_item_pos").alias("sk_in_network_id"),
+            "n.*",
+        )
     )
 
 
@@ -118,11 +141,12 @@ def provider_references_x_payer(
 
 
 def in_network_codes(in_network: DataFrame) -> DataFrame:
-    """Procedure table with surrogate key (01_payer_mrf_demo.py:160-171)."""
+    """Procedure table with surrogate key (01_payer_mrf_demo.py:160-171).
+
+    The key is the per-item one minted in parse_in_network — NOT a hash of
+    the billing columns, which repeat across items in real CMS files."""
     return in_network.select(
-        _sk(
-            "billing_code", "billing_code_type", "billing_code_type_version"
-        ).alias("sk_in_network_id"),
+        "sk_in_network_id",
         "billing_code",
         "billing_code_type",
         "billing_code_type_version",
@@ -293,7 +317,12 @@ def build_silver(spark: SparkSession, path: str, **options) -> MrfSilverTables:
 
     Each branch gets its own byte-range-pruned bronze (``headerkey``
     option), so e.g. the gold query's in_network scans never read
-    provider_references bytes."""
+    provider_references bytes. ``includeoffsets`` is forced on so
+    in_network surrogate keys hash the chunk byte offset (per-row unique,
+    retry-stable)."""
+    options = dict(options)
+    if "includeoffsets" not in {k.lower() for k in options}:
+        options["includeoffsets"] = "true"
     if "headerkey" in {k.lower() for k in options}:
         return MrfSilverTables(read_payer_mrf(spark, path, **options))
 

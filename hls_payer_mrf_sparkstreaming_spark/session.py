@@ -33,8 +33,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
-        # Let the payer-mrf source prune byte-range partitions on
-        # header_key predicates (read_payer_mrf auto-detects this conf).
+        # Required by Spark for any Python-datasource pushFilters call; the
+        # payer-mrf source additionally requires the explicit
+        # filterpushdown=true SOURCE OPTION (or the headerkey option) before
+        # it prunes byte ranges — pushdown is opt-in per read, this conf
+        # alone enables nothing (see sources/datasource.py reader()).
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -26,6 +26,8 @@ Options (case-insensitive, reference parity):
   ``maxchunksperbatch`` streaming: max manifest rows per micro-batch
   ``headerkey``        plan/read ONLY chunks of this header_key — explicit
                        byte-range pruning (build_silver uses this per branch)
+  ``includeoffsets``   "true" -> append ``chunk_start long`` (chunk byte
+                       offset) for retry-stable downstream surrogate keys
   ``filterpushdown``   "true" -> enable Catalyst filter pushdown on
                        header_key (requires
                        spark.sql.python.filterPushdown.enabled; see
@@ -51,7 +53,13 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
 )
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from hls_payer_mrf_sparkstreaming_spark.sources import chunker as ck
 from hls_payer_mrf_sparkstreaming_spark.sources import io as mrf_io
@@ -61,18 +69,26 @@ HEADER_KEY_IN_NETWORK = "in_network"
 HEADER_KEY_PROVIDER_REFERENCES = "provider_references"
 
 
-def bronze_schema(payload_as_array: bool = False) -> StructType:
-    """The fixed 3-column engine schema (JsonMRFSource.scala:241-258)."""
+def bronze_schema(
+    payload_as_array: bool = False, include_offsets: bool = False
+) -> StructType:
+    """The fixed 3-column engine schema (JsonMRFSource.scala:241-258).
+
+    ``include_offsets`` appends ``chunk_start`` (the chunk's byte offset in
+    its file) — a deterministic, retry-stable per-chunk identity that
+    downstream surrogate keys can hash (silver uses it; the reference's
+    uuid() keys are NOT retry-stable)."""
     payload_type = (
         ArrayType(StringType(), True) if payload_as_array else StringType()
     )
-    return StructType(
-        [
-            StructField("file_name", StringType(), False),
-            StructField("header_key", StringType(), True),
-            StructField("json_payload", payload_type, True),
-        ]
-    )
+    fields = [
+        StructField("file_name", StringType(), False),
+        StructField("header_key", StringType(), True),
+        StructField("json_payload", payload_type, True),
+    ]
+    if include_offsets:
+        fields.append(StructField("chunk_start", LongType(), False))
+    return StructType(fields)
 
 
 @dataclass
@@ -82,6 +98,7 @@ class _ChunkPartition(InputPartition):
     end: int
     header_key: str
     as_array: bool
+    with_offsets: bool = False
 
 
 def _read_partition(part: _ChunkPartition):
@@ -109,14 +126,16 @@ def _read_partition(part: _ChunkPartition):
         payload_arr = pa.array([payload], type=pa.list_(pa.string()))
     else:
         payload_arr = pa.array([payload], type=pa.string())
-    yield pa.RecordBatch.from_arrays(
-        [
-            pa.array([part.path], type=pa.string()),
-            pa.array([part.header_key], type=pa.string()),
-            payload_arr,
-        ],
-        names=["file_name", "header_key", "json_payload"],
-    )
+    arrays = [
+        pa.array([part.path], type=pa.string()),
+        pa.array([part.header_key], type=pa.string()),
+        payload_arr,
+    ]
+    names = ["file_name", "header_key", "json_payload"]
+    if part.with_offsets:
+        arrays.append(pa.array([part.start], type=pa.int64()))
+        names.append("chunk_start")
+    yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _Options:
@@ -168,6 +187,13 @@ class _Options:
         return self.get("headerkey")
 
     @property
+    def include_offsets(self) -> bool:
+        """"true" -> append ``chunk_start`` (byte offset of the chunk in its
+        file) to the schema. Deterministic per-chunk identity for
+        retry-stable surrogate keys (silver's in_network keys hash it)."""
+        return str(self.get("includeoffsets", "false")).lower() == "true"
+
+    @property
     def max_chunks_per_batch(self) -> int:
         """0 (default) = discover the whole file in the first micro-batch.
 
@@ -185,7 +211,8 @@ class PayerMrfDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        return bronze_schema(_Options(self.options).payload_as_array)
+        opts = _Options(self.options)
+        return bronze_schema(opts.payload_as_array, opts.include_offsets)
 
     def reader(self, schema):
         opts = _Options(self.options)
@@ -220,7 +247,12 @@ class PayerMrfBatchReader(DataSourceReader):
         def scan_one(path: str):
             return [
                 _ChunkPartition(
-                    path, c.start, c.end, c.header_key, opts.payload_as_array
+                    path,
+                    c.start,
+                    c.end,
+                    c.header_key,
+                    opts.payload_as_array,
+                    opts.include_offsets,
                 )
                 for c in ck.scan_chunks(path, opts.chunk_target, opts.buffersize)
                 if allowed is None or c.header_key in allowed
@@ -352,7 +384,12 @@ class PayerMrfStreamReader(DataSourceStreamReader):
         opts = self._opts
         return [
             _ChunkPartition(
-                p, c.start, c.end, c.header_key, opts.payload_as_array
+                p,
+                c.start,
+                c.end,
+                c.header_key,
+                opts.payload_as_array,
+                opts.include_offsets,
             )
             for p, c in self._manifest[lo - self._gc_base : hi - self._gc_base]
         ]

@@ -62,8 +62,12 @@ def decompress_gz(path: str, target_dir: str | None = None) -> str:
     p = _strip_file_scheme(path)
     if "://" in p:
         raise NotImplementedError(
-            "gz pre-pass for remote paths: download/decompress to a shared "
-            "filesystem via decompressdir first"
+            f"gzip inputs must be local for the splittable pre-pass (gzip "
+            f"streams are not seekable, so executors cannot do ranged reads "
+            f"on {path!r}). Download and decompress it to a shared local/"
+            f"cluster filesystem first, e.g. read_payer_mrf(spark, "
+            f"'<local>.json.gz', decompressdir='/tmp/mrf') after fetching, "
+            f"or point the source at an already-uncompressed .json copy."
         )
     base = os.path.basename(p)
     out_name = base[: -len(".gz")] if base.endswith(".gz") else base + ".json"
@@ -120,4 +124,12 @@ def resolve_input_paths(
             raise ValueError(f"payer-mrf: glob matched no files: {path}")
     else:
         cands = [p]
-    return [resolve_input_path(q, decompress_dir) for q in cands]
+    # A prior gz pre-pass writes a.json next to a.json.gz (default
+    # decompress_dir is the source dir): both candidates would resolve to
+    # the same a.json and double every row on a re-read. Prefer the .gz
+    # candidate (resolve_input_path reuses its up-to-date decompressed
+    # sibling) and drop the bare .json twin, then dedupe resolved paths.
+    listed = set(cands)
+    cands = [q for q in cands if not (q.endswith(".json") and q + ".gz" in listed)]
+    resolved = [resolve_input_path(q, decompress_dir) for q in cands]
+    return list(dict.fromkeys(resolved))

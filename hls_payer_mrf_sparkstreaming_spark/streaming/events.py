@@ -84,16 +84,21 @@ def _session_fn(
     else:
         last_ts, start_ts, n = None, None, 0
     out = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            if last_ts is not None and ts_us - last_ts > _GAP_SECONDS * 1_000_000:
-                out.append((user_id, pd.Timestamp(start_ts, unit="us"), n))
-                start_ts, n = ts_us, 0
-            if start_ts is None:
-                start_ts = ts_us
-            last_ts = ts_us
-            n += 1
+    # applyInPandasWithState delivers one group's rows across multiple Arrow
+    # batches (~10k rows each) with no cross-batch order guarantee — sorting
+    # per-batch would move last_ts backwards and corrupt session boundaries.
+    # Materialize the whole group's timestamps and sort once.
+    chunks = [pdf["ts"] for pdf in pdfs]
+    all_ts = pd.concat(chunks) if chunks else pd.Series([], dtype="datetime64[us]")
+    for ts in all_ts.sort_values():
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if last_ts is not None and ts_us - last_ts > _GAP_SECONDS * 1_000_000:
+            out.append((user_id, pd.Timestamp(start_ts, unit="us"), n))
+            start_ts, n = ts_us, 0
+        if start_ts is None:
+            start_ts = ts_us
+        last_ts = ts_us
+        n += 1
     state.update((last_ts, start_ts, n))
     if out:
         yield pd.DataFrame(out, columns=["user_id", "session_start", "n_events"])

@@ -207,6 +207,48 @@ def test_glob_input(spark, tmp_path):
     assert elems == 10 + 12
 
 
+def test_directory_gz_sibling_not_double_read(spark, tmp_path):
+    """A directory holding a.json.gz whose pre-pass already wrote the a.json
+    sibling must resolve to ONE input — re-reads previously doubled rows."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.io import resolve_input_paths
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    plain = str(d / "a.json")
+    write_mrf_file(plain, n_in_network=10, seed=7)
+    with open(plain, "rb") as src, gzip.open(str(d / "a.json.gz"), "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    os.remove(plain)
+
+    first = resolve_input_paths(str(d))
+    assert first == [str(d / "a.json")]  # decompressed sibling now exists
+    second = resolve_input_paths(str(d))
+    assert second == first  # no duplicate on re-listing
+
+    df = read_payer_mrf(spark, str(d), chunktargetbytes=4096)
+    elems = 0
+    for r in df.filter(F.col("header_key") == "in_network").collect():
+        elems += len(json.loads(r["json_payload"]))
+    assert elems == 10
+
+
+def test_include_offsets_option(spark, mrf_file):
+    """includeoffsets=true appends chunk_start = the chunk's byte offset,
+    unique per (file_name, chunk) and aligned with the default-schema rows."""
+    df = read_payer_mrf(
+        spark, mrf_file, chunktargetbytes=4096, includeoffsets="true"
+    )
+    assert dict(df.dtypes)["chunk_start"] == "bigint"
+    rows = df.collect()
+    keys = {(r["file_name"], r["chunk_start"]) for r in rows}
+    assert len(keys) == len(rows)
+    plain = read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+    assert sorted(r["json_payload"] for r in rows) == sorted(
+        r["json_payload"] for r in plain.collect()
+    )
+
+
 def test_headerkey_option_prunes_and_matches(spark, mrf_file):
     """headerkey option: partition-level pruning with identical rows to a
     row-level filter; works for batch and streaming."""
@@ -266,8 +308,12 @@ def test_silver_uses_pruned_branches(spark, mrf_file):
     )
 
     t_pruned = build_silver(spark, mrf_file, chunktargetbytes=4096)
+    # includeoffsets on the plain side too: surrogate keys hash chunk_start,
+    # and byte offsets are identical with or without headerkey pruning
     t_plain = MrfSilverTables(
-        read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+        read_payer_mrf(
+            spark, mrf_file, chunktargetbytes=4096, includeoffsets="true"
+        )
     )
     for attr in ["codes", "prices", "par_providers"]:
         a = sorted(map(str, getattr(t_pruned, attr).collect()))

@@ -129,3 +129,20 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(5, 0.05 * n), (k, approx[k], n)
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    """The exploded dim side would surface unmatched dim rows n_salt times
+    under right/full outer semantics — those hows must be rejected."""
+    from hls_payer_mrf_sparkstreaming_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "d"])
+    for how in ["right", "full", "outer", "full_outer", "rightouter"]:
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", n_salt=4, how=how)
+    # left join: unmatched FACT rows are fine (dim carries every salt)
+    fact2 = spark.createDataFrame([(1, "a"), (3, "b")], ["k", "v"])
+    rows = salted_join(fact2, dim, "k", n_salt=4, how="left").collect()
+    assert len(rows) == 2
+    assert {r["k"] for r in rows} == {1, 3}

@@ -91,6 +91,22 @@ def test_oracle_pair(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
 
+def test_registered_outputs_are_driver_hashable(spark):
+    """The driver canonicalizes results via pandas sort_values, which cannot
+    hash array/struct/map cells — every registered query must project complex
+    columns through to_json (or equivalent) first."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name}: complex output columns {bad}"
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must run and return a stable schema."""
     for name in sorted(set(QUERIES) - set(ORACLES)):

@@ -108,6 +108,79 @@ def test_gold_on_reference_sample(spark):
     assert tables.shoppable_price("27447", "11-1111111").count() == 0
 
 
+def test_repeated_billing_code_keys_unique(spark, tmp_path):
+    """Real CMS files repeat a billing code across in_network items; the
+    surrogate key must stay per-row unique or prices cross-link (the old
+    billing-column hash collided)."""
+    item = {
+        "negotiation_arrangement": "ffs",
+        "name": "A",
+        "billing_code_type": "CPT",
+        "billing_code_type_version": "2025",
+        "billing_code": "27447",
+        "description": "first occurrence",
+        "negotiated_rates": [
+            {
+                "provider_references": [1],
+                "negotiated_prices": [
+                    {
+                        "negotiated_type": "negotiated",
+                        "negotiated_rate": 100.0,
+                        "expiration_date": "2026-01-01",
+                        "billing_class": "professional",
+                    }
+                ],
+            }
+        ],
+    }
+    dup = dict(item, name="B", description="same code, different item")
+    dup["negotiated_rates"] = [
+        {
+            "provider_references": [1],
+            "negotiated_prices": [
+                {
+                    "negotiated_type": "negotiated",
+                    "negotiated_rate": 200.0,
+                    "expiration_date": "2026-01-01",
+                    "billing_class": "institutional",
+                }
+            ],
+        }
+    ]
+    doc = {
+        "reporting_entity_name": "p",
+        "reporting_entity_type": "payer",
+        "provider_references": [
+            {
+                "provider_group_id": 1,
+                "provider_groups": [
+                    {"npi": [1234567890], "tin": {"type": "ein", "value": "11-1"}}
+                ],
+            }
+        ],
+        "in_network": [item, dup],
+        "version": "1.0.0",
+    }
+    p = str(tmp_path / "dupcode.json")
+    with open(p, "w") as f:
+        json.dump(doc, f, indent=1)
+    t = build_silver(spark, p, chunktargetbytes=1024)
+    keys = [r["sk_in_network_id"] for r in t.codes.collect()]
+    assert len(keys) == 2 and len(set(keys)) == 2
+    # each price stays linked to its own item, not fanned across both
+    linked = (
+        t.prices.join(t.codes.select("sk_in_network_id", "description"),
+                      "sk_in_network_id")
+        .select("description", "negotiated_rate")
+        .collect()
+    )
+    got = {(r["description"], r["negotiated_rate"]) for r in linked}
+    assert got == {
+        ("first occurrence", 100.0),
+        ("same code, different item", 200.0),
+    }
+
+
 def test_capitation_and_bundle_fixtures_parse(spark):
     for name, array_field in [
         ("in-network-rates-capitation-single-plan-sample.json", "covered_services"),

@@ -49,6 +49,41 @@ def test_windowed_counts_stream_equals_batch(spark, events_stream_dir, tmp_path)
     assert got == expected
 
 
+def test_session_fn_order_independent_across_chunks():
+    """applyInPandasWithState delivers a group in multiple Arrow batches in
+    no particular order; the gap loop must sort the WHOLE group, not each
+    batch (per-batch sorting moved last_ts backwards)."""
+    import pandas as pd
+
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import _session_fn
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def run(chunks):
+        st = _FakeState()
+        out = list(
+            _session_fn(
+                (1,),
+                iter([pd.DataFrame({"ts": pd.to_datetime(c)}) for c in chunks]),
+                st,
+            )
+        )
+        return st.value, out
+
+    # two sessions separated by a >30 min gap, delivered as out-of-order chunks
+    early = ["2026-01-01 00:00:00", "2026-01-01 00:10:00"]
+    late = ["2026-01-01 02:00:00", "2026-01-01 02:05:00"]
+    state_a, out_a = run([early, late])
+    state_b, out_b = run([late, early])  # chunk order reversed
+    assert state_a == state_b
+    assert len(out_a) == 1 and out_a[0].iloc[0]["n_events"] == 2
+    assert len(out_b) == 1 and out_b[0].equals(out_a[0])
+
+
 def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir, tmp_path):
     schema = spark.read.parquet(events_stream_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_stream_dir)
