@@ -142,31 +142,49 @@ _IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
         LIMIT 10
     """,
     description="IVF-style ANN: deterministic centroid sample, nearest-"
-    "centroid assignment (broadcast centroids, tie-safe argmax), search "
-    "only the query's cell — the coarse-quantizer scale path where LSH "
-    "bucket skew is a concern",
+    "centroid assignment as a per-row codegen fold over a broadcast "
+    "centroid array (tie-safe argmax; NO N-by-K shuffle, no window), "
+    "search only the query's cell — the coarse-quantizer scale path where "
+    "LSH bucket skew is a concern",
 )
 def ann_ivf_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
     cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 1).select(
         F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
     )
-    # assignment = IVF build: centroids broadcast to every vector, argmax by
-    # rounded cosine with cid tiebreak so Spark and the oracle agree exactly
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(V.cosine(F.col("ev"), F.col("cv")), 6).desc(), F.col("cid")
+    # IVF build: all K centroids collapse into ONE array-of-structs row that
+    # broadcasts to every vector; nearest-centroid is then a fold over that
+    # array inside codegen — a narrow projection. The old plan (crossJoin +
+    # row_number window partitioned by vec_id) shuffled the full N*K product
+    # to do this argmax; here nothing shuffles but the K-row collect and the
+    # final top-k. Argmax uses rounded cosine with smaller-cid tiebreak so
+    # Spark and the oracle agree exactly regardless of centroid-array order.
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    init = F.struct(
+        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
     )
+
+    def closer(acc, c):
+        sim = F.round(V.cosine(F.col("ev"), c["cv"]), 6)
+        take = (sim > acc["sim"]) | (
+            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
+        )
+        return F.when(
+            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "ev", "cid")
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            F.aggregate("cents", init, closer)["cid"].alias("cid"),
+        )
+        .persist()
     )
-    assigned = assigned.localCheckpoint(eager=False)
     q = assigned.filter(F.col("vec_id") == 0).select(
         F.col("ev").alias("qv"), F.col("cid").alias("qcid")
     )
@@ -202,8 +220,9 @@ def embedding_neardup_pairs(spark, sf_dir):
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
     b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16))
-    # bucket projection feeds both sides of the self-join; compute it once
-    b = b.localCheckpoint(eager=False)
+    # bucket projection feeds both sides of the self-join; compute it once.
+    # persist() keeps lineage (fault-tolerant at scale), unlike localCheckpoint
+    b = b.persist()
     a2 = b.alias("a")
     b2 = b.alias("b")
     sim = V.cosine(F.col("a.ev"), F.col("b.ev"))

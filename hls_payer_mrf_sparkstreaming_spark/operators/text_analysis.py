@@ -181,18 +181,44 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+def _rolling_oracle() -> str:
+    from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
+        M31,
+        ROLL_A,
+        md5u60_sql,
+    )
+
+    return f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> ({md5u60_sql('t')} % {M31}))),
+                   (acc, h) -> (acc * {ROLL_A} + h) % {M31}
+               ) AS rolling_hash
+        FROM documents
+    """
+
+
 @query(
     "text_rolling_hash",
-    oracle=None,  # xxhash64 chain is Spark-specific; invariant-tested in pytest
-    description="order-sensitive rolling fingerprint over tokens: left fold "
-    "of xxhash64(acc, token) — overflow-free under ANSI mode, "
-    "position-sensitive unlike a token-set hash",
+    oracle=_rolling_oracle(),
+    description="order-sensitive rolling fingerprint over tokens: "
+    "polynomial left fold (acc*A + md5u60(token)) mod M31 — overflow-free "
+    "under ANSI mode, position-sensitive unlike a token-set hash, and "
+    "bit-identical in the DuckDB oracle",
 )
 def text_rolling_hash(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
+        M31,
+        ROLL_A,
+        md5u60,
+    )
+
     rolled = F.aggregate(
-        F.split("text", " "),
+        F.transform(F.split("text", " "), lambda t: F.pmod(md5u60(t), F.lit(M31))),
         F.lit(0).cast("long"),
-        lambda acc, tok: F.xxhash64(acc, tok),
+        lambda acc, h: F.pmod(acc * F.lit(ROLL_A) + h, F.lit(M31)),
     )
     return load(spark, sf_dir, "documents").select(
         "doc_id", rolled.alias("rolling_hash")
