@@ -198,6 +198,32 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
+    """Near-duplicate pairs within hyperplane-LSH buckets over a
+    (vec_id, ev: array<double>) DataFrame — the reusable core behind the
+    registered query, so tests can plant known near-duplicates."""
+    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), planes))
+    # bucket projection feeds both sides of the self-join; compute it once.
+    # persist() keeps lineage (fault-tolerant at scale), unlike localCheckpoint
+    b = b.persist()
+    a2 = b.alias("a")
+    b2 = b.alias("b")
+    sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
@@ -219,23 +245,4 @@ def embedding_neardup_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
-    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16))
-    # bucket projection feeds both sides of the self-join; compute it once.
-    # persist() keeps lineage (fault-tolerant at scale), unlike localCheckpoint
-    b = b.persist()
-    a2 = b.alias("a")
-    b2 = b.alias("b")
-    sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
-    return (
-        a2.join(
-            b2,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(sim >= 0.8)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-    )
+    return neardup_pairs(emb)

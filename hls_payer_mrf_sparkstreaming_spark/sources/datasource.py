@@ -28,6 +28,8 @@ Options (case-insensitive, reference parity):
                        byte-range pruning (build_silver uses this per branch)
   ``includeoffsets``   "true" -> append ``chunk_start long`` (chunk byte
                        offset) for retry-stable downstream surrogate keys
+  ``filesystem``       accepted no-op (reference parity): scheme:// paths
+                       already route through pyarrow.fs automatically
   ``filterpushdown``   "true" -> enable Catalyst filter pushdown on
                        header_key (requires
                        spark.sql.python.filterPushdown.enabled; see
@@ -185,6 +187,16 @@ class _Options:
         this value are planned/read. The IO-level equivalent of
         ``WHERE header_key = ...`` without pushdown's plan-caching hazard."""
         return self.get("headerkey")
+
+    @property
+    def filesystem(self) -> str | None:
+        """Reference-parity option (JsonMRFSource.scala:37-45): the Scala
+        source used it to pick an s3a vs local Hadoop FileSystem. Here any
+        ``scheme://`` path routes through pyarrow.fs automatically
+        (sources/io.py), so the option is accepted as a documented no-op —
+        a user porting a reference config gets identical behavior, not a
+        silent failure on an unknown option."""
+        return self.get("filesystem")
 
     @property
     def include_offsets(self) -> bool:

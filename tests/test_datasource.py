@@ -319,3 +319,68 @@ def test_silver_uses_pruned_branches(spark, mrf_file):
         a = sorted(map(str, getattr(t_pruned, attr).collect()))
         b = sorted(map(str, getattr(t_plain, attr).collect()))
         assert a == b, attr
+
+
+def test_filesystem_option_accepted_noop(spark, mrf_file):
+    """Reference-parity: the Scala source's filesystem option selected an
+    s3a vs local FileSystem; here scheme:// paths route through pyarrow.fs
+    automatically, so the option is accepted and changes nothing."""
+    a = read_payer_mrf(spark, mrf_file, chunktargetbytes=4096)
+    b = read_payer_mrf(
+        spark, mrf_file, chunktargetbytes=4096, filesystem="s3a"
+    )
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_pipelined_incremental_discovery(spark, mrf_file, tmp_path):
+    """maxchunksperbatch>0 + processingTime trigger: discovery is released a
+    few chunks per latestOffset call, so Spark consumes earlier micro-batches
+    while later chunks are still being discovered (the reference's
+    reader-thread pipelining, JsonMRFSource.scala:138-178) — and commit()
+    GC frees released manifest entries without breaking later batches."""
+    import time
+
+    out = str(tmp_path / "bronze_pipelined")
+    ckpt = str(tmp_path / "ck_pipelined")
+    q = (
+        stream_payer_mrf(
+            spark, mrf_file, chunktargetbytes=2048, maxchunksperbatch=3
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # wait until the stream drains: batch counts match the batch read
+        expected = read_payer_mrf(spark, mrf_file, chunktargetbytes=2048).count()
+        deadline = time.time() + 180
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:  # sink dir not created yet
+                n = 0
+            if n == expected:
+                # one extra idle cycle so commit() runs for the last batch
+                time.sleep(1.0)
+                break
+            time.sleep(0.5)
+        assert n == expected, f"stream drained {n}/{expected} rows"
+        batches = [
+            p["batchId"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        assert len(set(batches)) >= 2, (
+            f"expected multiple non-empty micro-batches, got {batches}"
+        )
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(out)
+    batch = read_payer_mrf(spark, mrf_file, chunktargetbytes=2048)
+    a = {(r["header_key"], r["json_payload"]) for r in streamed.collect()}
+    b = {(r["header_key"], r["json_payload"]) for r in batch.collect()}
+    assert a == b

@@ -146,3 +146,31 @@ def test_salted_join_rejects_outer_hows(spark):
     rows = salted_join(fact2, dim, "k", n_salt=4, how="left").collect()
     assert len(rows) == 2
     assert {r["k"] for r in rows} == {1, 3}
+
+
+def test_embedding_neardup_planted_pair(spark):
+    """Planted near-duplicate: the operator must find it (guards against the
+    vacuous 0-row pass on data with no near-dups)."""
+    import math
+    import random
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    rng = random.Random(3)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = list(base)
+    near[0] += 0.01  # tiny perturbation -> cosine ~ 1.0
+    rows = [Row(vec_id=1, ev=base), Row(vec_id=2, ev=near)] + [
+        Row(vec_id=10 + i, ev=[rng.gauss(0, 1) for _ in range(dim)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in neardup_pairs(emb).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.99
+    # sanity: no random pair sneaks past the 0.8 threshold (64-dim gaussians
+    # are near-orthogonal with overwhelming probability)
+    assert all(k == (1, 2) for k in pairs)

@@ -194,3 +194,33 @@ def test_capitation_and_bundle_fixtures_parse(spark):
         items = tables.in_network
         assert items.count() >= 1
         assert items.filter(F.col(array_field).isNotNull()).count() >= 1
+
+
+def test_save_all_ctas_tables(spark, mrf_file, tmp_path):
+    """save_all materializes the six silver CTAS tables
+    (01_payer_mrf_demo.py:148-213); each saved table round-trips the
+    in-memory DataFrame exactly."""
+    tables = build_silver(spark, mrf_file, chunktargetbytes=8192)
+    db = "mrf_ctas_test"
+    tables.save_all(spark, db)
+    try:
+        expected = {
+            "provider_header": tables.header,
+            "provider_references_x_payer": tables.providers_x_payer,
+            "in_network_codes": tables.codes,
+            "in_network_rates": tables.rates,
+            "in_network_prices": tables.prices,
+            "in_network_par_providers": tables.par_providers,
+        }
+        listed = {
+            t.name for t in spark.catalog.listTables(db)
+        }
+        assert listed == set(expected)
+        for name, df in expected.items():
+            got = spark.table(f"{db}.{name}")
+            assert sorted(got.columns) == sorted(df.columns), name
+            a = sorted(map(str, got.select(*sorted(got.columns)).collect()))
+            b = sorted(map(str, df.select(*sorted(df.columns)).collect()))
+            assert a == b, f"{name}: saved table differs from DataFrame"
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
