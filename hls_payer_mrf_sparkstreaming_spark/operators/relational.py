@@ -603,3 +603,112 @@ def distinct_agg(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY
+                   CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS median_price,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY
+                   CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS p95_price,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact discrete percentiles (median / p95) per group — "
+    "percentile_disc picks actual input values (no interpolation), computed "
+    "on integer cents so Spark and the oracle agree bit-for-bit; "
+    "single-shuffle sort-based aggregate",
+)
+def percentile_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", _cents(F.col("l_extendedprice"))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price_cents)")
+            / 100.0
+        ).alias("median_price"),
+        (
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price_cents)")
+            / 100.0
+        ).alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_PIVOT_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "not_specified"),
+    ("5-LOW", "low"),
+]
+
+
+@query(
+    "pivot_counts",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                   AS medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                   AS not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    description="pivot: order priorities to columns, count per status — "
+    "explicit pivot value list keeps it a single-pass partial aggregation "
+    "(no value-discovery job); nulls for empty cells coalesced to 0 to "
+    "match the FILTER-aggregate oracle",
+)
+def pivot_counts(spark, sf_dir):
+    pivoted = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in _PIVOT_PRIORITIES])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(alias)
+            for v, alias in _PIVOT_PRIORITIES
+        ],
+    )
+
+
+@query(
+    "repartition_roundtrip",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                   AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    description="explicit repartition on the aggregation keys before the "
+    "groupBy (reference q_repartition, README.md:85 .rdd.repartition(20)): "
+    "Catalyst reuses the hash partitioning so only ONE exchange appears in "
+    "the plan; results are partitioning-invariant, which the oracle proves",
+)
+def repartition_roundtrip(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .repartition(32, "l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+        )
+    )

@@ -246,3 +246,53 @@ def embedding_neardup_pairs(spark, sf_dir):
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
     return neardup_pairs(emb)
+
+
+@query(
+    "knn_join",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, {_EMB_D} AS ev FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, ev AS qv FROM e WHERE vec_id <= 4),
+        scored AS (
+            SELECT q.q_id, e.vec_id, e.label,
+                   round({V.cosine_sql('e.ev', 'q.qv')}, 6) AS cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round({V.cosine_sql('e.ev', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id > 4
+        )
+        SELECT q_id, vec_id, label, cosine_sim FROM scored WHERE rn <= 3
+    """,
+    description="batch k-NN join: top-3 cosine neighbors for EACH query "
+    "vector in one plan — the query set broadcasts (corpus never "
+    "shuffles for the scoring), then the per-query top-k window shuffles "
+    "only skinny (q_id, vec_id, sim) rows. The multi-query generalization "
+    "of ann_cosine_topk; at billion-row scale swap the window for a "
+    "per-partition heap via the same LSH/IVF pruning as the single-query "
+    "paths",
+)
+def knn_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    q = emb.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") > 4)
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", "label", sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "label", "cosine_sim")
+    )

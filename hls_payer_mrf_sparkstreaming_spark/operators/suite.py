@@ -98,6 +98,7 @@ def all_queries() -> dict[str, QueryPair]:
     """Import every operator module (side effect: registration) and return
     the full registry."""
     import hls_payer_mrf_sparkstreaming_spark.operators.relational  # noqa: F401
+    import hls_payer_mrf_sparkstreaming_spark.operators.temporal  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.dedup  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.text_analysis  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.similarity  # noqa: F401

@@ -1,0 +1,168 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and banded
+range join.
+
+Both are expressed as compositions of existing DataFrame ops (SURVEY.md §2
+"custom operators" path (a)) rather than UDFs, so they stay inside
+whole-stage codegen:
+
+- **as-of join** — the union+last-ignoring-nulls rewrite: tag both inputs,
+  union them, and carry the most recent right-side row forward with a
+  running ``last(..., ignorenulls=True)`` window per key. One shuffle on
+  the join key, sort within partitions — the plan you want at 100 TB,
+  where the naive inequality join (``l.ts >= r.ts``) degenerates into a
+  per-key cross product.
+- **range join** — a tiny literal band dimension broadcast against the
+  fact table (BroadcastNestedLoopJoin on the band predicate). With a
+  broadcast side of a few rows this is a scan-speed map-side join; no
+  shuffle of the fact table at all until the final partial aggregation.
+
+Oracle twins use DuckDB's native ASOF JOIN / theta join, proving the
+rewrites equivalent to the canonical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+
+def asof_join_frames(left, right, on, ts_col="ts_us", right_cols=()):
+    """Generic as-of join: for each left row, attach the latest right row
+    with ``right.ts_col <= left.ts_col`` per ``on`` key.
+
+    ``left`` and ``right`` must share ``on`` and ``ts_col``; ``right_cols``
+    are the right-side payload columns carried onto matches (null when no
+    right row precedes the left row). Right side should be pre-deduplicated
+    to one row per (key, ts) for deterministic results.
+    """
+    lcols = [c for c in left.columns if c not in (on, ts_col)]
+    l_tagged = left.select(
+        on,
+        ts_col,
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(1).alias("_side"),
+    )
+    r_tagged = right.select(
+        on,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *right_cols,
+        F.lit(0).alias("_side"),
+    )
+    u = r_tagged.unionByName(l_tagged)
+    # right rows sort before left rows at equal ts (_side 0 < 1), making the
+    # match inclusive (left.ts >= right.ts), same as DuckDB ASOF semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn(
+        "_r_ts", F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w)
+    )
+    for c in right_cols:
+        carried = carried.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        on,
+        ts_col,
+        *lcols,
+        F.col("_r_ts").alias("matched_ts_us"),
+        *right_cols,
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+        WITH pur AS (
+            SELECT user_id, ts, max(value) AS purchase_value FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ),
+        clk AS (
+            SELECT event_id, user_id, ts, value AS click_value FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT c.user_id,
+               epoch_us(c.ts) AS ts_us,
+               c.event_id,
+               c.click_value,
+               epoch_us(p.ts) AS matched_ts_us,
+               p.purchase_value
+        FROM clk c ASOF LEFT JOIN pur p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    description="as-of join: each click matched to the user's most recent "
+    "preceding purchase — union + running last() rewrite (one shuffle on "
+    "user_id, no inequality-join blowup); oracle is DuckDB's native ASOF "
+    "LEFT JOIN",
+)
+def asof_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; cast under the fixed UTC session tz so
+    # unix_micros matches DuckDB's epoch_us (same pattern as sessionize)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_us,
+        "event_id",
+        F.col("value").alias("click_value"),
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select("user_id", ts_us, "purchase_value")
+    )
+    return asof_join_frames(
+        clk, pur, on="user_id", right_cols=("purchase_value",)
+    )
+
+
+_BANDS = [
+    ("p00_050", 0.0, 50.0),
+    ("p050_100", 50.0, 100.0),
+    ("p100_200", 100.0, 200.0),
+    ("p200_350", 200.0, 350.0),
+    ("p350_inf", 350.0, 1e9),
+]
+
+
+def _bands_values_sql() -> str:
+    rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+    return f"(VALUES {rows}) AS r(band, lo, hi)"
+
+
+@query(
+    "range_join",
+    oracle=f"""
+        SELECT r.band,
+               count(*) AS n_events,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events e
+        JOIN {_bands_values_sql()}
+          ON e.value >= r.lo AND e.value < r.hi
+        GROUP BY r.band
+    """,
+    description="banded range join: fact rows matched to literal value "
+    "bands via broadcast nested-loop join (map-side, zero fact shuffle "
+    "before the partial agg) — the scale pattern for interval/band "
+    "dimension joins",
+)
+def range_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    joined = e.join(
+        F.broadcast(bands),
+        (e.value >= bands.lo) & (e.value < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )

@@ -223,3 +223,137 @@ def text_rolling_hash(spark, sf_dir):
     return load(spark, sf_dir, "documents").select(
         "doc_id", rolled.alias("rolling_hash")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   round(t.tf * ln(CAST(nd.n_docs AS DOUBLE)
+                                   / CAST(d.df AS DOUBLE)), 6) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.term
+                   ) AS rn
+            FROM tf t JOIN df d USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+    """,
+    description="top-3 terms per document by tf-idf: tf groupBy "
+    "(doc_id, term), document-frequency groupBy term, corpus size as a "
+    "broadcast scalar — the ranking key is integer-only (tf desc, df asc, "
+    "term) so row selection is hash-exact; the per-doc top-k window "
+    "shuffles skinny (doc, term, tf, df) rows, never text",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), "term"
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                        x -> list_contains({en_sw}, x))) AS DOUBLE)
+                       / len(toks) AS sw_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       AS uniq_ratio
+            FROM t WHERE len(toks) > 0
+        ),
+        surv AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        )
+        SELECT q.doc_id, q.n_tokens,
+               round(q.sw_ratio, 6) AS sw_ratio,
+               round(q.uniq_ratio, 6) AS uniq_ratio
+        FROM q JOIN surv ON q.doc_id = surv.doc_id
+        WHERE q.n_tokens >= 20 AND q.sw_ratio >= 0.05
+          AND q.uniq_ratio >= 0.5
+    """.format(en_sw=_sw_array_sql("en")),
+    description="end-to-end training-data curation filter: Gopher-style "
+    "quality gates (length, stopword ratio, uniqueness) AND exact-dedup "
+    "survivorship (min doc_id per md5 fingerprint) composed in one plan — "
+    "all gates evaluate in codegen at scan time; the only shuffles are the "
+    "16-byte fingerprint groupBy and the survivor semi-join",
+)
+def quality_filter_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size("toks")
+    q = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            (
+                F.size(F.filter(F.col("toks"), _is_stopword("en"))).cast(
+                    "double"
+                )
+                / n
+            ).alias("sw_ratio"),
+            (F.size(F.array_distinct("toks")).cast("double") / n).alias(
+                "uniq_ratio"
+            ),
+        )
+    )
+    surv = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        q.join(surv.select("doc_id"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("sw_ratio") >= 0.05)
+            & (F.col("uniq_ratio") >= 0.5)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("sw_ratio", 6).alias("sw_ratio"),
+            F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        )
+    )
