@@ -20,7 +20,11 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from hls_payer_mrf_sparkstreaming_spark.functions import vector as V
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    rebalance,
+)
 
 _DIM = 64
 
@@ -91,7 +95,7 @@ def ann_cosine_topk(spark, sf_dir):
     "pruning before any vector math)",
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
     b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
@@ -148,7 +152,9 @@ _IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
     "LSH bucket skew is a concern",
 )
 def ann_ivf_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    # rebalance: the K-centroid cosine fold per row is the dominant cost and
+    # must not run on a single scan partition (no-op at scale)
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
     cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 1).select(
@@ -242,7 +248,7 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
     "(pairwise work bounded per bucket, never all-pairs)",
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
     return neardup_pairs(emb)
@@ -278,7 +284,7 @@ def embedding_neardup_pairs(spark, sf_dir):
 def knn_join(spark, sf_dir):
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
     q = emb.filter(F.col("vec_id") <= 4).select(

@@ -94,6 +94,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(_usec_copy(f"{sf_dir}/{table}.parquet"))
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when the
+    scan yields fewer partitions.
+
+    CPU-dense per-row operators (per-shingle hashing, per-bit SimHash votes,
+    centroid folds) otherwise run on a handful of cores when the input is a
+    few small-but-dense files — a 5 MB parquet of 5k documents is ONE scan
+    partition, so 31 of 32 cores idle through the most expensive stage. At
+    real scale the scan already has more partitions than cores and this is
+    a no-op, so nothing extra shuffles on a large cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def all_queries() -> dict[str, QueryPair]:
     """Import every operator module (side effect: registration) and return
     the full registry."""

@@ -7,7 +7,10 @@ operators in operators/relational.py:
 
 - windowed_event_counts: tumbling-window aggregate with watermark (late
   data bounded state);
-- sessionize_stream: gap-based sessions via applyInPandasWithState.
+- sessionize_stream: gap-based sessions via applyInPandasWithState;
+- dedup_stream: exactly-once event delivery from an at-least-once source
+  via dropDuplicatesWithinWatermark (state bounded by the watermark, unlike
+  plain dropDuplicates whose key state grows forever).
 
 tests/test_streaming_ops.py proves stream == batch on the same input.
 """
@@ -102,6 +105,22 @@ def _session_fn(
     state.update((last_ts, start_ts, n))
     if out:
         yield pd.DataFrame(out, columns=["user_id", "session_start", "n_events"])
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id for an at-least-once upstream
+    (retries, replayed batches).
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until the
+    watermark passes its event time — bounded state at 100 TB/day, where
+    unbounded ``dropDuplicates`` state is an OOM on a long-running query.
+    Duplicates arriving within the watermark window are suppressed exactly;
+    the watermark is the documented dedup horizon.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

@@ -107,3 +107,55 @@ def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir, tmp_p
         per_user.setdefault(r["user_id"], []).append(r["session_start"])
     for starts in per_user.values():
         assert len(starts) == len(set(starts))
+
+
+def test_dedup_stream_suppresses_replayed_events(spark, events_stream_dir, tmp_path):
+    """At-least-once input (every file delivered twice) -> exactly-once
+    output: dropDuplicatesWithinWatermark keeps one row per event_id."""
+    import os
+    import shutil
+
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import dedup_stream
+
+    dup_dir = tmp_path / "dup_events"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(p for p in os.listdir(events_stream_dir) if p.endswith(".parquet"))):
+        src = f"{events_stream_dir}/{f}"
+        shutil.copy(src, dup_dir / f"a{i}.parquet")
+        shutil.copy(src, dup_dir / f"b{i}.parquet")  # the replay
+
+    schema = spark.read.parquet(str(dup_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(dup_dir))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    n_unique = spark.read.parquet(events_stream_dir).select("event_id").distinct().count()
+    assert len(out) == n_unique
+    assert len({r["event_id"] for r in out}) == n_unique
+
+
+def test_delta_sink_roundtrip_if_available(spark, events_stream_dir, tmp_path):
+    """The reference demo's primary sink is Delta (01_payer_mrf_demo.py:80-88).
+    delta-spark isn't in this container, so the claim is exercised only when
+    the package (and its jars) are present; the skip records the gate."""
+    pytest.importorskip("delta")
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        stream.writeStream.format("delta")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start(str(tmp_path / "delta_table"))
+    )
+    q.awaitTermination(180)
+    got = spark.read.format("delta").load(str(tmp_path / "delta_table")).count()
+    assert got == spark.read.parquet(events_stream_dir).count()
