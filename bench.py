@@ -44,6 +44,14 @@ HEADLINE = [
     "text_token_count_bpe",
     "mrf_bronze",
     "mrf_gold_shoppable",
+    "asof_join",
+    "range_join",
+    "percentile_summary",
+    "tfidf_top_terms",
+    "quality_filter_pipeline",
+    "knn_join",
+    "dedup_cluster",
+    "pii_scrub",
 ]
 
 

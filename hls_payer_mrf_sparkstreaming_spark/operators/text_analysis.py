@@ -357,3 +357,65 @@ def quality_filter_pipeline(spark, sf_dir):
             F.round("uniq_ratio", 6).alias("uniq_ratio"),
         )
     )
+
+
+# PII patterns: identical semantics in Java regex (Spark) and RE2 (DuckDB) —
+# simple character classes and bounded repeats only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+PII_NUM = r"[0-9]{7,}"
+
+
+def scrub_pii(col: F.Column) -> F.Column:
+    """Redact emails then long digit runs (phone/account numbers) — two
+    regexp_replace passes in codegen, no Python in the loop."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL, "<EMAIL>"), PII_NUM, "<NUM>"
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example phone 555'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_NUM}')) AS INT)
+                   AS n_numbers,
+               md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}',
+                       '<EMAIL>', 'g'), '{PII_NUM}', '<NUM>', 'g'))
+                   AS redacted_fp
+        FROM aug
+    """,
+    description="PII scrub for training-data curation: count + redact "
+    "emails and long digit runs, fingerprint the redacted text — pure "
+    "regexp codegen at scan speed. The synthetic corpus has no PII, so "
+    "the query plants deterministic doc_id-derived PII identically in "
+    "both engines, making every redaction count non-vacuous",
+)
+def pii_scrub(spark, sf_dir):
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example phone 555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_NUM), F.lit(0))).alias(
+            "n_numbers"
+        ),
+        F.md5(scrub_pii(F.col("text"))).alias("redacted_fp"),
+    )

@@ -41,10 +41,22 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # iterative operators (connected components) checkpoint each round;
+        # let the ContextCleaner reap checkpoint files no longer referenced
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # Reliable checkpoint location for iterative algorithms — lineage MUST
+    # truncate each round or the logical plan grows exponentially. Local tmp
+    # here; on a cluster point this at HDFS/S3 before calling get_spark.
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
     # Register our custom data sources on every session.
     from hls_payer_mrf_sparkstreaming_spark.sources.datasource import register
 

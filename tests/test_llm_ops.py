@@ -174,3 +174,52 @@ def test_embedding_neardup_planted_pair(spark):
     # sanity: no random pair sneaks past the 0.8 threshold (64-dim gaussians
     # are near-orthogonal with overwhelming probability)
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_connected_components_planted_clusters(spark):
+    """Two planted clusters (one a 3-chain, one a pair) plus isolated
+    vertices: every member must converge to the min id of its component —
+    the chain needs >1 propagation round, proving the fixpoint loop."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 50, 60]], ["doc_id"]
+    )
+    # chain 1-2-3 (no direct 1-3 edge) and pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 50: 50, 60: 60}
+
+
+def test_scrub_pii_planted(spark):
+    """Planted emails and digit runs are redacted; clean text untouched."""
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@corp.example for a quote"),
+            (2, "card 4111111111111111 exp soon"),
+            (3, "nothing sensitive here"),
+            (4, "two hits: bob@x.io and 12345678"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["clean"]
+        for r in df.select("id", scrub_pii(F.col("text")).alias("clean")).collect()
+    }
+    assert out[1] == "write to <EMAIL> for a quote"
+    assert out[2] == "card <NUM> exp soon"
+    assert out[3] == "nothing sensitive here"
+    assert out[4] == "two hits: <EMAIL> and <NUM>"
