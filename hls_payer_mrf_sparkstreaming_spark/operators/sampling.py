@@ -1,0 +1,151 @@
+"""Deterministic sampling operators for training-data mix curation.
+
+A 100 TB corpus is never trained on whole: pipelines sample per-language /
+per-source rates ("mix weights"), carve fixed quotas, and split train/val/
+test. Random sampling (``df.sample``/``TABLESAMPLE``) is non-reproducible
+across engines and retries; every operator here instead derives inclusion
+from the cross-engine md5-60 hash of the row key ([[functions/hashing.py]]),
+so the sample is a pure function of the data — retry-stable, incrementally
+consistent (a doc's fate never changes when the corpus grows), and
+bit-identical between Spark and the DuckDB oracle.
+
+All three operators are single-pass column expressions at scan speed:
+- sample_stratified: per-stratum KEEP RATE (hash-mod gate, no shuffle at all)
+- sample_quota_per_stratum: per-stratum EXACT QUOTA (top-k by hash)
+- split_train_test: hash-bucket assignment to train/val/test (no shuffle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
+    md5u60,
+    md5u60_sql,
+)
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+# training-mix keep rates per language, in permille (English downsampled,
+# low-resource languages kept whole — the classic rebalancing shape)
+_MIX_PERMILLE = {"en": 300, "es": 700, "fr": 700, "de": 700, "zh": 1000}
+
+# salt distinguishes this sampling decision from any other use of the same
+# key hash (e.g. the split assignment below must be independent of the gate)
+_GATE_SALT = "mix-v1:"
+_SPLIT_SALT = "split-v1:"
+
+
+def _mix_case_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_PERMILLE.items())
+        + " ELSE 0 END"
+    )
+
+
+def _mix_case() -> F.Column:
+    expr = F.lit(0)
+    for k, v in _MIX_PERMILLE.items():
+        expr = F.when(F.col("lang") == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ({md5u60_sql(f"'{_GATE_SALT}' || CAST(doc_id AS VARCHAR)")}
+               % 1000) < ({_mix_case_sql()})
+    """,
+    description="deterministic stratified sampling by language mix weight: "
+    "keep a doc iff md5-60(salt || doc_id) mod 1000 < permille[lang] — a "
+    "pure scan-time filter (no shuffle, no RNG), so the sample is "
+    "reproducible across engines, retries, and corpus growth; the salt "
+    "makes the gate independent of any other hash decision on doc_id",
+)
+def sample_stratified(spark, sf_dir):
+    gate = (
+        F.pmod(
+            md5u60(F.concat(F.lit(_GATE_SALT), F.col("doc_id").cast("string"))),
+            F.lit(1000),
+        )
+        < _mix_case()
+    )
+    return load(spark, sf_dir, "documents").filter(gate).select("doc_id", "lang")
+
+
+@query(
+    "sample_quota_per_stratum",
+    oracle=f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {md5u60_sql(f"'{_GATE_SALT}' || CAST(doc_id AS VARCHAR)")},
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 50
+    """,
+    description="exact per-stratum quota: the 50 docs per language with the "
+    "smallest salted key hash — a uniform without-replacement sample whose "
+    "membership is stable under reruns. Shuffles only (doc_id, lang, hash); "
+    "at extreme scale replace the rank with a two-pass hash-threshold "
+    "(approx_percentile on the hash, then a scan-time filter) to avoid the "
+    "per-stratum sort entirely",
+)
+def sample_quota_per_stratum(spark, sf_dir):
+    h = md5u60(F.concat(F.lit(_GATE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang,
+                   CASE
+                       WHEN b < 980 THEN 'train'
+                       WHEN b < 990 THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM (
+                SELECT lang,
+                       {md5u60_sql(f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
+                       % 1000 AS b
+                FROM documents
+            )
+        )
+        SELECT lang, split, count(*) AS n_docs
+        FROM assigned GROUP BY lang, split
+    """,
+    description="deterministic train/val/test split (98/1/1) by hash bucket "
+    "of the salted doc key: assignment is scan-time codegen with no RNG and "
+    "no shuffle (the count here is just the verification view); a doc never "
+    "migrates between splits when the corpus is re-ingested or extended, "
+    "which leakage-free eval requires",
+)
+def split_train_test(spark, sf_dir):
+    b = F.pmod(
+        md5u60(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    split = (
+        F.when(b < 980, F.lit("train"))
+        .when(b < 990, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
