@@ -52,6 +52,8 @@ HEADLINE = [
     "knn_join",
     "dedup_cluster",
     "pii_scrub",
+    "sample_stratified",
+    "split_train_test",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Physical-plan regression tests: the scale properties that make these
+queries viable at 100 TB are plan shapes, not results — filters reaching
+the parquet scan, small dimensions broadcast instead of shuffled, top-k as
+TakeOrderedAndProject instead of a global sort, a pre-partitioning reused
+by the downstream aggregate. Results stay identical if any of these
+regress; only these assertions catch it.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "filter_eq")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    # project_substr touches 3 of lineitem's 16 columns; the scan schema
+    # must not read the rest
+    p = plan(spark, "project_substr")
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" not in scan
+    assert "l_quantity" not in scan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    # every dim join in the star should be broadcast-hash; a SortMergeJoin
+    # here means a full fact-table shuffle per dimension at scale
+    p = plan(spark, "star_join_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    p = plan(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_repartition_reused_by_aggregate(spark):
+    # the explicit repartition on the grouping keys must be the ONLY
+    # exchange: Catalyst reuses the partitioning for the groupBy
+    import re
+
+    p = plan(spark, "repartition_roundtrip")
+    # formatted mode prints each node twice (tree + detail); count the
+    # detail headers, which are unique per physical node
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    # a scan-time hash gate: any exchange means the sample is no longer a
+    # single-pass filter
+    p = plan(spark, "sample_stratified")
+    assert "Exchange" not in p
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    # the corpus must never shuffle for scoring: the (tiny) query set is
+    # broadcast and the only exchange moves skinny scored rows to the
+    # per-query top-k window
+    p = plan(spark, "knn_join")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    # the exchange feeding the fingerprint aggregate must carry the 32-char
+    # md5 and doc_id, not the document text
+    p = plan(spark, "dedup_exact")
+    ex = [
+        block
+        for block in p.split("\n\n")
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text" not in b for b in ex), ex
+
+
+def test_hot_paths_are_whole_stage_codegen(spark):
+    # text scoring is pure built-in expressions; if a Python eval node
+    # appears the operator fell off the JVM fast path
+    for name in ("text_quality", "text_lang_id", "pii_scrub"):
+        p = plan(spark, name)
+        # formatted mode marks codegen'd nodes with "[codegen id : N]"
+        assert "codegen id" in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "distinct_agg", "windowed_agg_events"]
+)
+def test_aggregates_have_partial_phase(spark, name):
+    # map-side combine: two HashAggregate phases around one exchange —
+    # without the partial phase every raw row crosses the shuffle
+    p = plan(spark, name)
+    assert p.count("HashAggregate") >= 2, name
