@@ -54,6 +54,7 @@ HEADLINE = [
     "pii_scrub",
     "sample_stratified",
     "split_train_test",
+    "kmeans_train",
 ]
 
 

@@ -1,0 +1,178 @@
+"""K-means centroid training (Lloyd's algorithm) as a distributed
+DataFrame dataflow — the iterative-algorithm counterpart to the one-shot
+assignment in ``ann_ivf_topk``'s coarse quantizer.
+
+Per round: (1) nearest-centroid assignment is a per-row argmin fold over a
+broadcast array-of-structs of centroids — a narrow codegen projection, no
+N×K shuffle; (2) the centroid update is ONE partial-aggregated groupBy
+emitting per-dimension sums (64 integer aggregates + a count), so the only
+shuffle per round carries K rows of partial sums per map task. The K-row
+centroid relation collapses to a single broadcastable row between rounds;
+nothing ever goes through the driver.
+
+Cross-engine exactness (what makes an ITERATIVE float algorithm
+hash-checkable against SQL): embeddings are quantized to integers
+(``floor(v * 1000)``) so per-cluster sums are exact and order-independent;
+centroid components are then ``sum/count`` — an exactly-rounded IEEE
+division of exactly-representable integers, bit-identical in any engine —
+and squared-distance folds run in the same sequential order on both sides.
+The oracle replays both Lloyd rounds as chained CTEs.
+
+At 100 TB you run this on a small uniform sample (k-means only needs
+enough data to place K centroids), then ``ann_ivf_topk``-style assignment
+distributes the trained centroids to the full corpus; the round count is
+fixed (no data-dependent convergence scan over the big table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.functions import vector as V
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    rebalance,
+)
+
+_DIM = 64
+_K = 8  # seeds: the K smallest vec_ids
+_QUANT = 1000  # fixed-point scale: floor(v * 1000) per component
+_ROUNDS = 2
+
+# quantized int vector and its double view, shared Spark/SQL
+_X_SQL = (
+    "list_transform(list_transform(embedding, v -> CAST(v AS DOUBLE)), "
+    f"v -> CAST(floor(v * {_QUANT}) AS BIGINT))"
+)
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _kmeans_oracle() -> str:
+    sums = ", ".join(f"sum(x[{d + 1}]) AS s{d}" for d in range(_DIM))
+    cvals = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / CAST(n AS DOUBLE)" for d in range(_DIM)
+    )
+
+    def assign(cent_rel: str, out: str) -> str:
+        return f"""
+        {out} AS (
+            SELECT vec_id, x, xd, cid FROM (
+                SELECT ed.vec_id, ed.x, ed.xd, c.cid,
+                       row_number() OVER (
+                           PARTITION BY ed.vec_id
+                           ORDER BY {_sqdist_sql("ed.xd", "c.cv")}, c.cid
+                       ) AS rn
+                FROM ed CROSS JOIN {cent_rel} c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, {_X_SQL} AS x FROM embeddings),
+        ed AS (
+            SELECT vec_id, x,
+                   list_transform(x, v -> CAST(v AS DOUBLE)) AS xd
+            FROM e
+        ),
+        c0 AS (SELECT vec_id AS cid, xd AS cv FROM ed WHERE vec_id < {_K}),
+        {assign("c0", "a1")},
+        s1 AS (SELECT cid, count(*) AS n, {sums} FROM a1 GROUP BY cid),
+        c1 AS (SELECT cid, list_value({cvals}) AS cv FROM s1),
+        {assign("c1", "a2")}
+        SELECT vec_id, cid AS cluster_id FROM a2
+    """
+
+
+def _quantize(col) -> F.Column:
+    return F.transform(
+        V.to_double_array(col),
+        lambda v: F.floor(v * _QUANT).cast("long"),
+    )
+
+
+def _sqdist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(points, cent_arr):
+    """Nearest centroid per row: argmin fold over the broadcast centroid
+    array (tie → smaller cid), entirely inside codegen."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("cid")
+    )
+
+    def closer(acc, c):
+        d = _sqdist(F.col("xd"), c["cv"])
+        take = (d < acc["d"]) | ((d == acc["d"]) & (c["cid"] < acc["cid"]))
+        return F.when(
+            take, F.struct(d.alias("d"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    return points.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "x",
+        "xd",
+        F.aggregate("cents", init, closer)["cid"].alias("cid"),
+    )
+
+
+def kmeans_assignments(emb, k: int = _K, rounds: int = _ROUNDS):
+    """Run ``rounds`` Lloyd iterations over a (vec_id, embedding) DataFrame;
+    returns (vec_id, cluster_id). Seeds = the k smallest vec_ids."""
+    pts = emb.select(
+        "vec_id", _quantize("embedding").alias("x")
+    ).withColumn("xd", F.transform("x", lambda v: v.cast("double")))
+    pts = pts.persist()
+
+    cent_arr = (
+        pts.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("xd").alias("cv"))
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+    assigned = None
+    for _ in range(rounds):
+        if assigned is not None:
+            sums = assigned.groupBy("cid").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("x")[d]).alias(f"s{d}") for d in range(_DIM)],
+            )
+            cent = sums.select(
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"s{d}").cast("double")
+                        / F.col("n").cast("double")
+                        for d in range(_DIM)
+                    ]
+                ).alias("cv"),
+            )
+            cent_arr = cent.agg(
+                F.collect_list(F.struct("cid", "cv")).alias("cents")
+            )
+        assigned = _assign(pts, cent_arr)
+    return assigned.select("vec_id", F.col("cid").alias("cluster_id"))
+
+
+@query(
+    "kmeans_train",
+    oracle=_kmeans_oracle(),
+    description="k-means centroid training (2 Lloyd rounds, k=8): per-row "
+    "argmin fold over broadcast centroids (no N-by-K shuffle), centroid "
+    "update as one partial-aggregated groupBy of per-dimension integer "
+    "sums; fixed-point quantization makes the iterative float algorithm "
+    "bit-identical to the oracle's chained-CTE replay. Trains the coarse "
+    "quantizer that ann_ivf_topk consumes",
+)
+def kmeans_train(spark, sf_dir):
+    emb = rebalance(load(spark, sf_dir, "embeddings"))
+    return kmeans_assignments(emb)

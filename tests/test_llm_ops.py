@@ -223,3 +223,30 @@ def test_scrub_pii_planted(spark):
     assert out[2] == "card <NUM> exp soon"
     assert out[3] == "nothing sensitive here"
     assert out[4] == "two hits: <EMAIL> and <NUM>"
+
+
+def test_kmeans_planted_blobs(spark):
+    """Two well-separated blobs, k=2, seeds one per blob: every point must
+    land with its blob's seed, and round-2 centroids (the mean) must not
+    move points across blobs."""
+    import numpy as np
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(40):
+        center = 10.0 if i % 2 else -10.0
+        vec = (center + 0.1 * rng.standard_normal(64)).astype("float32")
+        # vec_id parity encodes blob membership; ids 0,1 are the seeds
+        rows.append((i, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assignments(df, k=2).collect()
+    }
+    assert len(got) == 40
+    for vid, cid in got.items():
+        assert cid == vid % 2, (vid, cid)
