@@ -166,3 +166,57 @@ def range_join(spark, sf_dir):
             "sum_value"
         ),
     )
+
+
+@query(
+    "attribution_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS lag_us,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    description="attribution interval join: each click matched to the same "
+    "user's purchases within 30 minutes — equi-join on user_id with a "
+    "bounded time band, so the shuffle is keyed (never a per-user cross "
+    "product beyond the band). The streaming twin "
+    "(streaming/events.py attribution_stream) runs the identical join "
+    "stream-to-stream with watermarks bounding both sides' state; "
+    "tests/test_streaming_ops.py proves stream == batch",
+)
+def attribution_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+            "purchase_value",
+        )
+    )

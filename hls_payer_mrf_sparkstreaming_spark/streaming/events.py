@@ -138,3 +138,56 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attribution_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream attribution join: each click matched to the same
+    user's purchases within ``horizon`` — the streaming twin of
+    operators/temporal.attribution_join (same output columns).
+
+    Both sides carry a watermark and the join condition time-bounds
+    purchases against clicks, so Spark can size and EXPIRE the join state:
+    a click older than watermark+horizon can never match a future purchase
+    and is dropped from state. Without the time bound the state grows
+    forever — the difference between a stream-stream join that survives at
+    100 TB/day and one that OOMs.
+    """
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+            "purchase_value",
+        )
+    )

@@ -159,3 +159,40 @@ def test_delta_sink_roundtrip_if_available(spark, events_stream_dir, tmp_path):
     q.awaitTermination(180)
     got = spark.read.format("delta").load(str(tmp_path / "delta_table")).count()
     assert got == spark.read.parquet(events_stream_dir).count()
+
+
+def test_attribution_stream_equals_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Stream-stream click->purchase join (availableNow over the parquet
+    replay) must produce exactly the batch interval join's rows."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.temporal import (
+        attribution_join,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import (
+        attribution_stream,
+        stream_events_from_parquet,
+    )
+
+    out = str(tmp_path / "attr_out")
+    ckpt = str(tmp_path / "attr_ckpt")
+    stream = attribution_stream(
+        stream_events_from_parquet(spark, events_stream_dir)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in attribution_join(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
