@@ -55,6 +55,8 @@ HEADLINE = [
     "sample_stratified",
     "split_train_test",
     "kmeans_train",
+    "attribution_join",
+    "mrf_variant_codes",
 ]
 
 

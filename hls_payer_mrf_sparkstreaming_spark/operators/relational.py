@@ -712,3 +712,30 @@ def repartition_roundtrip(spark, sf_dir):
             (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "approx_percentile_summary",
+    oracle=None,  # sketch is engine-specific; bounded-error pytest check
+    description="approx_percentile (KLL-family sketch) of extended price "
+    "per return flag — the sketch path for quantiles at 100 TB: mergeable "
+    "per-partition sketches, one skinny shuffle, bounded rank error "
+    "(accuracy=10000 -> ~0.01%), where the exact percentile_disc in "
+    "percentile_summary needs a per-group sort. tests/test_llm_ops.py "
+    "bounds the sketch against the exact answer",
+)
+def approx_percentile_summary(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95], 10000
+            ).alias("approx_p"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_p")[0].alias("approx_median_price"),
+            F.col("approx_p")[1].alias("approx_p95_price"),
+        )
+    )

@@ -123,5 +123,6 @@ def all_queries() -> dict[str, QueryPair]:
     import hls_payer_mrf_sparkstreaming_spark.operators.similarity  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.multimodal  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries  # noqa: F401
+    import hls_payer_mrf_sparkstreaming_spark.plans.variant  # noqa: F401
 
     return REGISTRY

@@ -250,3 +250,36 @@ def test_kmeans_planted_blobs(spark):
     assert len(got) == 40
     for vid, cid in got.items():
         assert cid == vid % 2, (vid, cid)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """The sketch's median/p95 must land within a tight rank window of the
+    exact discrete percentiles (rank error <= ~0.01% at accuracy=10000;
+    we allow 0.5% of the group size to stay robust at sf0.001)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: (r["approx_median_price"], r["approx_p95_price"])
+        for r in all_queries()["approx_percentile_summary"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    groups = {}
+    for r in li.collect():
+        groups.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for flag, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        tol = max(1, int(0.005 * n))
+        for q, got in zip((0.5, 0.95), approx[flag]):
+            target = int(q * (n - 1))
+            lo = vals[max(0, target - tol)]
+            hi = vals[min(n - 1, target + tol)]
+            assert lo <= got <= hi, (flag, q, got, lo, hi)
