@@ -57,6 +57,7 @@ HEADLINE = [
     "kmeans_train",
     "attribution_join",
     "mrf_variant_codes",
+    "decontaminate",
 ]
 
 

@@ -419,3 +419,104 @@ def pii_scrub(spark, sf_dir):
         ),
         F.md5(scrub_pii(F.col("text"))).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # n-gram width, the common eval-decontamination choice
+_DECON_STRIDE = 101  # doc_id % stride == 0 -> stand-in "benchmark" doc
+
+
+def ngram_hashes(toks: F.Column, n: int = _DECON_N) -> F.Column:
+    """Distinct md5 hashes of every ``n``-token shingle of a token-array
+    column — one codegen expression, no explode until the caller needs
+    rows. Guarded for short docs: Spark's ``sequence(1, 0)`` counts DOWN,
+    so the start list must be empty (not descending) below ``n`` tokens."""
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+    )
+
+
+# 12 tokens -> five 8-grams; appended to benchmark docs AND to a
+# deterministic slice of training docs so contamination exists at every SF
+_CANARY = (
+    "decon canary alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+_CANARY_MOD = 13  # doc_id % 13 == 5 -> contaminated training doc
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {_DECON_STRIDE} = 0
+                          OR doc_id % {_CANARY_MOD} = 5
+                        THEN text || ' {_CANARY}'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM aug
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - {_DECON_N - 2}, 1)),
+                       i -> md5(array_to_string(
+                                list_slice(t, i, i + {_DECON_N - 1}), ' '))
+                   ))) AS h
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT h FROM grams WHERE doc_id % {_DECON_STRIDE} = 0
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_ngrams
+        FROM grams g JOIN bench USING (h)
+        WHERE g.doc_id % {_DECON_STRIDE} <> 0
+        GROUP BY g.doc_id
+    """,
+    description="benchmark decontamination: flag training docs sharing any "
+    f"{_DECON_N}-gram with the benchmark set (stand-in: every "
+    f"{_DECON_STRIDE}th doc). Shingle hashes are computed per row in "
+    "codegen and deduped BEFORE the explode; the benchmark hash set is "
+    "tiny so the contamination join is broadcast — at 100 TB nothing "
+    "shuffles but the per-doc hit counts (map-side partial agg). A fixed "
+    "12-token canary is planted identically in both engines (benchmark "
+    "docs + every 13th training doc) so matches are non-vacuous at every "
+    "SF; natural n-gram overlaps count too",
+)
+def decontaminate(spark, sf_dir):
+    contaminated = (F.col("doc_id") % _DECON_STRIDE == 0) | (
+        F.col("doc_id") % _CANARY_MOD == 5
+    )
+    aug = F.when(
+        contaminated, F.concat(F.col("text"), F.lit(" " + _CANARY))
+    ).otherwise(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(aug, " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(ngram_hashes(F.col("t"))).alias("h")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_STRIDE == 0)
+        .select("h")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % _DECON_STRIDE != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
