@@ -58,6 +58,7 @@ HEADLINE = [
     "attribution_join",
     "mrf_variant_codes",
     "decontaminate",
+    "multimodal_framesample",
 ]
 
 

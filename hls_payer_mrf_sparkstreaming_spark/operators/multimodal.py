@@ -129,3 +129,90 @@ def multimodal_decode(spark, sf_dir):
     return decode_blobs(blobs).select(
         "doc_id", "media_type", "n_bytes", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: video-style strided frame extraction from binary payloads
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 32  # fixed-size "frame" (stand-in for a decoded video frame)
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Strided frame sampling over a (doc_id, blob) DataFrame via
+    Arrow-batched mapInPandas — the video-pipeline shape: a container's
+    bytes arrive once per batch, the kernel slices frames 0, stride,
+    2*stride, ... and emits one row per KEPT frame, so the expensive
+    downstream (feature extraction) sees 1/stride of the data.
+
+    The kernel decodes each payload (utf-8 here; ffmpeg in a real
+    pipeline), slices fixed-width frames off the decoded form, and
+    fingerprints each kept frame — deterministic, so a DuckDB
+    substring/md5 oracle replays it exactly: the mapInPandas plumbing
+    (batch iteration, 1-to-many fan-out, binary handling) is what's being
+    proven, not the codec. The trailing partial frame is kept (real
+    samplers keep the last frame)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = bytes(blob).decode("utf-8")
+                n_frames = max(1, -(-len(decoded) // frame_bytes))
+                for i in range(0, n_frames, stride):
+                    frame = decoded[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return blobs.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   unnest(range(0,
+                       greatest(CAST(ceil(length(text)
+                                          / {FRAME_BYTES}.0) AS BIGINT), 1),
+                       {FRAME_STRIDE})) AS frame_idx,
+                   text
+            FROM documents
+        )
+        SELECT doc_id, frame_idx,
+               md5(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                             {FRAME_BYTES})) AS frame_md5
+        FROM frames
+    """,
+    description="strided frame sampling from binary payloads through "
+    "Arrow-batched mapInPandas (one Python crossing per batch, 1-to-many "
+    "fan-out, binary in / rows out) — the deterministic byte-slicing "
+    "kernel lets a BLOB-substring oracle verify the distributed plumbing "
+    "exactly; a real pipeline drops an ffmpeg decode into the same kernel",
+)
+def multimodal_framesample(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return sample_frames(blobs)
