@@ -224,3 +224,46 @@ def test_save_all_ctas_tables(spark, mrf_file, tmp_path):
             assert a == b, f"{name}: saved table differs from DataFrame"
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_incremental_silver_from_streamed_bronze(spark, mrf_file, tmp_path):
+    """Incremental ETL parity: stream bronze to a parquet table first
+    (availableNow, includeoffsets on), then derive silver from that table —
+    every silver table must equal the direct batch build row-for-row.
+    Chunk byte offsets are discovery-order-independent, so the surrogate
+    keys survive the stream/batch boundary."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        MrfSilverTables,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        stream_payer_mrf,
+    )
+
+    out = str(tmp_path / "bronze_tbl")
+    ckpt = str(tmp_path / "bronze_ckpt")
+    q = (
+        stream_payer_mrf(
+            spark, mrf_file, chunktargetbytes=8192, includeoffsets="true"
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = MrfSilverTables(spark.read.parquet(out))
+    batch = build_silver(spark, mrf_file, chunktargetbytes=8192)
+    for name in ("codes", "prices", "par_providers", "providers_x_payer"):
+        got = {
+            tuple(str(c) for c in r)
+            for r in getattr(streamed, name).collect()
+        }
+        want = {
+            tuple(str(c) for c in r)
+            for r in getattr(batch, name).collect()
+        }
+        assert got == want, name
+        assert got, name
