@@ -59,6 +59,9 @@ HEADLINE = [
     "mrf_variant_codes",
     "decontaminate",
     "multimodal_framesample",
+    "text_chunk_sliding",
+    "pack_sequences",
+    "embedding_quantize",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Sequence-assembly operators for LLM training-data pipelines: sliding-
+window chunking (context-window splitting with overlap) and concat-and-
+chunk sequence packing (the GPT-style "concatenate documents, split every
+B tokens" layout).
+
+Both are pure column expressions / windowed aggregations — no Python in
+the hot path. Packing is computed per ``lang`` shard so the prefix-sum
+window parallelizes across shards instead of serializing the corpus
+through one partition; at 100 TB you would shard finer (e.g.
+``(lang, crc32(doc_id) % n_shards)``) and the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+CHUNK_W = 32  # tokens per sliding window
+CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
+PACK_B = 256  # tokens per packed training sequence
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        s AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) + 1, {CHUNK_S})) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_S} AS INT) AS chunk_idx,
+               CAST(len(list_slice(t, start, start + {CHUNK_W - 1})) AS INT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(t, start, start + {CHUNK_W - 1}), ' '))
+                   AS chunk_fp
+        FROM s
+    """,
+    description=f"sliding-window chunking: split each document into "
+    f"{CHUNK_W}-token windows with stride {CHUNK_S} (overlap "
+    f"{CHUNK_W - CHUNK_S}) — the retrieval/context-window splitter. "
+    "Window starts are a per-row sequence() expanded with posexplode; "
+    "the slice + fingerprint run in codegen, so the operator is "
+    "scan-bound and embarrassingly parallel (no shuffle at all)",
+)
+def text_chunk_sliding(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_S)
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_W)
+    return (
+        docs.select(
+            "doc_id",
+            "t",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_toks,
+                   sum(n_toks) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS end_tok
+            FROM d
+        )
+        SELECT doc_id, lang,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(end_tok - n_toks AS BIGINT) AS start_tok,
+               CAST((end_tok - n_toks) // {PACK_B} AS BIGINT) AS seq_first,
+               CAST((end_tok - 1) // {PACK_B} AS BIGINT) AS seq_last,
+               CAST((end_tok - 1) // {PACK_B}
+                    - (end_tok - n_toks) // {PACK_B} + 1 AS BIGINT)
+                   AS n_seqs_spanned
+        FROM c
+    """,
+    description=f"concat-and-chunk sequence packing manifest: documents are "
+    f"concatenated in doc_id order per lang shard and split into "
+    f"{PACK_B}-token training sequences; each doc's token span "
+    "[start_tok, start_tok + n_toks) maps to the sequence ids it lands in. "
+    "One prefix-sum window per shard (skinny rows: id + token count, "
+    "never text) — shards pack independently, so the plan parallelizes "
+    "across a cluster instead of serializing the corpus",
+)
+def pack_sequences(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end_tok = F.sum("n_toks").over(w)
+    c = d.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        (end_tok - F.col("n_toks")).alias("start_tok"),
+        (end_tok - 1).alias("last_tok"),
+    )
+    seq_first = F.expr(f"start_tok div {PACK_B}")
+    seq_last = F.expr(f"last_tok div {PACK_B}")
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs_spanned"),
+    )

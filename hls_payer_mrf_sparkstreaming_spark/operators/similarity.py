@@ -302,3 +302,85 @@ def knn_join(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "label", "cosine_sim")
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, {_EMB_D} AS e FROM embeddings
+        ),
+        p AS (
+            SELECT vec_id, e,
+                   greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+                            1e-12) AS scale
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, e, scale,
+                   list_transform(e, x -> round(x / scale)) AS qv
+            FROM p
+        )
+        SELECT vec_id,
+               CAST(len(e) AS INT) AS n_dims,
+               CAST(floor(scale * 1000000000) AS BIGINT) AS scale_nano,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+                   AS q_l1,
+               CAST(floor(sqrt(list_reduce(
+                         list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(list_zip(e, qv),
+                                 pr -> (pr[1] - pr[2] * scale)
+                                       * (pr[1] - pr[2] * scale))),
+                         (acc, x) -> acc + x)
+                     / len(e)) * 1000000000) AS BIGINT) AS rmse_nano
+        FROM q
+    """,
+    description="symmetric int8 embedding quantization: per-vector "
+    "absmax/127 scale, elementwise round, plus reconstruction RMSE — the "
+    "compression step before shipping an embedding corpus to an ANN "
+    "index. All higher-order-function codegen (transform/aggregate), "
+    "zero shuffle, and the quantized checksums + error are bit-identical "
+    "to the oracle because both engines fold the same doubles in the "
+    "same order; float outputs are floored into integer nano-units "
+    "because Spark's round() (decimal HALF_UP on the shortest repr) and "
+    "DuckDB's (binary) disagree at decimal half boundaries",
+)
+def embedding_quantize(spark, sf_dir):
+    e = V.to_double_array("embedding")
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", e.alias("e")
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("e", F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+    p = v.select("vec_id", "e", scale.alias("scale"))
+    qv = F.transform("e", lambda x: F.round(x / F.col("scale")))
+    q = p.select("vec_id", "e", "scale", qv.alias("qv"))
+    sq_err = F.zip_with(
+        "e",
+        "qv",
+        lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
+    )
+    return q.select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        F.floor(F.col("scale") * 1_000_000_000).cast("long").alias(
+            "scale_nano"
+        ),
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + x)
+        .cast("long")
+        .alias("q_sum"),
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + F.abs(x))
+        .cast("long")
+        .alias("q_l1"),
+        F.floor(
+            F.sqrt(
+                F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x)
+                / F.size("e")
+            )
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("rmse_nano"),
+    )

@@ -283,3 +283,89 @@ def test_approx_percentile_within_rank_error(spark):
             lo = vals[max(0, target - tol)]
             hi = vals[min(n - 1, target + tol)]
             assert lo <= got <= hi, (flag, q, got, lo, hi)
+
+
+def test_chunk_sliding_covers_every_token(spark, sf_dir):
+    """Chunk windows tile the document: with stride S and width W >= S,
+    token i of an n-token doc appears in chunk floor(i/S) (and possibly
+    the previous one via overlap); the chunk count is ceil(n/S) and only
+    the final chunk may be shorter than W."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.packing import (
+        CHUNK_S,
+        CHUNK_W,
+        text_chunk_sliding,
+    )
+
+    chunks = text_chunk_sliding(spark, sf_dir)
+    ntok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("n_chunk_tokens") < CHUNK_W, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+        F.max("chunk_idx").alias("max_idx"),
+    )
+    joined = per_doc.join(ntok, "doc_id")
+    bad = joined.filter(
+        (F.col("n_chunks") != F.ceil(F.greatest("n", F.lit(1)) / CHUNK_S))
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+        # every chunk except possibly the trailing ceil(W/S - 1) may be short
+        | (F.col("n_short") > -(-CHUNK_W // CHUNK_S))
+    )
+    assert bad.count() == 0
+    assert chunks.count() > ntok.count()  # real multi-chunk docs exist
+
+
+def test_pack_sequences_prefix_sum_invariants(spark, sf_dir):
+    """Packing manifest invariants per lang shard: spans are contiguous
+    (start_tok of the next doc == start_tok + n_toks of the previous),
+    sequence ids are non-decreasing, and every span maps to the right
+    sequence range."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.packing import (
+        PACK_B,
+        pack_sequences,
+    )
+    from pyspark.sql import Window
+
+    m = pack_sequences(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    lagged = m.withColumn(
+        "prev_end", F.lag(F.col("start_tok") + F.col("n_toks")).over(w)
+    )
+    gaps = lagged.filter(
+        F.col("prev_end").isNotNull()
+        & (F.col("start_tok") != F.col("prev_end"))
+    )
+    assert gaps.count() == 0
+    wrong_seq = m.filter(
+        (F.col("seq_first") != F.floor(F.col("start_tok") / PACK_B))
+        | (
+            F.col("seq_last")
+            != F.floor((F.col("start_tok") + F.col("n_toks") - 1) / PACK_B)
+        )
+        | (F.col("n_seqs_spanned") < 1)
+    )
+    assert wrong_seq.count() == 0
+    # some docs straddle a sequence boundary at every SF
+    assert m.filter(F.col("n_seqs_spanned") > 1).count() > 0
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    """int8 range respected (|q| <= 127) and reconstruction error bounded
+    by half a quantization step (rmse <= scale/2)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    q = embedding_quantize(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert q.count() == n
+    bad = q.filter(
+        (F.col("q_l1") > 127 * F.col("n_dims"))
+        | (F.col("rmse_nano") > F.col("scale_nano") / 2 + 1)
+        | (F.col("scale_nano") <= 0)
+    )
+    assert bad.count() == 0
