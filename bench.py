@@ -62,6 +62,10 @@ HEADLINE = [
     "text_chunk_sliding",
     "pack_sequences",
     "embedding_quantize",
+    "corr_stats",
+    "bm25_search",
+    "histogram_prices",
+    "profile_columns",
 ]
 
 

@@ -1,0 +1,194 @@
+"""Feature-statistics operators computed from EXACT integer moments.
+
+Pearson correlation / covariance / OLS slope are ratios of sums; summed
+in floating point their value depends on Spark's partial-aggregation
+order. Summing exact integer units (cents for ``value``, raw ints for
+the prop) makes every moment bit-exact regardless of parallelism, and
+the final double-precision combination of six identical integers is
+identical on every engine — so even these "statistical" outputs
+hash-match the oracle. Float outputs are floored into nano-units (Spark
+and DuckDB round() disagree at decimal half boundaries; floor of an
+identical double never does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+_NANO = 1_000_000_000
+
+
+@query(
+    "corr_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM e GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(floor((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * n) * {_NANO}) AS BIGINT)
+                   AS covar_nano,
+               CAST(floor((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / sqrt((CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
+                                 * (CAST(n AS DOUBLE) * syy
+                                    - CAST(sy AS DOUBLE) * sy))
+                          * {_NANO}) AS BIGINT) AS corr_nano,
+               CAST(floor((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                          * {_NANO}) AS BIGINT) AS slope_nano
+        FROM m
+    """,
+    description="Pearson correlation, population covariance and OLS slope "
+    "of (event value in cents) vs (numeric prop) per event_type, from six "
+    "exact integer moments in ONE map-side-combinable groupBy — the "
+    "parallel-sum-order problem that makes corr()/covar_pop() "
+    "nondeterministic at scale disappears because only integers are "
+    "summed. At larger scales the moments would use DECIMAL(38,0); the "
+    "plan shape (single partial agg, no shuffle of raw rows beyond the "
+    "6-moment combine) is unchanged",
+)
+def corr_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = n * F.col("sxy") - sx * F.col("sy")
+    var_x = n * F.col("sxx") - sx * F.col("sx")
+    var_y = n * F.col("syy") - sy * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(cov_num / (n * n) * _NANO).cast("long").alias("covar_nano"),
+        F.floor(cov_num / F.sqrt(var_x * var_y) * _NANO)
+        .cast("long")
+        .alias("corr_nano"),
+        F.floor(cov_num / var_x * _NANO).cast("long").alias("slope_nano"),
+    )
+
+
+_HIST_BINS = 24
+_HIST_LO = 90000  # l_extendedprice cents range at any TPC-H SF
+_HIST_HI = 11000000
+
+
+@query(
+    "histogram_prices",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        )
+        SELECT CAST(least(greatest((cents - {_HIST_LO})
+                                   * {_HIST_BINS}
+                                   // ({_HIST_HI} - {_HIST_LO}), 0),
+                          {_HIST_BINS - 1}) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS BIGINT) AS lo_cents,
+               CAST(max(cents) AS BIGINT) AS hi_cents
+        FROM c GROUP BY 1
+    """,
+    description=f"fixed-range histogram of l_extendedprice into "
+    f"{_HIST_BINS} bins with clamped integer bin math (cents, never "
+    "floats) — one map-side-combinable groupBy over a single scanned "
+    "column; the shuffle carries at most n_bins rows per task. The "
+    "fixed [lo, hi) range makes it one-pass; a data-dependent range "
+    "would chain a broadcast min/max scalar first, same shape",
+)
+def histogram_prices(spark, sf_dir):
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    width = _HIST_HI - _HIST_LO
+    bin_ = F.least(
+        F.greatest(
+            ((cents - _HIST_LO) * _HIST_BINS - F.pmod(
+                (cents - _HIST_LO) * _HIST_BINS, width
+            )) / width,
+            F.lit(0),
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("int")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(cents.alias("cents"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@query(
+    "profile_columns",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+    description="data-profiling summary (row/null/distinct counts, "
+    "min/max) for four orders columns in ONE pass: Spark evaluates all "
+    "per-column aggregates in a single grouped aggregation (Catalyst "
+    "Expand handles the distincts), then unpivots the scalar row "
+    "driver-free with stack() — the pipeline-health check every "
+    "ingestion run needs, shuffling only aggregate state",
+)
+def profile_columns(spark, sf_dir):
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = load(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -121,6 +121,7 @@ def all_queries() -> dict[str, QueryPair]:
     import hls_payer_mrf_sparkstreaming_spark.operators.clustering  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.text_analysis  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.packing  # noqa: F401
+    import hls_payer_mrf_sparkstreaming_spark.operators.stats  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.similarity  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.multimodal  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries  # noqa: F401

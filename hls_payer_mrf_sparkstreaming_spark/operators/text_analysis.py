@@ -520,3 +520,105 @@ def decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_ngrams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_NANO = 1_000_000_000
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                   {", ".join(
+                       f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT)"
+                       f" AS tf{i}" for i, w in enumerate(_BM25_TERMS))}
+            FROM d
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS df{i}"
+                       for i in range(len(_BM25_TERMS)))}
+            FROM tf
+        )
+        SELECT doc_id,
+               CAST(floor(({" + ".join(
+                   f"(ln(1 + (CAST(n_docs AS DOUBLE) - df{i} + 0.5)"
+                   f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+                   f" * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1})"
+                   f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1}"
+                   f" * (1 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE)"
+                   f" / (CAST(total_len AS DOUBLE) / n_docs))))"
+                   for i in range(len(_BM25_TERMS)))})
+                   * {_NANO}) AS BIGINT) AS score_nano
+        FROM tf CROSS JOIN g
+        ORDER BY score_nano DESC, doc_id
+        LIMIT 20
+    """,
+    description="BM25 top-20 for a fixed query term set "
+    f"({'/'.join(_BM25_TERMS)}, k1={_BM25_K1}, b={_BM25_B}): per-doc term "
+    "frequencies come from list_filter counts in codegen (no tokenizer "
+    "explode, no per-term shuffle), the corpus stats (N, avg doclen, "
+    "per-term document frequencies) reduce to ONE broadcast scalar row, "
+    "and the per-term contributions add in a FIXED expression order so "
+    "the double-precision score is deterministic under any parallelism. "
+    "Top-k is TakeOrderedAndProject — no global sort. Scores floor into "
+    "integer nano-units for cross-engine hashing",
+)
+def bm25_search(spark, sf_dir):
+    toks = F.split("text", " ")
+    def _eq(word):
+        # 1-arg lambda factory: a second lambda param (even a default)
+        # would be interpreted by pyspark as the array index
+        return lambda x: x == F.lit(word)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(w))).cast("long").alias(f"tf{i}")
+        for i, w in enumerate(_BM25_TERMS)
+    ]
+    tf = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
+    g = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    nd = F.col("n_docs").cast("double")
+    avglen = F.col("total_len").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tfi = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}").cast("double")
+        idf = F.log(1 + (nd - dfi + 0.5) / (dfi + 0.5))
+        contrib = idf * (tfi * (_BM25_K1 + 1)) / (
+            tfi
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avglen)
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        tf.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.floor(score * _NANO).cast("long").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), "doc_id")
+        .limit(20)
+    )

@@ -110,3 +110,36 @@ def test_aggregates_have_partial_phase(spark, name):
     # without the partial phase every raw row crosses the shuffle
     p = plan(spark, name)
     assert p.count("HashAggregate") >= 2, name
+
+
+def test_chunk_and_quantize_are_shuffle_free(spark):
+    # per-row window expansion and per-vector quantization are pure
+    # projections; any exchange means they stopped being scan-bound
+    for name in ("text_chunk_sliding", "embedding_quantize"):
+        assert "Exchange" not in plan(spark, name), name
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    # one hash partitioning on the shard key feeds the prefix-sum window;
+    # a second exchange (or a global non-partitioned sort) would serialize
+    # the corpus through one task at scale
+    import re
+
+    p = plan(spark, "pack_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "hashpartitioning(lang" in p, p
+
+
+def test_corr_stats_partial_aggregation(spark):
+    # six integer moments combine map-side; only the per-event_type moment
+    # rows cross the exchange
+    p = plan(spark, "corr_stats")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_bm25_broadcasts_corpus_stats_and_takes_ordered(spark):
+    # corpus stats reduce to one broadcast row; top-k must be
+    # TakeOrderedAndProject, not a global Sort
+    p = plan(spark, "bm25_search")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "TakeOrderedAndProject" in p, p
