@@ -66,6 +66,7 @@ HEADLINE = [
     "bm25_search",
     "histogram_prices",
     "profile_columns",
+    "zorder_tiles",
 ]
 
 

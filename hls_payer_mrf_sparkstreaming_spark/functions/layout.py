@@ -38,3 +38,37 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into one
+    long — sort or range-partition by this key and 2-D-close rows land in
+    the same files, so min/max statistics prune BOTH dimensions instead of
+    just the leading sort column. Pure bit expressions in codegen (one
+    shifted term per bit), no shuffle of its own.
+    """
+    from pyspark.sql import functions as F
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        # the bit must be long BEFORE the shift: shiftleft on an int
+        # column wraps into the sign bit at position 31
+        key = (
+            key
+            + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return key
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB-SQL twin of :func:`zorder_key` (same bit-term expansion)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

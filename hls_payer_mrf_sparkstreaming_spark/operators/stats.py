@@ -192,3 +192,64 @@ def profile_columns(spark, sf_dir):
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def _zorder_oracle() -> str:
+    from hls_payer_mrf_sparkstreaming_spark.functions.layout import (
+        zorder_key_sql,
+    )
+
+    z = zorder_key_sql("x", "y")
+    return f"""
+        WITH p AS (
+            SELECT event_id,
+                   CAST(user_id & 65535 AS BIGINT) AS x,
+                   CAST(CAST(round(value * 100) AS BIGINT) & 65535 AS BIGINT)
+                       AS y
+            FROM events
+        ),
+        z AS (SELECT event_id, x, y, CAST({z} AS BIGINT) AS zkey FROM p)
+        SELECT CAST(zkey >> 20 AS BIGINT) AS tile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+               CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+        FROM z GROUP BY 1
+    """
+
+
+@query(
+    "zorder_tiles",
+    oracle=_zorder_oracle(),
+    description="Z-order (Morton) layout key: interleave two 16-bit "
+    "dimensions into one sortable long, then aggregate per 2^20-key tile "
+    "to expose each tile's (x, y) bounding box — the box areas are what "
+    "parquet min/max stats prune on after a zorder-sorted write, giving "
+    "data skipping on BOTH dimensions. The key is pure bit expressions "
+    "in codegen; the tile rollup is one map-side-combinable groupBy. "
+    "Pairs with functions/layout.py write_partitioned for the full "
+    "cluster-then-write path",
+)
+def zorder_tiles(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.functions.layout import zorder_key
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id").bitwiseAND(F.lit(65535))).alias("x"),
+        (
+            F.round(F.col("value") * 100)
+            .cast("long")
+            .bitwiseAND(F.lit(65535))
+        ).alias("y"),
+    )
+    z = e.select("event_id", "x", "y", zorder_key("x", "y").alias("zkey"))
+    return (
+        z.select(F.shiftright("zkey", 20).alias("tile"), "x", "y")
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )

@@ -66,3 +66,34 @@ def test_readback_filter_is_partition_pruned(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[.*?\]", p)
     assert m, p
     assert re.search(r"lang#\d+ = en", m.group(0)), m.group(0)
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """Bit-exact check of the Morton interleave against a Python
+    reference over a deterministic (x, y) grid, including 16-bit
+    extremes."""
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.functions.layout import (
+        zorder_key,
+    )
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 254, 32768, 65535)]
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key("x", "y").alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+    # locality sanity: the max key is the full 32-bit square's corner
+    assert got[(65535, 65535)] == (1 << 32) - 1
