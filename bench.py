@@ -67,6 +67,8 @@ HEADLINE = [
     "histogram_prices",
     "profile_columns",
     "zorder_tiles",
+    "scd2_intervals",
+    "fuzzy_match_names",
 ]
 
 

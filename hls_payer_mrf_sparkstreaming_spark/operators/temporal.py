@@ -220,3 +220,59 @@ def attribution_join(spark, sf_dir):
             "purchase_value",
         )
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+        WITH h AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_type,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS version,
+                   lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to_us
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, version, ts_us AS valid_from_us,
+               coalesce(valid_to_us, 253402300800000000) AS valid_to_us,
+               CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current,
+               value_cents
+        FROM h
+    """,
+    description="SCD Type-2 history build: each user's purchase events "
+    "become versioned validity intervals — valid_from = event time, "
+    "valid_to = next event's time via lead(), open intervals closed with "
+    "a far-future sentinel, is_current flag on the last version. One "
+    "window per user partition over skinny rows; the standard "
+    "slowly-changing-dimension snapshot a warehouse derives from CDC "
+    "feeds, exact in integer microseconds/cents",
+)
+def scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    far_future = 253402300800000000  # year 10000 in epoch micros
+    h = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.row_number().over(w).alias("version"),
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("valid_to_raw"),
+        )
+    )
+    return h.select(
+        "user_id",
+        "version",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce("valid_to_raw", F.lit(far_future)).alias("valid_to_us"),
+        F.col("valid_to_raw").isNull().alias("is_current"),
+        "value_cents",
+    )
