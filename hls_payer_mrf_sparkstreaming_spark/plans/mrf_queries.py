@@ -43,11 +43,40 @@ def mrf_bronze(spark, sf_dir):
     return df.groupBy("header_key").agg(F.count("*").alias("n_chunks"))
 
 
+def _silver_prices_oracle() -> str:
+    # DuckDB parses the SAME fixture json directly — a semantic
+    # cross-check of the whole chunker -> source -> silver pipeline
+    # against an independent JSON reader, not just an invariant test.
+    # fixture_path() also guarantees the file exists before the driver
+    # runs the oracle side.
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_path()}')
+        ),
+        rates AS (
+            SELECT unnest(item.negotiated_rates) AS r FROM items
+        ),
+        pr AS (
+            SELECT unnest(r.negotiated_prices) AS p FROM rates
+        )
+        SELECT p.billing_class AS billing_class,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               min(p.negotiated_rate) AS min_rate,
+               max(p.negotiated_rate) AS max_rate
+        FROM pr
+        WHERE p.negotiated_type = 'negotiated'
+        GROUP BY 1
+    """
+
+
 @query(
     "mrf_silver_prices",
-    oracle=None,  # covered by tests/test_silver.py count/key invariants
+    oracle=_silver_prices_oracle(),
     description="bronze->silver explode pipeline: negotiated prices by "
-    "billing_class",
+    "billing_class — oracled by DuckDB read_json over the same fixture "
+    "file, proving the byte-chunker + Spark source + silver explode "
+    "chain equals an independent JSON parse",
 )
 def mrf_silver_prices(spark, sf_dir):
     t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
@@ -80,10 +109,74 @@ def _shoppable_params(t, path: str) -> tuple[str, str]:
     return _gold_params[path]
 
 
+def _gold_oracle() -> str:
+    # Full semantic twin of the gold query in DuckDB, from the raw fixture
+    # JSON: same explodes, same 4-way join keyed on (item, rate) position,
+    # and the SAME deterministic parameter pick (lexicographic minimum
+    # (billing_code, tin_value) over the joined space) as
+    # _shoppable_params. Complex outputs are JSON-serialized on both
+    # sides, so the driver canonicalizer can hash them.
+    return f"""
+        WITH src AS (SELECT * FROM read_json('{fixture_path()}')),
+        items AS (
+            SELECT unnest(in_network) AS item,
+                   generate_subscripts(in_network, 1) AS item_pos
+            FROM src
+        ),
+        rates AS (
+            SELECT item, item_pos,
+                   unnest(item.negotiated_rates) AS r,
+                   generate_subscripts(item.negotiated_rates, 1) AS rate_pos
+            FROM items
+        ),
+        par AS (
+            SELECT item_pos, rate_pos,
+                   unnest(r.provider_references) AS pref
+            FROM rates
+        ),
+        prices AS (
+            SELECT item, item_pos, rate_pos,
+                   unnest(r.negotiated_prices) AS p
+            FROM rates
+        ),
+        pxp AS (
+            SELECT pr.provider_group_id AS pgid,
+                   unnest(pr.provider_groups) AS g
+            FROM (SELECT unnest(provider_references) AS pr FROM src)
+        ),
+        params AS (
+            SELECT prices.item.billing_code AS bc, g.tin.value AS tv
+            FROM par
+            JOIN prices USING (item_pos, rate_pos)
+            JOIN pxp ON par.pref = pxp.pgid
+            WHERE p.negotiated_type = 'negotiated'
+            ORDER BY 1, 2 LIMIT 1
+        )
+        SELECT prices.item.billing_code AS billing_code,
+               prices.item.description AS description,
+               p.billing_class AS billing_class,
+               to_json(p.billing_code_modifier) AS billing_code_modifier,
+               to_json(p.service_code) AS service_code,
+               p.negotiated_rate AS negotiated_rate,
+               to_json(g.npi) AS npi,
+               to_json(g.tin) AS tin
+        FROM par
+        JOIN prices USING (item_pos, rate_pos)
+        JOIN pxp ON par.pref = pxp.pgid
+        CROSS JOIN params
+        WHERE p.negotiated_type = 'negotiated'
+          AND prices.item.negotiation_arrangement = 'ffs'
+          AND prices.item.billing_code = params.bc
+          AND g.tin.value = params.tv
+    """
+
+
 @query(
     "mrf_gold_shoppable",
-    oracle=None,  # covered by tests/test_silver.py gold parity on CMS sample
-    description="gold shoppable-price query (4-way join, parameterized)",
+    oracle=_gold_oracle(),
+    description="gold shoppable-price query (4-way join, parameterized) — "
+    "oracled end-to-end by a DuckDB read_json twin with the same "
+    "deterministic parameter discovery",
 )
 def mrf_gold_shoppable(spark, sf_dir):
     p = fixture_path()

@@ -65,10 +65,27 @@ def variant_codes(bronze: DataFrame) -> DataFrame:
     )
 
 
+def _variant_codes_oracle() -> str:
+    from hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries import (
+        fixture_path,
+    )
+
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_path()}')
+        )
+        SELECT item.negotiation_arrangement AS negotiation_arrangement,
+               item.billing_code_type AS billing_code_type,
+               CAST(count(*) AS BIGINT) AS n_codes,
+               CAST(sum(len(item.negotiated_rates)) AS BIGINT) AS n_rates
+        FROM items GROUP BY 1, 2
+    """
+
+
 @query(
     "mrf_variant_codes",
-    oracle=None,  # engine-specific source; parity vs pinned-schema silver
-    # is proved in tests/test_variant.py
+    oracle=_variant_codes_oracle(),
     description="schema-free silver via VariantType: parse_json once, "
     "variant_get path extraction (lazy, shredded decode — unqueried "
     "subtrees never materialize), no inference pass and no pinned schema; "
