@@ -69,6 +69,7 @@ HEADLINE = [
     "zorder_tiles",
     "scd2_intervals",
     "fuzzy_match_names",
+    "drift_ks",
 ]
 
 

@@ -253,3 +253,85 @@ def zorder_tiles(spark, sf_dir):
             F.max("y").alias("y_hi"),
         )
     )
+
+
+_KS_BIN = 100  # cents per bucket: bounds the CDF domain at any scale
+
+
+@query(
+    "drift_ks",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CAST(round(value * 100) AS BIGINT) // {_KS_BIN} AS bucket,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+            FROM events
+        ),
+        per AS (
+            SELECT bucket,
+                   CAST(sum(is_a) AS BIGINT) AS na,
+                   CAST(sum(1 - is_a) AS BIGINT) AS nb
+            FROM tagged GROUP BY bucket
+        ),
+        cum AS (
+            SELECT bucket,
+                   sum(na) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS ca,
+                   sum(nb) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS cb,
+                   sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+            FROM per
+        )
+        SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+               CAST(max(ta * tb) AS BIGINT) AS ks_den,
+               CAST(floor(CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE)
+                          / max(ta * tb) * {_NANO}) AS BIGINT) AS ks_nano,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM cum
+    """,
+    description="two-sample Kolmogorov-Smirnov drift statistic between "
+    "the even- and odd-user event-value distributions, in EXACT integer "
+    "arithmetic: bucket counts (map-side combinable groupBy) -> "
+    "cumulative counts -> KS numerator max|ca*tb - cb*ta| as integers, "
+    "divided once at the end — no floating-point CDF accumulation to "
+    "drift under parallelism. The cumsum window runs over the bounded "
+    f"bucket domain (cents // {_KS_BIN}), a few thousand rows at ANY "
+    "data scale, so the single-partition window is trivially safe — the "
+    "standard train/serve distribution-shift monitor",
+)
+def drift_ks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tagged = load(spark, sf_dir, "events").select(
+        F.expr(f"CAST(round(value * 100) AS BIGINT) div {_KS_BIN}").alias(
+            "bucket"
+        ),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    per = tagged.groupBy("bucket").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "bucket",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    diff = F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+    return cum.agg(
+        F.max(diff).alias("ks_num"),
+        F.max(F.col("ta") * F.col("tb")).alias("ks_den"),
+        F.floor(
+            F.max(diff).cast("double")
+            / F.max(F.col("ta") * F.col("tb"))
+            * _NANO
+        )
+        .cast("long")
+        .alias("ks_nano"),
+        F.count("*").alias("n_buckets"),
+    )

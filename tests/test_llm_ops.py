@@ -369,3 +369,63 @@ def test_embedding_quantize_bounds(spark, sf_dir):
         | (F.col("scale_nano") <= 0)
     )
     assert bad.count() == 0
+
+
+def test_chunk_sliding_reconstructs_documents(spark, sf_dir):
+    """Losslessness: the sliding windows reassemble into the exact
+    original document — take chunk 0 whole, then each later chunk's
+    final stride-worth of tokens; the concatenation must fingerprint-
+    match the source text."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.packing import (
+        CHUNK_S,
+        CHUNK_W,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_S)
+    )
+    chunks = docs.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_idx", "start")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(F.col("t"), F.col("start"), CHUNK_W).alias("chunk"),
+    )
+    # tail of each chunk beyond the overlap with its predecessor
+    tail = F.when(
+        F.col("chunk_idx") == 0, F.col("chunk")
+    ).otherwise(
+        F.slice(
+            F.col("chunk"),
+            CHUNK_W - CHUNK_S + 1,
+            F.greatest(
+                F.size("chunk") - (CHUNK_W - CHUNK_S), F.lit(0)
+            ),
+        )
+    )
+    rebuilt = (
+        chunks.select("doc_id", "chunk_idx", tail.alias("tail"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "tail"))
+            ).alias("parts")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.flatten(F.transform("parts", lambda p: p["tail"])),
+            ).alias("rebuilt"),
+        )
+    )
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text")
+    )
+    bad = rebuilt.join(orig, "doc_id").filter(
+        F.md5("rebuilt") != F.md5("text")
+    )
+    assert bad.count() == 0

@@ -143,3 +143,27 @@ def test_bm25_broadcasts_corpus_stats_and_takes_ordered(spark):
     p = plan(spark, "bm25_search")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_scd2_single_user_exchange(spark):
+    # one hash partitioning on user_id feeds both window functions
+    import re
+
+    p = plan(spark, "scd2_intervals")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_fuzzy_match_joins_on_block_key(spark):
+    # the levenshtein filter must ride an equi-join on the blocking key,
+    # never a cartesian product
+    p = plan(spark, "fuzzy_match_names")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_drift_ks_aggregates_before_cdf_window(spark):
+    # raw rows reduce to bounded bucket counts (partial agg) before any
+    # window; the single-partition cumsum sees only bucket rows
+    p = plan(spark, "drift_ks")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" in p, p
