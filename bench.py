@@ -70,6 +70,8 @@ HEADLINE = [
     "scd2_intervals",
     "fuzzy_match_names",
     "drift_ks",
+    "text_repetition",
+    "corpus_mix",
 ]
 
 

@@ -622,3 +622,120 @@ def bm25_search(spark, sf_dir):
         .orderBy(F.desc("score_nano"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   list_transform(
+                       range(1, greatest(len(toks), 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                   ) AS g2,
+                   list_transform(
+                       range(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS g3
+            FROM t WHERE len(toks) >= 3
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(len(g2) - len(list_distinct(g2)) AS INT) AS dup_2grams,
+               CAST(len(g3) - len(list_distinct(g3)) AS INT) AS dup_3grams,
+               CAST(floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                          / len(g2) * 1000000) AS BIGINT) AS dup2_ppm
+        FROM g
+    """,
+    description="within-document repetition scoring (the Gopher "
+    "repetition-removal gate): duplicate 2-gram / 3-gram counts and the "
+    "duplicate-2-gram fraction in parts-per-million — shingles built "
+    "with transform over a per-row sequence and deduped with "
+    "array_distinct, all in codegen; zero shuffle, scan-bound at any "
+    "corpus size",
+)
+def text_repetition(spark, sf_dir):
+    toks = F.split("text", " ")
+
+    def grams(n):
+        return F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks") - (n - 1), F.lit(1)),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            grams(2).alias("g2"),
+            grams(3).alias("g3"),
+        )
+    )
+    dup2 = F.size("g2") - F.size(F.array_distinct("g2"))
+    dup3 = F.size("g3") - F.size(F.array_distinct("g3"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        dup2.alias("dup_2grams"),
+        dup3.alias("dup_3grams"),
+        F.floor(dup2.cast("double") / F.size("g2") * 1_000_000)
+        .cast("long")
+        .alias("dup2_ppm"),
+    )
+
+
+@query(
+    "corpus_mix",
+    oracle="""
+        WITH d AS (
+            SELECT source, lang,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        g AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source, lang
+        ),
+        t AS (SELECT sum(n_tokens) AS total FROM g)
+        SELECT source, lang, n_docs, n_tokens,
+               CAST(floor(CAST(n_tokens AS DOUBLE) / total * 1000000)
+                    AS BIGINT) AS token_share_ppm
+        FROM g CROSS JOIN t
+    """,
+    description="training-mix report: document and token counts per "
+    "(source, lang) stratum with each stratum's token share in ppm — "
+    "the artifact a data-mixing run is steered by. One partial-agg "
+    "groupBy plus a broadcast scalar total; exact integer token counts "
+    "so shares are engine-identical",
+)
+def corpus_mix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    t = g.agg(F.sum("n_tokens").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("n_tokens").cast("double") / F.col("total") * 1_000_000
+        )
+        .cast("long")
+        .alias("token_share_ppm"),
+    )
