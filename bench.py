@@ -72,6 +72,7 @@ HEADLINE = [
     "drift_ks",
     "text_repetition",
     "corpus_mix",
+    "multimodal_audio_energy",
 ]
 
 

@@ -216,3 +216,108 @@ def multimodal_framesample(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return sample_frames(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Audio-style windowed energy over binary payloads
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 64  # samples per analysis window
+AUDIO_HOP = 32  # hop between window starts
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def windowed_energy(
+    blobs: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Audio-feature shape: sliding-window energy over a (doc_id, blob)
+    PCM-like payload via Arrow-batched mapInPandas. The kernel treats
+    each byte as an unsigned 8-bit sample, centers at 128, and emits one
+    row per hop with the window's exact integer sum of squares — numpy
+    vectorized per batch, one Python crossing per Arrow batch. A real
+    pipeline swaps the byte view for a soundfile/librosa decode with the
+    identical (blob in, feature rows out) contract; the deterministic
+    stand-in kernel is what lets a DuckDB code-point oracle verify the
+    distributed plumbing bit-exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, winidx, counts, energies = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                samples = (
+                    np.frombuffer(bytes(blob), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
+                )
+                n = len(samples)
+                k = 0
+                for start in range(0, max(n, 1), hop):
+                    w = samples[start : start + win]
+                    ids.append(doc_id)
+                    winidx.append(k)
+                    counts.append(len(w))
+                    energies.append(int((w * w).sum()))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": winidx,
+                    "n_samples": counts,
+                    "energy": energies,
+                }
+            )
+
+    return blobs.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                       greatest(CAST(ceil(length(text)
+                                          / {AUDIO_HOP}.0) AS BIGINT), 1)))
+                       AS win_idx
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, win_idx,
+                   substring(text, win_idx * {AUDIO_HOP} + 1, {AUDIO_WIN})
+                       AS chunk
+            FROM w
+        )
+        SELECT doc_id, win_idx,
+               CAST(length(chunk) AS BIGINT) AS n_samples,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(chunk) + 1),
+                           j -> CAST((unicode(substring(chunk, j, 1)) - 128)
+                                     * (unicode(substring(chunk, j, 1)) - 128)
+                                     AS BIGINT))),
+                   (a, x) -> a + x) AS BIGINT) AS energy
+        FROM win
+    """,
+    description="audio-style windowed energy: 64-sample windows at hop 32 "
+    "over binary payloads through Arrow-batched mapInPandas (numpy "
+    "sum-of-squares per window, exact integers) — the spectral-feature "
+    "extraction shape for an audio corpus; the ASCII corpus makes byte "
+    "values equal code points, so a DuckDB substring/unicode oracle "
+    "replays the kernel exactly and proves the batch plumbing",
+)
+def multimodal_audio_energy(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return windowed_energy(blobs)
