@@ -167,3 +167,17 @@ def test_drift_ks_aggregates_before_cdf_window(spark):
     p = plan(spark, "drift_ks")
     assert p.count("HashAggregate") >= 2, p
     assert "Window" in p, p
+
+
+def test_operator_catalog_is_current():
+    # OPERATORS.md is generated from the registry; fail if it drifts
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.docs import render_operator_table
+
+    path = os.path.join(os.path.dirname(__file__), "..", "OPERATORS.md")
+    with open(path) as f:
+        assert f.read() == render_operator_table(), (
+            "OPERATORS.md is stale — regenerate with "
+            "`python -m hls_payer_mrf_sparkstreaming_spark.docs`"
+        )
