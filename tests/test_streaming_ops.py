@@ -1,6 +1,8 @@
 """Streaming operators: prove stream results == batch results on the same
 input (the check the reference never does — SURVEY.md Tier C)."""
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -196,3 +198,63 @@ def test_attribution_stream_equals_batch(
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_continuous_silver_foreachbatch_equals_batch(spark, mrf_file, tmp_path):
+    """Continuous ETL: bronze -> silver INSIDE the stream (foreachBatch),
+    multiple micro-batches forced via maxchunksperbatch — the appended
+    silver tables must equal the direct batch build row-for-row, proving
+    batch boundaries can't split/duplicate any silver row and surrogate
+    keys survive incremental processing."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
+    from hls_payer_mrf_sparkstreaming_spark.streaming.silver_stream import (
+        SILVER_TABLES,
+        read_silver,
+        stream_silver_continuous,
+    )
+
+    out = str(tmp_path / "silver_stream")
+    q = stream_silver_continuous(
+        spark,
+        mrf_file,
+        out,
+        str(tmp_path / "ck_silver"),
+        trigger_interval="200 milliseconds",
+        chunktargetbytes=2048,
+        maxchunksperbatch=3,
+        includeoffsets="true",
+    )
+    batch = build_silver(spark, mrf_file, chunktargetbytes=2048)
+    try:
+        expected = batch.prices.count()
+        deadline = time.time() + 180
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(f"{out}/prices").count()
+            except Exception:  # sink dir not created yet
+                n = 0
+            if n == expected:
+                time.sleep(1.0)
+                break
+            time.sleep(0.5)
+        assert n == expected, f"stream drained {n}/{expected} price rows"
+        batches = [
+            p["batchId"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        assert len(set(batches)) >= 2, batches
+    finally:
+        q.stop()
+    streamed = read_silver(spark, out)
+    for name in SILVER_TABLES:
+        got = {
+            tuple(str(c) for c in r) for r in streamed[name].collect()
+        }
+        want = {
+            tuple(str(c) for c in r)
+            for r in getattr(batch, name).collect()
+        }
+        assert got == want, name
+        assert got, name
