@@ -1,0 +1,393 @@
+"""Retrieval-pipeline operators beyond single-ranker BM25: hybrid rank
+fusion, corpus n-gram statistics, unigram-LM document scoring, and
+training-shard manifests.
+
+These are the remaining pieces of a retrieval / data-curation loop over a
+large corpus: score documents two ways and fuse the rankings (RRF — the
+standard hybrid-search combiner), report the corpus's dominant n-grams,
+score every document under a corpus-derived unigram language model (the
+cheap stand-in for "perplexity filtering"), and emit the shard manifest a
+training job reads.
+
+Scale discipline: every ranker reduces to TakeOrderedAndProject top-k
+(never a global sort), fused lists are tiny and joined broadcast, the LM
+vocabulary is a broadcast top-V table, and all scores land in integer
+nano-units so both engines hash identically.
+
+No reference counterpart (net-new LLM-pipeline surface per SURVEY.md §2
+Tier C / BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
+    md5u60,
+    md5u60_sql,
+)
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+
+_TERMS = ["spark", "window", "merge"]
+_K1 = 1.2
+_B = 0.75
+_NANO = 1_000_000_000
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_FUSE_DEPTH = 50  # per-ranker candidate depth fed into fusion
+_VOCAB_V = 256  # unigram-LM vocabulary size
+_N_SHARDS = 64
+
+
+def _term_stats(spark, sf_dir):
+    """One scan of documents -> (doc_id, dl, tf0..tfN) plus the broadcast
+    corpus-stats row (n_docs, total_len, df0..dfN). Shared by both rankers
+    so the hybrid query reads the corpus exactly once."""
+    toks = F.split("text", " ")
+
+    def _eq(word):
+        # 1-arg lambda factory: a second lambda param (even a default)
+        # would be interpreted by pyspark as the array index
+        return lambda x: x == F.lit(word)
+
+    tf = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(w))).cast("long").alias(f"tf{i}")
+            for i, w in enumerate(_TERMS)
+        ],
+    )
+    g = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_TERMS))
+        ],
+    )
+    return tf, g
+
+
+def _bm25_nano():
+    """BM25 score expression over a _term_stats row, in fixed term order."""
+    nd = F.col("n_docs").cast("double")
+    avglen = F.col("total_len").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_TERMS)):
+        tfi = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}").cast("double")
+        idf = F.log(1 + (nd - dfi + 0.5) / (dfi + 0.5))
+        contrib = idf * (tfi * (_K1 + 1)) / (
+            tfi + _K1 * (1 - _B + _B * F.col("dl").cast("double") / avglen)
+        )
+        score = contrib if score is None else score + contrib
+    return F.floor(score * _NANO).cast("long")
+
+
+def _tfidf_nano():
+    """Length-normalized TF-IDF score expression over a _term_stats row —
+    a deliberately different ranker shape from BM25 (no saturation), so
+    the fused list is a genuine hybrid."""
+    nd = F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_TERMS)):
+        tfi = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}").cast("double")
+        contrib = (
+            tfi / F.col("dl").cast("double") * F.log(nd / (1 + dfi))
+        )
+        score = contrib if score is None else score + contrib
+    return F.floor(score * _NANO).cast("long")
+
+
+def _sql_tf_cte():
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
+        for i, w in enumerate(_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(_TERMS))
+    )
+    return f"""
+        d AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_cols} FROM d
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len, {df_cols}
+            FROM tf
+        )
+    """
+
+
+def _sql_bm25_nano():
+    return f"""CAST(floor(({" + ".join(
+        f"(ln(1 + (CAST(n_docs AS DOUBLE) - df{i} + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {_K1 + 1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_K1}"
+        f" * (1 - {_B} + {_B} * CAST(dl AS DOUBLE)"
+        f" / (CAST(total_len AS DOUBLE) / n_docs))))"
+        for i in range(len(_TERMS)))})
+        * {_NANO}) AS BIGINT)"""
+
+
+def _sql_tfidf_nano():
+    return f"""CAST(floor(({" + ".join(
+        f"(CAST(tf{i} AS DOUBLE) / CAST(dl AS DOUBLE)"
+        f" * ln(CAST(n_docs AS DOUBLE) / (1 + df{i})))"
+        for i in range(len(_TERMS)))})
+        * {_NANO}) AS BIGINT)"""
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=f"""
+        WITH {_sql_tf_cte()},
+        scored AS (
+            SELECT doc_id, {_sql_bm25_nano()} AS bm25_nano,
+                   {_sql_tfidf_nano()} AS tfidf_nano
+            FROM tf CROSS JOIN g
+        ),
+        ra AS (
+            SELECT doc_id, row_number() OVER (
+                       ORDER BY bm25_nano DESC, doc_id) AS rnk
+            FROM scored ORDER BY bm25_nano DESC, doc_id LIMIT {_FUSE_DEPTH}
+        ),
+        rb AS (
+            SELECT doc_id, row_number() OVER (
+                       ORDER BY tfidf_nano DESC, doc_id) AS rnk
+            FROM scored ORDER BY tfidf_nano DESC, doc_id LIMIT {_FUSE_DEPTH}
+        )
+        SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+               CAST(coalesce(CAST(floor({_NANO} / ({_RRF_K} + ra.rnk))
+                                  AS BIGINT), 0)
+                    + coalesce(CAST(floor({_NANO} / ({_RRF_K} + rb.rnk))
+                                    AS BIGINT), 0) AS BIGINT) AS rrf_nano
+        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        ORDER BY rrf_nano DESC, doc_id
+        LIMIT 20
+    """,
+    description="hybrid retrieval via reciprocal rank fusion: BM25 and "
+    "length-normalized TF-IDF rankers share ONE corpus scan (tf table + "
+    "broadcast stats row computed once), each ranker's top-50 comes from "
+    "TakeOrderedAndProject (never a global sort), and fusion is a "
+    f"full-outer join of two 50-row lists scoring 1e9/({_RRF_K}+rank) per "
+    "list in integer nano-units. At 100 TB only the two top-k reductions "
+    "touch the corpus; fusion cost is constant",
+)
+def rank_fusion_rrf(spark, sf_dir):
+    tf, g = _term_stats(spark, sf_dir)
+    scored = tf.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        _bm25_nano().alias("bm25_nano"),
+        _tfidf_nano().alias("tfidf_nano"),
+    )
+    # compute both scores in one pass over the corpus, then reduce twice
+    scored = scored.persist()
+
+    def top_ranked(col):
+        # orderBy+limit -> TakeOrderedAndProject; the row_number window
+        # then runs on the collected 50-row list (single tiny partition)
+        top = scored.orderBy(F.desc(col), "doc_id").limit(_FUSE_DEPTH)
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc(col), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).alias("rnk")
+        )
+
+    ra = top_ranked("bm25_nano").alias("ra")
+    rb = top_ranked("tfidf_nano").alias("rb")
+    rrf = (
+        F.coalesce(
+            F.floor(F.lit(_NANO) / (_RRF_K + F.col("ra.rnk"))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        + F.coalesce(
+            F.floor(F.lit(_NANO) / (_RRF_K + F.col("rb.rnk"))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    ).cast("long")
+    return (
+        ra.join(rb, F.col("ra.doc_id") == F.col("rb.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("ra.doc_id"), F.col("rb.doc_id")).alias(
+                "doc_id"
+            ),
+            rrf.alias("rrf_nano"),
+        )
+        .orderBy(F.desc("rrf_nano"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "ngram_counts",
+    oracle="""
+        WITH t AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        grams AS (
+            SELECT unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   )) AS gram
+            FROM t
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY gram
+        ORDER BY n DESC, gram
+        LIMIT 50
+    """,
+    description="corpus-level top-50 3-gram frequency table (the n-gram "
+    "statistics a contamination check or LM-smoothing table is built "
+    "from): shingles assembled per row with transform over sequence "
+    "(codegen, no shuffle), counted with one partially-aggregated "
+    "groupBy, top-k via TakeOrderedAndProject — output size is constant "
+    "regardless of corpus size",
+)
+def ngram_counts(spark, sf_dir):
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(50)
+    )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT {_VOCAB_V}
+        ),
+        vl AS (
+            SELECT tok,
+                   CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * {_NANO})
+                        AS BIGINT) AS lp
+            FROM v CROSS JOIN tot
+        ),
+        s AS (
+            SELECT t.doc_id,
+                   coalesce(vl.lp,
+                            CAST(floor(ln(0.5 / total) * {_NANO})
+                                 AS BIGINT)) AS lp
+            FROM t CROSS JOIN tot LEFT JOIN vl ON t.tok = vl.tok
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp) AS BIGINT) AS sum_logprob_nano,
+               CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS avg_logprob_nano
+        FROM s GROUP BY doc_id
+    """,
+    description="unigram language-model scoring — the cheap stand-in for "
+    "perplexity-based quality filtering: the LM is the corpus's own "
+    f"top-{_VOCAB_V} token distribution (one partially-aggregated count "
+    "+ TakeOrderedAndProject), per-token log-probs are FLOORED INTO "
+    "INTEGER NANO-UNITS inside the vocabulary table so per-document sums "
+    "are exact integers under any execution order; out-of-vocabulary "
+    "tokens get the fixed ln(0.5/total) floor. Documents join the "
+    "vocabulary BROADCAST (a 256-row dim) — at 100 TB the only wide ops "
+    "are the vocab count and the per-doc re-aggregation",
+)
+def unigram_logprob_score(spark, sf_dir):
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .persist()
+    )
+    tot = t.agg(F.count("*").cast("long").alias("total"))
+    v = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_VOCAB_V)
+    )
+    vl = v.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total")) * _NANO
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    oov = F.floor(F.log(0.5 / F.col("total")) * _NANO).cast("long")
+    s = (
+        t.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(vl), "tok", "left")
+        .select("doc_id", F.coalesce(F.col("lp"), oov).alias("lp"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").cast("long").alias("sum_logprob_nano"),
+        F.floor(F.sum("lp").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("avg_logprob_nano"),
+    )
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+        SELECT ({md5u60_sql("CAST(doc_id AS VARCHAR)")}) % {_N_SHARDS}
+                   AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    description=f"training-shard manifest: every document lands in one of "
+    f"{_N_SHARDS} shards by the cross-engine md5-60 hash of its id "
+    "(deterministic, rebalance-stable), and the manifest row per shard "
+    "carries doc/byte/token totals plus the id range — what a training "
+    "loader consumes to plan epochs. One partially-aggregated groupBy "
+    "over a scan; the hash gate means adding files never reshuffles "
+    "existing shard membership",
+)
+def shard_manifest(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.pmod(
+                md5u60(F.col("doc_id").cast("string")), F.lit(_N_SHARDS)
+            ).alias("shard"),
+            F.octet_length("text").alias("nb"),
+            F.size(F.split("text", " ")).alias("nt"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )

@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QueryPair]:
     import hls_payer_mrf_sparkstreaming_spark.operators.stats  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.similarity  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.multimodal  # noqa: F401
+    import hls_payer_mrf_sparkstreaming_spark.operators.retrieval  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.variant  # noqa: F401
 
