@@ -1,0 +1,86 @@
+"""Incremental exact dedup over a document stream: first arrival wins.
+
+A training-data pipeline rarely sees its corpus at once — crawl drops land
+over days, and "dedupe the new files against everything already accepted"
+is the operation that keeps the corpus clean without ever reprocessing it.
+This is that operator: a ``foreachBatch`` loop that maintains a
+fingerprint store and lets a document through only if its content hash has
+never been seen (earlier batch OR earlier row of the same batch).
+
+Per micro-batch (all digest-width shuffles — text never shuffles):
+
+1. fingerprint every doc: ``fp = md5(text)``;
+2. within-batch survivorship: keep the min-id row per fp (one window over
+   the batch, partitioned by fp);
+3. cross-batch: left-anti join the batch against the accumulated fp store;
+4. append survivors to ``out/docs`` and their fps to ``out/fps``.
+
+Scale notes. The store side of the anti-join carries 16-byte digests, not
+text, and Spark hash-partitions both sides on fp — at 100 TB you would
+bucket ``out/fps`` by fp (functions/bucketing.py) so the anti-join stops
+shuffling the store, and use a transactional table (Delta MERGE) instead
+of parquet appends for exactly-once batch retries; with plain parquet a
+retried partially-written batch is at-least-once. The semantics here are
+arrival-order-dependent by design (first arrival wins) — tests/\
+test_streaming_ops.py pins delivery order and proves streamed survivors
+== the batch min-id dedup of the same corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_corpus_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-batch survivorship: min-id row per md5(text) fingerprint."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        batch.withColumn("fp", F.md5(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stream_dedup_corpus(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Start the incremental-dedup stream over a parquet document source
+    and return the streaming query (``availableNow`` — drains then stops).
+    Survivor docs land in ``out_dir/docs``, their fingerprints (the
+    accepted-corpus state) in ``out_dir/fps``."""
+    docs_dir = os.path.join(out_dir, "docs")
+    fps_dir = os.path.join(out_dir, "fps")
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        fresh = dedup_corpus_batch(batch, id_col, text_col)
+        try:
+            seen = spark.read.parquet(fps_dir).select("fp")
+            fresh = fresh.join(seen, "fp", "left_anti")
+        except Exception:  # first batch: no store yet
+            pass
+        # two actions on the (small) survivor set: materialize once
+        fresh = fresh.persist()
+        fresh.drop("fp").write.mode("append").parquet(docs_dir)
+        fresh.select("fp").write.mode("append").parquet(fps_dir)
+        fresh.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -258,3 +258,72 @@ def test_continuous_silver_foreachbatch_equals_batch(spark, mrf_file, tmp_path):
         }
         assert got == want, name
         assert got, name
+
+
+def test_incremental_corpus_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental exact dedup: three document drops arrive as separate
+    micro-batches (duplicates planted within AND across drops); the
+    streamed survivor set must equal the batch min-id dedup of the whole
+    corpus, because delivery order is pinned to doc_id order."""
+    import os
+    import time as _t
+
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+        dedup_corpus_batch,
+        stream_dedup_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = [(r["doc_id"], r["text"]) for r in docs.limit(30).collect()]
+    n0 = max(d for d, _ in base) + 1
+    # drop 1: originals; drop 2: half are replays of drop 1; drop 3: new
+    # docs plus an intra-batch duplicate pair
+    drops = [
+        base,
+        [(n0 + i, t) for i, (_, t) in enumerate(base[:15])]
+        + [(n0 + 100 + i, f"fresh {i} text") for i in range(5)],
+        [(n0 + 200, "late dup"), (n0 + 201, "late dup"),
+         (n0 + 202, base[0][1])],
+    ]
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i, rows in enumerate(drops):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = next(
+            p for p in os.listdir(staged) if p.endswith(".parquet")
+        )
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        # FileStreamSource orders files by modification time: pin it
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "dedup_out"
+    q = stream_dedup_corpus(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_dedup")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    all_docs = spark.createDataFrame(
+        [r for rows in drops for r in rows], "doc_id: long, text: string"
+    )
+    want = {
+        (r["doc_id"], r["text"])
+        for r in dedup_corpus_batch(all_docs, "doc_id", "text")
+        .drop("fp")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(out / "docs")).collect()
+    }
+    assert got == want
+    # replays and intra-batch dups were actually suppressed
+    assert len(got) == 30 + 5 + 1
+    fps = spark.read.parquet(str(out / "fps"))
+    assert fps.count() == fps.distinct().count() == len(got)
