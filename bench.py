@@ -73,6 +73,12 @@ HEADLINE = [
     "text_repetition",
     "corpus_mix",
     "multimodal_audio_energy",
+    "rank_fusion_rrf",
+    "ngram_counts",
+    "unigram_logprob_score",
+    "shard_manifest",
+    "tokenize_pad_ids",
+    "quality_funnel",
 ]
 
 

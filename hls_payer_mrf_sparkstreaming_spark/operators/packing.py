@@ -134,3 +134,96 @@ def pack_sequences(spark, sf_dir):
         seq_last.cast("long").alias("seq_last"),
         (seq_last - seq_first + 1).cast("long").alias("n_seqs_spanned"),
     )
+
+
+MAX_LEN = 32  # model context length for the id tensor
+VOCAB_V = 256  # vocabulary size (ids 2..V+1; 1 = OOV, 0 = pad)
+
+
+@query(
+    "tokenize_pad_ids",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        alltok AS (SELECT unnest(toks) AS tok FROM t),
+        v AS (
+            SELECT tok, count(*) AS cnt FROM alltok GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT {VOCAB_V}
+        ),
+        vid AS (
+            SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) + 1
+                             AS INT) AS id
+            FROM v
+        ),
+        e AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, least(len(toks), {MAX_LEN}) + 1)) AS pos
+            FROM t
+        ),
+        e2 AS (SELECT doc_id, pos, toks[pos] AS tok FROM e),
+        j AS (
+            SELECT doc_id, pos, coalesce(vid.id, 1) AS id
+            FROM e2 LEFT JOIN vid USING (tok)
+        ),
+        a AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens_kept,
+                   list(id ORDER BY pos) AS ids
+            FROM j GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens_kept,
+               CAST(to_json(list_concat(ids,
+                    list_transform(range({MAX_LEN} - len(ids)), i -> 0)))
+                    AS VARCHAR) AS ids_json
+        FROM a
+    """,
+    description=f"tokenizer-to-tensor step: map each document's first "
+    f"{MAX_LEN} tokens to integer ids under the corpus's top-{VOCAB_V} "
+    "vocabulary (id = frequency rank + 1, OOV = 1) and right-pad with 0 "
+    "to a fixed-length id row — the layout a training dataloader consumes. "
+    "The vocabulary is one partially-aggregated count + "
+    "TakeOrderedAndProject, documents join it BROADCAST after a "
+    "truncated posexplode (never the full token stream), and order is "
+    "restored with sort_array over (pos, id) structs so the result is "
+    "deterministic under any partitioning. ids render via to_json for "
+    "cross-engine hashing",
+)
+def tokenize_pad_ids(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # vocabulary over the FULL token stream (not the truncated prefix)
+    v = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_V)
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vid = v.select(
+        "tok", (F.row_number().over(w) + 1).cast("int").alias("id")
+    )
+    e = docs.select(
+        "doc_id",
+        F.posexplode(F.slice("toks", 1, MAX_LEN)).alias("pos", "tok"),
+    )
+    j = e.join(F.broadcast(vid), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(1).cast("int")).alias("id"),
+    )
+    ids_in_order = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "id"))),
+        lambda s: s["id"],
+    )
+    padded = F.concat(
+        ids_in_order,
+        F.array_repeat(
+            F.lit(0).cast("int"), MAX_LEN - F.size(ids_in_order)
+        ),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens_kept"),
+        F.to_json(padded).alias("ids_json"),
+    )

@@ -739,3 +739,114 @@ def corpus_mix(spark, sf_dir):
         .cast("long")
         .alias("token_share_ppm"),
     )
+
+
+_FUNNEL_GATES = [
+    ("len", "n_tokens BETWEEN 5 AND 1000"),
+    ("avg_token_len", "avg_token_len BETWEEN 2.0 AND 15.0"),
+    ("uniq", "uniq_ratio > 0.3"),
+    ("stopword", "stopword_ratio >= 0.01"),
+]
+
+
+def _funnel_oracle_parts() -> tuple[str, str]:
+    """(stages UNION ALL select, cumulative-gate aggregate columns)."""
+    conds, cums, stages = [], [], []
+    for i, (gate, cond) in enumerate(_FUNNEL_GATES, start=1):
+        conds.append(cond)
+        cum = " AND ".join(f"({c})" for c in conds)
+        cums.append(
+            f"CAST(sum(CASE WHEN {cum} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{i}"
+        )
+        stages.append(
+            f"""SELECT CAST({i} AS INT) AS stage, '{gate}' AS gate,
+               c{i - 1} AS n_in, c{i} AS n_pass,
+               CAST(floor(CAST(c{i - 1} - c{i} AS DOUBLE) / c{i - 1}
+                    * 1000000) AS BIGINT) AS drop_ppm
+        FROM agg"""
+        )
+    return "\nUNION ALL\n".join(stages), ",\n".join(cums)
+
+
+_FUNNEL_STAGES_SQL, _FUNNEL_CUMS_SQL = _funnel_oracle_parts()
+
+
+@query(
+    "quality_funnel",
+    oracle="""
+        WITH m AS (
+            SELECT len(string_split(text, ' ')) AS n_tokens,
+                   CAST(length(text) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_token_len,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS uniq_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({en_sw}, x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stopword_ratio
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS c0,
+                   {cums}
+            FROM m
+        )
+        {stages}
+    """.format(
+        en_sw=_sw_array_sql("en"),
+        cums=_FUNNEL_CUMS_SQL,
+        stages=_FUNNEL_STAGES_SQL,
+    ),
+    description="quality-filter funnel report: the document counts "
+    "surviving each successive C4/Gopher-style gate (token count, "
+    "average token length, uniqueness ratio, stopword ratio) with the "
+    "per-stage drop rate in ppm — the observability artifact that tells "
+    "you WHICH filter is eating the corpus. All cumulative gate counts "
+    "come from ONE scan's conditional aggregates (a single scalar row); "
+    "the 4-row funnel is unpivoted from it with stack. Constant output "
+    "at any corpus size",
+)
+def quality_funnel(spark, sf_dir):
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    m = load(spark, sf_dir, "documents").select(
+        n.alias("n_tokens"),
+        (F.length("text").cast("double") / n).alias("avg_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "uniq_ratio"
+        ),
+        (
+            F.size(F.filter(toks, _is_stopword("en"))).cast("double") / n
+        ).alias("stopword_ratio"),
+    )
+    conds = []
+    agg_cols = [F.count("*").cast("long").alias("c0")]
+    for i, (_, cond) in enumerate(_FUNNEL_GATES, start=1):
+        conds.append(cond)
+        cum = " AND ".join(f"({c})" for c in conds)
+        agg_cols.append(
+            F.sum(F.expr(cum).cast("long")).cast("long").alias(f"c{i}")
+        )
+    a = m.agg(*agg_cols)
+    stack_args = ", ".join(
+        f"{i}, '{gate}', c{i - 1}, c{i}"
+        for i, (gate, _) in enumerate(_FUNNEL_GATES, start=1)
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(_FUNNEL_GATES)}, {stack_args}) "
+            "AS (stage, gate, n_in, n_pass)"
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "gate",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.floor(
+            (F.col("n_in") - F.col("n_pass")).cast("double")
+            / F.col("n_in")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("drop_ppm"),
+    )
