@@ -79,6 +79,7 @@ HEADLINE = [
     "shard_manifest",
     "tokenize_pad_ids",
     "quality_funnel",
+    "dedup_graph_stats",
 ]
 
 
