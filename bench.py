@@ -80,6 +80,7 @@ HEADLINE = [
     "tokenize_pad_ids",
     "quality_funnel",
     "dedup_graph_stats",
+    "embedding_drift_centroids",
 ]
 
 

@@ -384,3 +384,85 @@ def embedding_quantize(spark, sf_dir):
         .cast("long")
         .alias("rmse_nano"),
     )
+
+
+@query(
+    "embedding_drift_centroids",
+    oracle=f"""
+        WITH e AS (
+            SELECT label,
+                   unnest({_EMB_D}) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS dim
+            FROM embeddings
+        ),
+        e2 AS (
+            SELECT label, dim,
+                   CAST(floor(v * 1000000) AS BIGINT) AS vq
+            FROM e
+        ),
+        ld AS (
+            SELECT label, dim, CAST(sum(vq) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e2 GROUP BY label, dim
+        ),
+        gd AS (
+            SELECT dim, CAST(sum(s) AS BIGINT) AS sg,
+                   CAST(sum(n) AS BIGINT) AS ng
+            FROM ld GROUP BY dim
+        ),
+        d AS (
+            SELECT label, ld.dim, ld.n,
+                   CAST(floor(abs(CAST(s AS DOUBLE) / n
+                                  - CAST(sg AS DOUBLE) / ng) * 1000)
+                        AS BIGINT) AS shift_nano
+            FROM ld JOIN gd USING (dim)
+        )
+        SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+               CAST(sum(shift_nano) AS BIGINT) AS l1_shift_nano,
+               CAST(max(shift_nano) AS BIGINT) AS max_dim_shift_nano
+        FROM d GROUP BY label
+    """,
+    description="embedding drift monitor: per-label centroid shift from "
+    "the global centroid (L1 over dimensions + worst dimension) — the "
+    "check that flags a class whose representation moved between corpus "
+    "versions. Vector elements are floored into integer micro-units "
+    "BEFORE any aggregation, so every per-dimension sum is an exact "
+    "integer under any partitioning; per-dimension shifts floor into "
+    "nano-units and sum as integers, so the result is bit-identical in "
+    "both engines. Plan: posexplode to skinny (label, dim, int) rows, "
+    "one partially-aggregated groupBy, a broadcast of the per-dimension "
+    "global row, and a tiny per-label re-aggregation",
+)
+def embedding_drift_centroids(spark, sf_dir):
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode(V.to_double_array("embedding")))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("col") * 1_000_000).cast("long").alias("vq"),
+        )
+    )
+    ld = e.groupBy("label", "dim").agg(
+        F.sum("vq").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    gd = ld.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("sg"),
+        F.sum("n").cast("long").alias("ng"),
+    )
+    shift = F.floor(
+        F.abs(
+            F.col("s").cast("double") / F.col("n")
+            - F.col("sg").cast("double") / F.col("ng")
+        )
+        * 1_000
+    ).cast("long")
+    d = ld.join(F.broadcast(gd), "dim").select(
+        "label", "n", shift.alias("shift_nano")
+    )
+    return d.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum("shift_nano").cast("long").alias("l1_shift_nano"),
+        F.max("shift_nano").cast("long").alias("max_dim_shift_nano"),
+    )

@@ -181,3 +181,42 @@ def test_operator_catalog_is_current():
             "OPERATORS.md is stale — regenerate with "
             "`python -m hls_payer_mrf_sparkstreaming_spark.docs`"
         )
+
+
+def test_rank_fusion_topk_not_global_sort(spark):
+    # both rankers must reduce via TakeOrderedAndProject; a global Sort
+    # before the fusion join means the corpus is sorted at scale
+    p = plan(spark, "rank_fusion_rrf")
+    assert p.count("TakeOrderedAndProject") >= 3  # 2 rankers + final top-20
+
+
+def test_tokenize_vocab_is_broadcast(spark):
+    # the vocabulary dim must broadcast; a SortMergeJoin on tok would
+    # shuffle the whole exploded token stream by token string
+    p = plan(spark, "tokenize_pad_ids")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unigram_vocab_is_broadcast(spark):
+    p = plan(spark, "unigram_logprob_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quality_funnel_single_scan(spark):
+    # all cumulative gate counts must come from ONE aggregate over one
+    # scan of documents — a second scan means the funnel re-reads the
+    # corpus per gate
+    # formatted mode prints each node twice (tree + detail), so one
+    # physical scan appears exactly twice
+    p = plan(spark, "quality_funnel")
+    assert p.count("Scan parquet") == 2
+
+
+def test_drift_centroids_global_row_broadcast(spark):
+    # the per-dimension global centroid is a 64-row dim: it must
+    # broadcast back onto the per-label partials, never shuffle them
+    p = plan(spark, "embedding_drift_centroids")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
