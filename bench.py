@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_funnel",
     "dedup_graph_stats",
     "embedding_drift_centroids",
+    "corpus_overlap",
 ]
 
 

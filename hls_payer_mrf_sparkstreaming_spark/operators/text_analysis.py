@@ -850,3 +850,96 @@ def quality_funnel(spark, sf_dir):
         .cast("long")
         .alias("drop_ppm"),
     )
+
+
+@query(
+    "corpus_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT source, h FROM (
+                SELECT source,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - {_DECON_N - 2}, 1)),
+                           i -> md5(array_to_string(
+                                    list_slice(t, i, i + {_DECON_N - 1}),
+                                    ' '))
+                       ))) AS h
+                FROM toks
+            )
+        ),
+        per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams
+            GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_ngrams
+            FROM grams a JOIN grams b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared_ngrams,
+               CAST(floor(CAST(n_shared_ngrams AS DOUBLE)
+                    / (pa.n + pb.n - n_shared_ngrams) * 1000000)
+                    AS BIGINT) AS jaccard_ppm
+        FROM shared
+        JOIN per pa ON pa.source = source_a
+        JOIN per pb ON pb.source = source_b
+    """,
+    description=f"cross-corpus contamination matrix: for every pair of "
+    f"sources, the count of shared distinct {_DECON_N}-gram fingerprints "
+    "and the n-gram Jaccard in ppm — how much two ingest feeds overlap "
+    "before they are mixed. Shingle hashes are computed per row in "
+    "codegen and deduped before the explode; the pair join shuffles "
+    "16-byte digests keyed by fingerprint (never all-pairs of docs), "
+    "and per-source totals re-join broadcast. Output is one row per "
+    "source pair regardless of corpus size",
+)
+def corpus_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("t")
+    )
+    grams = (
+        docs.select("source", F.explode(ngram_hashes(F.col("t"))).alias("h"))
+        .distinct()
+        .persist()
+    )
+    per = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_ngrams",
+            F.floor(
+                F.col("n_shared_ngrams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_ngrams"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
