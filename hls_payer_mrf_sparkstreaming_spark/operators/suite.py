@@ -111,9 +111,64 @@ def rebalance(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# The driver's CORRECTNESS harness verifies the FIRST 50 registry entries
+# only, so ordering is a verification-coverage decision, not cosmetics.
+# Entries that have never received a driver row (or were red / no_oracle in
+# the last round) go first; entries green in BOTH r2 and r3 go last — their
+# correctness is already on record. Keep newly added operators inside the
+# first 50 by appending them to this list.
+_DRIVER_PRIORITY = [
+    # flagship MRF pipeline (the reference's core demo) — never checked
+    "mrf_bronze",
+    "mrf_silver_prices",
+    "mrf_gold_shoppable",
+    "mrf_variant_codes",
+    # ANN / embedding family — never checked
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "knn_join",
+    "embedding_quantize",
+    "embedding_drift_centroids",
+    # multimodal family — never checked
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    # text / corpus pipeline — never checked
+    "pii_scrub",
+    "decontaminate",
+    "bm25_search",
+    "text_repetition",
+    "corpus_mix",
+    "quality_funnel",
+    "corpus_overlap",
+    "text_chunk_sliding",
+    "pack_sequences",
+    "tokenize_pad_ids",
+    "rank_fusion_rrf",
+    "ngram_counts",
+    "unigram_logprob_score",
+    "shard_manifest",
+    # stats / layout — never checked
+    "corr_stats",
+    "histogram_prices",
+    "profile_columns",
+    "zorder_tiles",
+    "drift_ks",
+    # red in r3 (checkpoint-dir fix) — needs a green driver row
+    "dedup_cluster",
+    # no_oracle in r3 — now oracle-checked via within_bounds, need rows
+    "approx_distinct_users",
+    "approx_percentile_summary",
+]
+
+
 def all_queries() -> dict[str, QueryPair]:
     """Import every operator module (side effect: registration) and return
-    the full registry."""
+    the full registry, ordered so the driver's 50-entry correctness window
+    covers the least-recently-verified operators first."""
     import hls_payer_mrf_sparkstreaming_spark.operators.relational  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.temporal  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.operators.dedup  # noqa: F401
@@ -128,4 +183,11 @@ def all_queries() -> dict[str, QueryPair]:
     import hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.variant  # noqa: F401
 
-    return REGISTRY
+    ordered: dict[str, QueryPair] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, qp in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = qp
+    return ordered
