@@ -118,9 +118,32 @@ def decode_blobs(blobs: DataFrame, media_type: str = "image") -> DataFrame:
 
 @query(
     "multimodal_decode",
-    oracle=None,  # mapInPandas decode stub; checked in tests/test_llm_ops.py
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               range(1, least(length(text), 64) + 1),
+                               j -> CAST(unicode(substring(text, j, 1))
+                                         AS BIGINT))),
+                       (a, b) -> (a * 131 + b) & 2147483647) AS hv
+            FROM documents
+        )
+        SELECT doc_id, 'image' AS media_type, n_bytes,
+               CAST(64 + hv % 1024 AS BIGINT) AS width,
+               CAST(64 + (hv // 1024) % 1024 AS BIGINT) AS height
+        FROM h
+    """,
     description="Arrow-batched mapInPandas decode pipeline over binary "
-    "blobs (deterministic stub kernel; real decoder is a drop-in)",
+    "blobs. The stub kernel (imaging libs absent from this container) is "
+    "deterministic bytes-math — a 31-bit multiply-add fold over the first "
+    "64 payload bytes — so a DuckDB list_reduce over code points (the "
+    "corpus is ASCII: byte == code point, same assumption as the audio "
+    "oracle) replays it exactly and the driver hash-checks the full "
+    "distributed decode plumbing; a real decoder is a drop-in for the "
+    "kernel with the same (blob in, rows out) contract",
 )
 def multimodal_decode(spark, sf_dir):
     blobs = load(spark, sf_dir, "documents").select(

@@ -408,17 +408,36 @@ def cube_counts(spark, sf_dir):
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL++ sketch is engine-specific; bounded-error pytest check
+    oracle="""
+        SELECT event_type, TRUE AS within_bounds
+        FROM events GROUP BY event_type
+    """,
     description="approx_count_distinct (HyperLogLog++) per event_type — the "
     "sketch path for cardinality at 100 TB where exact distinct would "
-    "shuffle every key; rsd=0.01",
+    "shuffle every key; rsd=0.01. The sketch value itself is "
+    "engine-specific, so the ORACLE-CHECKED output is the error-bound "
+    "predicate: |approx - exact| / exact <= 5*rsd, computed inside the "
+    "query (the exact twin is verification scaffolding; the sketch column "
+    "is what production reads). DuckDB's twin is the constant-TRUE "
+    "relation, so a sketch drifting out of its published bound turns the "
+    "driver row red",
 )
 def approx_distinct_users(spark, sf_dir):
+    rsd = 0.01
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 5 * rsd
+            ).alias("within_bounds"),
         )
     )
 
@@ -716,15 +735,25 @@ def repartition_roundtrip(spark, sf_dir):
 
 @query(
     "approx_percentile_summary",
-    oracle=None,  # sketch is engine-specific; bounded-error pytest check
+    oracle="""
+        SELECT l_returnflag, TRUE AS median_within_bounds,
+               TRUE AS p95_within_bounds
+        FROM lineitem GROUP BY l_returnflag
+    """,
     description="approx_percentile (KLL-family sketch) of extended price "
     "per return flag — the sketch path for quantiles at 100 TB: mergeable "
     "per-partition sketches, one skinny shuffle, bounded rank error "
     "(accuracy=10000 -> ~0.01%), where the exact percentile_disc in "
-    "percentile_summary needs a per-group sort. tests/test_llm_ops.py "
-    "bounds the sketch against the exact answer",
+    "percentile_summary needs a per-group sort. The sketch value is "
+    "engine-specific, so the ORACLE-CHECKED output is the rank-error "
+    "predicate: each approx quantile must land between the exact "
+    "(p±0.005)-quantile values, computed in the same aggregation (the "
+    "exact twin is verification scaffolding). DuckDB's twin is the "
+    "constant-TRUE relation, so a sketch outside its rank-error bound "
+    "turns the driver row red",
 )
 def approx_percentile_summary(spark, sf_dir):
+    eps = 0.005  # >= 50x the configured ~0.0001 rank error
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -732,10 +761,18 @@ def approx_percentile_summary(spark, sf_dir):
             F.percentile_approx(
                 "l_extendedprice", [0.5, 0.95], 10000
             ).alias("approx_p"),
+            F.expr(
+                "percentile_disc(array(0.495, 0.505, 0.945, 0.955)) "
+                "WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("exact_p"),
         )
         .select(
             "l_returnflag",
-            F.col("approx_p")[0].alias("approx_median_price"),
-            F.col("approx_p")[1].alias("approx_p95_price"),
+            F.col("approx_p")[0]
+            .between(F.col("exact_p")[0], F.col("exact_p")[1])
+            .alias("median_within_bounds"),
+            F.col("approx_p")[1]
+            .between(F.col("exact_p")[2], F.col("exact_p")[3])
+            .alias("p95_within_bounds"),
         )
     )
