@@ -110,24 +110,39 @@ def bench_splitter() -> float:
     return size / 1e9 / dt * 60
 
 
-def bench_ingest(spark) -> float:
+def bench_ingest(spark) -> tuple[float, float]:
     """End-to-end bronze GB/min: discovery + parallel executor byte-range
-    reads + payload repair, materialized via noop sink. This is the number
-    comparable to the reference's published 5-7 GB/min parse throughput
-    (its figure covers the full stream-to-bronze pipeline)."""
-    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
-        read_payer_mrf,
-    )
+    reads + payload repair, materialized via noop sink.
+
+    Returns (cold, warm). Cold clears the driver-side manifest cache before
+    every measured pass, so it covers scan + read — the number comparable
+    to the reference's published 5-7 GB/min one-shot parse throughput.
+    Warm reuses the cached manifest (the steady state for repeated reads of
+    an immutable file, e.g. silver's three header_key branches)."""
+    from hls_payer_mrf_sparkstreaming_spark.sources import datasource as ds
 
     p = os.path.join("/tmp", "payer_mrf_bench", "mrf_200mb.json")
     size = os.path.getsize(p)
-    read_payer_mrf(spark, p).write.format("noop").mode("overwrite").save()
-    dt = float("inf")
+    ds.read_payer_mrf(spark, p).write.format("noop").mode("overwrite").save()
+    cold = float("inf")
+    for _ in range(RUNS):
+        # partitions() runs in a (reused) Python planner worker, so clearing
+        # this process's _MANIFEST_CACHE can't reach it — bump the file's
+        # mtime instead, which changes the cache key and forces a rescan
+        os.utime(p)
+        t0 = time.time()
+        ds.read_payer_mrf(spark, p).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cold = min(cold, time.time() - t0)
+    warm = float("inf")
     for _ in range(RUNS):
         t0 = time.time()
-        read_payer_mrf(spark, p).write.format("noop").mode("overwrite").save()
-        dt = min(dt, time.time() - t0)
-    return size / 1e9 / dt * 60
+        ds.read_payer_mrf(spark, p).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        warm = min(warm, time.time() - t0)
+    return size / 1e9 / cold * 60, size / 1e9 / warm * 60
 
 
 def _unpersist_all(spark) -> None:
@@ -153,25 +168,32 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    mrf_ingest_gb_per_min = bench_ingest(spark)
+    mrf_ingest_gb_per_min, mrf_ingest_warm_gb_per_min = bench_ingest(spark)
+
+    import statistics
 
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # warm-up pass compiles the plan + primes file cache; then min-of-N
-        # measured passes (see RUNS above)
+        # warm-up pass compiles the plan + primes file cache; then N
+        # measured passes -> median (host interference makes single or
+        # even min-of-N passes unstable round-to-round; the median plus a
+        # reported spread lets a reader judge whether a delta is signal)
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         _unpersist_all(spark)
-        best = float("inf")
+        samples = []
         for _ in range(RUNS):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            samples.append(time.time() - t0)
             _unpersist_all(spark)
-        timings[name] = round(best, 3)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(samples) - min(samples)) / med, 2)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -185,9 +207,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_spread_rel": spreads,
                 "sf": sf_val,
                 "mrf_gb_per_min": round(mrf_gb_per_min, 2),
                 "mrf_ingest_gb_per_min": round(mrf_ingest_gb_per_min, 2),
+                "mrf_ingest_warm_gb_per_min": round(
+                    mrf_ingest_warm_gb_per_min, 2
+                ),
                 "cpus": CPUS,
             }
         )

@@ -87,6 +87,45 @@ def mrf_silver_prices(spark, sf_dir):
     )
 
 
+def _silver_providers_oracle() -> str:
+    return f"""
+        WITH src AS (SELECT * FROM read_json('{fixture_path()}')),
+        pxp AS (
+            SELECT pr.provider_group_id AS provider_group_id,
+                   unnest(pr.provider_groups) AS g
+            FROM (SELECT unnest(provider_references) AS pr FROM src)
+        )
+        SELECT s.reporting_entity_name AS reporting_entity_name,
+               s.reporting_entity_type AS reporting_entity_type,
+               pxp.provider_group_id AS provider_group_id,
+               to_json(g.npi) AS npi,
+               to_json(g.tin) AS tin
+        FROM pxp CROSS JOIN (
+            SELECT reporting_entity_name, reporting_entity_type FROM src
+        ) s
+    """
+
+
+@query(
+    "mrf_silver_providers",
+    oracle=_silver_providers_oracle(),
+    description="silver provider_references table: exploded provider "
+    "groups x broadcast reporting entity (the reference's first silver "
+    "CTAS, 01_payer_mrf_demo.py:148-158) — oracled by a DuckDB read_json "
+    "twin over the same fixture file; npi/tin serialized to JSON on both "
+    "sides for the hash comparison",
+)
+def mrf_silver_providers(spark, sf_dir):
+    t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
+    return t.providers_x_payer.select(
+        "reporting_entity_name",
+        "reporting_entity_type",
+        "provider_group_id",
+        F.to_json("npi").alias("npi"),
+        F.to_json("tin").alias("tin"),
+    )
+
+
 # (billing_code, tin_value) guaranteed to hit, memoized per fixture path —
 # parameter discovery is setup, not part of the gold query being measured
 _gold_params: dict[str, tuple[str, str]] = {}

@@ -180,7 +180,14 @@ def _structural_candidates(buf, start: int):
     a = np.frombuffer(memoryview(buf)[start:], dtype=np.uint8)
     if a.size == 0:
         return _EMPTY
-    pos = np.flatnonzero(_IS_STRUCTURAL[a])
+    # compare-chain beats a LUT gather here: equality compares are SIMD
+    # bool-output passes, while _IS_STRUCTURAL[a] is a per-byte gather
+    mask = a == 0x22
+    tmp = np.empty(a.size, bool)
+    for b in (0x5C, 0x7B, 0x5B, 0x7D, 0x5D, 0x2C):
+        np.equal(a, b, out=tmp)
+        np.logical_or(mask, tmp, out=mask)
+    pos = np.flatnonzero(mask)
     if pos.size == 0:
         return _EMPTY
     k = _CLS[np.take(a, pos)]
@@ -248,7 +255,11 @@ class ChunkScanner:
         self._stream = stream
         self._target = max(int(chunk_target_bytes), 1024)
         self._read_size = max(int(read_size), 64 * 1024)
-        self._buf = b""
+        # bytearray: += extends in place (amortized) and del [:cut] is a
+        # memmove — a bytes buffer would copy the whole tail on every fill
+        # and drop. NB: nothing may hold a buffer export (memoryview/numpy
+        # view) of _buf across _fill/_drop, or the resize raises BufferError.
+        self._buf = bytearray()
         self._base = 0  # file offset of self._buf[0]
         self._eof = False
         self._pos = 0  # file offset, used to return position out of sub-scans
@@ -268,7 +279,7 @@ class ChunkScanner:
     def _drop(self, upto: int) -> None:
         cut = upto - self._base
         if cut > 0:
-            self._buf = self._buf[cut:]
+            del self._buf[:cut]
             self._base = upto
 
     def _rel(self, fpos: int) -> int:
@@ -385,8 +396,9 @@ class ChunkScanner:
         skipped."""
         if end < start:
             return
-        frag = memoryview(self._buf)[self._rel(start) : self._rel(end) + 1]
-        if b'"' not in bytes(frag):
+        # find with bounds, not a memoryview slice — a live export of _buf
+        # would make the _drop resize raise BufferError
+        if self._buf.find(b'"', self._rel(start), self._rel(end) + 1) < 0:
             return
         yield Chunk(start, end, "", 0)
         self._drop(end + 1)
@@ -420,6 +432,65 @@ class ChunkScanner:
             if done:
                 return
 
+    def _consume_composites(
+        self, cur, cpos, ckind, key, run_start, run_end, run_n
+    ):
+        """Vectorized window consumption for the dominant MRF shape: an
+        array of composite ({...}/[...]) elements. Preconditions (checked
+        by the caller): candidates at/after ``cur`` strictly alternate
+        close/comma starting with a close, and an array-close, if present,
+        is the final candidate directly after an element close — which is
+        exactly the candidate signature of composite-only elements (string
+        or scalar elements leave comma-comma gaps and force the general
+        per-element loop instead).
+
+        All element ends are then known up front, so run assembly is a
+        handful of searchsorted calls per emitted chunk instead of a
+        Python iteration per element — discovery throughput is the bronze
+        ingest bottleneck, and this path covers ~100% of real MRF bytes.
+        Returns the same tuple as ``_consume_window``."""
+        buf = self._buf
+        base = self._base
+        out: list[Chunk] = []
+        start_i = int(np.searchsorted(cpos, cur, side="left"))
+        k = ckind[start_i:]
+        p = cpos[start_i:]
+        has_arr_close = k[-1] == 2
+        ends_abs = p[k == 1].astype(np.int64)
+        ends_abs += base
+        n_ends = ends_abs.size
+        if run_start is None:
+            run_start = base + cur
+        i = 0
+        while i < n_ends:
+            j = int(
+                np.searchsorted(
+                    ends_abs, run_start + self._target - 1, side="left"
+                )
+            )
+            if j >= n_ends:
+                run_n += n_ends - i
+                run_end = int(ends_abs[-1])
+                i = n_ends
+                break
+            run_n += j - i + 1
+            run_end = int(ends_abs[j])
+            out.append(Chunk(run_start, run_end, key, run_n))
+            i = j + 1
+            run_n = 0
+            if i < n_ends:
+                m = _NON_WS_COMMA.search(buf, run_end + 1 - base)
+                run_start = base + m.start()
+            else:
+                run_start, run_end = None, -1
+        if has_arr_close:
+            if run_start is not None and run_n > 0:
+                out.append(Chunk(run_start, run_end, key, run_n))
+            self._pos = base + int(p[-1]) + 1
+            return out, self._pos, None, -1, 0, True
+        fpos = int(ends_abs[-1]) + 1
+        return out, fpos, run_start, run_end, run_n, False
+
     def _consume_window(
         self, fpos, rel, cpos, ckind, key, run_start, run_end, run_n
     ):
@@ -427,6 +498,28 @@ class ChunkScanner:
         (chunks, new_fpos, run_start, run_end, run_n, done)."""
         buf = self._buf
         base = self._base
+        m0 = _NON_WS_COMMA.search(buf, fpos - base)
+        if m0 is not None and buf[m0.start()] in (0x7B, 0x5B):
+            cur0 = m0.start()
+            si = int(np.searchsorted(cpos, cur0, side="left"))
+            k = ckind[si:]
+            if (
+                k.size
+                and k[0] == 1
+                and not np.any(k[1:] == k[:-1])
+                and (
+                    (n2 := int(np.count_nonzero(k == 2))) == 0
+                    or (
+                        n2 == 1
+                        and k[-1] == 2
+                        and k.size >= 2
+                        and k[-2] == 1
+                    )
+                )
+            ):
+                return self._consume_composites(
+                    cur0, cpos, ckind, key, run_start, run_end, run_n
+                )
         out: list[Chunk] = []
         n_cand = cpos.size
         ci = 0

@@ -236,6 +236,40 @@ class PayerMrfDataSource(DataSource):
         return PayerMrfStreamReader(_Options(self.options))
 
 
+# Driver-side manifest cache. Chunk discovery is a deterministic pure
+# function of the file bytes, and MRF files are immutable once published —
+# but Spark constructs a fresh reader (and so re-plans partitions) for every
+# action, and the silver pipeline alone reads the same bronze file once per
+# header_key branch. Re-scanning a multi-GB file three times is pure waste;
+# the reference scans once per stream (JsonMRFSource.scala:138-178). Keyed
+# by (path, size, mtime_ns, chunk_target, buffersize) so any file change or
+# chunking-parameter change invalidates naturally; bounded FIFO since a
+# manifest is a few small tuples per ~chunktargetbytes of input.
+_MANIFEST_CACHE: dict[tuple, list] = {}
+_MANIFEST_CACHE_MAX_FILES = 256
+
+
+def _scan_chunks_cached(path: str, chunk_target: int, buffersize: int):
+    try:
+        st = os.stat(path)
+        key = (
+            os.path.abspath(path),
+            st.st_size,
+            st.st_mtime_ns,
+            chunk_target,
+            buffersize,
+        )
+    except OSError:
+        return ck.scan_chunks(path, chunk_target, buffersize)
+    chunks = _MANIFEST_CACHE.get(key)
+    if chunks is None:
+        chunks = list(ck.scan_chunks(path, chunk_target, buffersize))
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX_FILES:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = chunks
+    return chunks
+
+
 class PayerMrfBatchReader(DataSourceReader):
     """Batch mode: full manifest -> one partition per chunk.
 
@@ -266,7 +300,9 @@ class PayerMrfBatchReader(DataSourceReader):
                     opts.payload_as_array,
                     opts.include_offsets,
                 )
-                for c in ck.scan_chunks(path, opts.chunk_target, opts.buffersize)
+                for c in _scan_chunks_cached(
+                    path, opts.chunk_target, opts.buffersize
+                )
                 if allowed is None or c.header_key in allowed
             ]
 
