@@ -82,6 +82,10 @@ HEADLINE = [
     "dedup_graph_stats",
     "embedding_drift_centroids",
     "corpus_overlap",
+    "anomaly_mad",
+    "token_length_histogram",
+    "class_weights",
+    "mrf_silver_providers",
 ]
 
 

@@ -149,3 +149,50 @@ def split_train_test(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "class_weights",
+    oracle="""
+        WITH c AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        t AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM c
+        )
+        SELECT c.lang AS lang, c.n_docs AS n_docs,
+               CAST((t.total * 1000000) // (t.k * c.n_docs) AS BIGINT)
+                   AS weight_ppm
+        FROM c CROSS JOIN t
+    """,
+    description="inverse-frequency class weights for training-mix "
+    "rebalancing: weight_ppm = total/(k*count) in exact integer parts-per-"
+    "million (integer division — no float ratios to drift between "
+    "engines). A uniformly-weighted sampler multiplies per-class sampling "
+    "odds by this to flatten a skewed language/source mix. Plan: one "
+    "groupBy for the K class counts, then total and k come from an "
+    "unpartitioned window over those K rows — NOT a second aggregate "
+    "branch, which Catalyst would plan as a second full corpus scan. The "
+    "single-partition window holds K = #classes rows, trivially safe at "
+    "any corpus scale; the corpus itself is scanned exactly once",
+)
+def class_weights(spark, sf_dir):
+    wall = Window.partitionBy()
+    c = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return c.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(wall).alias("total"),
+        F.count("*").over(wall).alias("k"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.expr("(total * 1000000) DIV (k * n_docs)")
+        .cast("long")
+        .alias("weight_ppm"),
+    )

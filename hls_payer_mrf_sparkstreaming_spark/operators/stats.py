@@ -335,3 +335,80 @@ def drift_ks(spark, sf_dir):
         .alias("ks_nano"),
         F.count("*").alias("n_buckets"),
     )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        med AS (
+            SELECT l_returnflag,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+            FROM c GROUP BY 1
+        ),
+        dev AS (
+            SELECT c.l_returnflag, c.cents, med.med,
+                   abs(c.cents - med.med) AS d
+            FROM c JOIN med USING (l_returnflag)
+        ),
+        mad AS (
+            SELECT l_returnflag,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT dev.l_returnflag AS l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(dev.med) AS BIGINT) AS median_cents,
+               CAST(min(mad.mad) AS BIGINT) AS mad_cents,
+               CAST(count(*) FILTER (WHERE dev.d > 3 * mad.mad) AS BIGINT)
+                   AS n_outliers
+        FROM dev JOIN mad USING (l_returnflag)
+        GROUP BY 1
+    """,
+    description="robust outlier detection per group via median absolute "
+    "deviation: price in exact integer cents, per-group median and MAD "
+    "from percentile_disc (order-insensitive discrete statistics, so the "
+    "parallel aggregation is hash-exact), outliers = rows deviating more "
+    "than 3 MADs. Quality gates built on mean/stddev collapse when the "
+    "contamination IS the outliers; MAD is the standard robust gate for "
+    "pretraining-corpus filtering. Plan: two partial-agg groupBys over "
+    "the fact table plus broadcast joins of the K-row statistics back — "
+    "no fact-table re-shuffle, the group key stays the partition key "
+    "throughout",
+)
+def anomaly_mad(spark, sf_dir):
+    c = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        ).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("med").cast("long").alias("median_cents"),
+            F.min("mad").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

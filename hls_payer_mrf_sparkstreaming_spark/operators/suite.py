@@ -105,8 +105,25 @@ def rebalance(df: DataFrame) -> DataFrame:
     real scale the scan already has more partitions than cores and this is
     a no-op, so nothing extra shuffles on a large cluster.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # estimate the scan's partition count from file sizes instead of
+    # df.rdd.getNumPartitions() — the .rdd probe converts the plan to an
+    # RDD (analyzer + physical planning) on every call, while inputFiles()
+    # only consults the file index driver-side
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f.removeprefix("file:")
+            total += os.path.getsize(p)
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .removesuffix("b")
+        )
+        est_partitions = max(1, -(-total // max_split))
+    except Exception:
+        est_partitions = 1
+    if est_partitions >= max(2, target // 2):
         return df
     return df.repartition(target)
 
@@ -121,6 +138,7 @@ _DRIVER_PRIORITY = [
     # flagship MRF pipeline (the reference's core demo) — never checked
     "mrf_bronze",
     "mrf_silver_prices",
+    "mrf_silver_providers",
     "mrf_gold_shoppable",
     "mrf_variant_codes",
     # ANN / embedding family — never checked
@@ -162,6 +180,10 @@ _DRIVER_PRIORITY = [
     # no_oracle in r3 — now oracle-checked via within_bounds, need rows
     "approx_distinct_users",
     "approx_percentile_summary",
+    # new in round 4 — never checked
+    "anomaly_mad",
+    "token_length_histogram",
+    "class_weights",
 ]
 
 

@@ -943,3 +943,42 @@ def corpus_overlap(spark, sf_dir):
             .alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+        WITH t AS (
+            SELECT len(string_split(text, ' ')) AS nt FROM documents
+        )
+        SELECT CAST(length(bin(nt)) AS BIGINT) AS log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM t GROUP BY 1
+    """,
+    description="power-of-two token-length histogram: bucket = bit length "
+    "of the token count (floor(log2)+1 computed via the binary-string "
+    "length, exact integers in both engines — no float log2 edge cases at "
+    "powers of two). The length distribution drives sequence-packing "
+    "parameters (pack_sequences' budget) and truncation policy for a "
+    "training corpus. One map-side-combinable groupBy over a scan; "
+    "shuffles only (bucket, partial-agg) rows",
+)
+def token_length_histogram(spark, sf_dir):
+    t = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("nt")
+    )
+    return (
+        t.select(
+            F.length(F.bin("nt")).cast("long").alias("log2_bucket"), "nt"
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("nt").cast("long").alias("min_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
