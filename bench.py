@@ -86,6 +86,9 @@ HEADLINE = [
     "token_length_histogram",
     "class_weights",
     "mrf_silver_providers",
+    "event_funnel",
+    "dedup_containment",
+    "graph_triangles",
 ]
 
 

@@ -184,6 +184,9 @@ _DRIVER_PRIORITY = [
     "anomaly_mad",
     "token_length_histogram",
     "class_weights",
+    "event_funnel",
+    "dedup_containment",
+    "graph_triangles",
 ]
 
 

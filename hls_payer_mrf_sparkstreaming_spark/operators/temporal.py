@@ -276,3 +276,67 @@ def scd2_intervals(spark, sf_dir):
         F.col("valid_to_raw").isNull().alias("is_current"),
         "value_cents",
     )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY 1
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_users
+    """,
+    description="strict ordered conversion funnel view -> click -> "
+    "purchase: stage N counts users whose first qualifying stage-N event "
+    "is strictly after their stage-(N-1) anchor. Each stage is a "
+    "filtered-subset groupBy joined back on user_id — every shuffle "
+    "carries only that stage's event rows keyed by user, the stages "
+    "reuse the same hash partitioning, and the three 1-row stage counts "
+    "cross-join at the end. The standard product-analytics funnel, "
+    "expressed so no stage ever materializes per-user event lists",
+)
+def event_funnel(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view_users"))
+        .crossJoin(
+            c.agg(F.count("*").cast("long").alias("n_click_users"))
+        )
+        .crossJoin(
+            p.agg(F.count("*").cast("long").alias("n_purchase_users"))
+        )
+    )
