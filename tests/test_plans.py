@@ -220,3 +220,40 @@ def test_drift_centroids_global_row_broadcast(spark):
     p = plan(spark, "embedding_drift_centroids")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_anomaly_mad_broadcasts_stats_back(spark):
+    # the K-row median/MAD relations must be broadcast back to the fact
+    # table; a SortMergeJoin here re-shuffles every fact row per statistic
+    p = plan(spark, "anomaly_mad")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_class_weights_scans_corpus_once(spark):
+    # total/k come from a window over the K aggregated rows; a second
+    # aggregate branch would show up as a second parquet scan. formatted
+    # mode prints each node twice (tree + detail); count detail headers
+    import re
+
+    p = plan(spark, "class_weights")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_containment_joins_on_block_key(spark):
+    # the self-join must be an equi-join keyed on the block hash — a
+    # BroadcastNestedLoopJoin or cartesian here means all-pairs scoring
+    p = plan(spark, "dedup_containment")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_funnel_shuffles_only_stage_subsets(spark):
+    # each funnel stage filters its event type before any shuffle: the
+    # pushed filters must include all three stage predicates
+    p = plan(spark, "event_funnel")
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in p, stage
