@@ -89,6 +89,8 @@ HEADLINE = [
     "event_funnel",
     "dedup_containment",
     "graph_triangles",
+    "ann_recall_eval",
+    "cdc_apply_changelog",
 ]
 
 

@@ -466,3 +466,106 @@ def embedding_drift_centroids(spark, sf_dir):
         F.sum("shift_nano").cast("long").alias("l1_shift_nano"),
         F.max("shift_nano").cast("long").alias("max_dim_shift_nano"),
     )
+
+
+_RECALL_K = 10
+_RECALL_NQ = 5
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, {_EMB_D} AS ev,
+                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_8)} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, ev AS qv, bucket AS qbucket
+            FROM e WHERE vec_id < {_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('e.ev', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ),
+        ex AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        lsh AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('e.ev', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e JOIN q ON e.bucket = q.qbucket
+            WHERE e.vec_id <> q.qid
+        ),
+        ls AS (SELECT qid, vec_id FROM lsh WHERE rn <= {_RECALL_K})
+        SELECT ex.qid AS query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(ls.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(ls.vec_id) * 1000000 // count(*) AS BIGINT)
+                   AS recall_ppm
+        FROM ex LEFT JOIN ls
+          ON ls.qid = ex.qid AND ls.vec_id = ex.vec_id
+        GROUP BY ex.qid
+    """,
+    description=f"ANN quality harness: recall@{_RECALL_K} of the "
+    "8-hyperplane-LSH bucketed search against the exact cosine top-k, per "
+    f"query, for {_RECALL_NQ} broadcast query vectors — the metric that "
+    "decides whether an ANN index is usable before it ships. Both "
+    "rankings use the identical round+id tiebreak so the comparison is "
+    "deterministic; recall lands as exact integer ppm. Plan: the corpus "
+    "is scored once per ranking against a broadcast query set (skinny "
+    "(qid, vec_id, sim) rows into per-query top-k windows), the rankings "
+    "join on (qid, vec_id) — vectors themselves never shuffle",
+)
+def ann_recall_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    e = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ev").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+
+    def topk(scored):
+        return (
+            scored.select("qid", "vec_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    ex = topk(
+        e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    )
+    ls = topk(
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
+            F.col("vec_id") != F.col("qid")
+        )
+    )
+    hit = ls.withColumn("hit", F.lit(1))
+    return (
+        ex.join(hit, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.expr("CAST(count(hit) * 1000000 DIV count(*) AS LONG)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

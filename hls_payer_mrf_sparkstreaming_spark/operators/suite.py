@@ -187,6 +187,8 @@ _DRIVER_PRIORITY = [
     "event_funnel",
     "dedup_containment",
     "graph_triangles",
+    "ann_recall_eval",
+    "cdc_apply_changelog",
 ]
 
 

@@ -340,3 +340,53 @@ def event_funnel(spark, sf_dir):
             p.agg(F.count("*").cast("long").alias("n_purchase_users"))
         )
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+        SELECT user_id,
+               ts AS last_ts,
+               event_type AS last_op,
+               CAST(round(value * 100) AS BIGINT) AS last_value_cents
+        FROM (
+            SELECT user_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    description="CDC changelog application: treat events as a change "
+    "stream keyed by user_id — the latest change wins (ts, then event_id "
+    "as the deterministic tiebreak, standard for same-timestamp commits) "
+    "and a terminal 'error' op deletes the row. This is the "
+    "lakehouse MERGE-INTO/upsert compaction as a pure DataFrame op: one "
+    "shuffle on the key, a per-key window that keeps state bounded by "
+    "the partition (never a driver-side collect), survivors emitted with "
+    "their final state in exact integer cents. Complements "
+    "dedup_survivors (positional keep-lowest) and scd2_intervals (full "
+    "history) with latest-wins-plus-deletes semantics",
+)
+def cdc_apply_changelog(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.round(F.col("value") * 100)
+            .cast("long")
+            .alias("last_value_cents"),
+        )
+    )
