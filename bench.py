@@ -91,6 +91,7 @@ HEADLINE = [
     "graph_triangles",
     "ann_recall_eval",
     "cdc_apply_changelog",
+    "mrf_bronze_elements",
 ]
 
 

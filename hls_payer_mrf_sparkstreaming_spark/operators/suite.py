@@ -137,6 +137,7 @@ def rebalance(df: DataFrame) -> DataFrame:
 _DRIVER_PRIORITY = [
     # flagship MRF pipeline (the reference's core demo) — never checked
     "mrf_bronze",
+    "mrf_bronze_elements",
     "mrf_silver_prices",
     "mrf_silver_providers",
     "mrf_gold_shoppable",

@@ -235,3 +235,40 @@ def mrf_gold_shoppable(spark, sf_dir):
         F.to_json("npi").alias("npi"),
         F.to_json("tin").alias("tin"),
     )
+
+
+def _bronze_elements_oracle() -> str:
+    return f"""
+        SELECT 'in_network' AS header_key,
+               CAST(len(in_network) AS BIGINT) AS n_elements
+        FROM read_json('{fixture_path()}')
+        UNION ALL
+        SELECT 'provider_references' AS header_key,
+               CAST(len(provider_references) AS BIGINT) AS n_elements
+        FROM read_json('{fixture_path()}')
+    """
+
+
+@query(
+    "mrf_bronze_elements",
+    oracle=_bronze_elements_oracle(),
+    description="element-exactness of the splitter: total array elements "
+    "per header_key summed over all bronze chunk payloads "
+    "(json_array_length per chunk) must equal the array lengths an "
+    "independent DuckDB read_json sees in the raw file — any element "
+    "lost, duplicated or mis-assigned at a chunk boundary by the "
+    "byte-scanner breaks the hash. This oracles the engine-internal path "
+    "that mrf_bronze (chunk counts, a chunking-parameter artifact) "
+    "cannot",
+)
+def mrf_bronze_elements(spark, sf_dir):
+    df = read_payer_mrf(spark, fixture_path(), chunktargetbytes=65536)
+    return (
+        df.filter(F.col("header_key") != "")
+        .groupBy("header_key")
+        .agg(
+            F.sum(F.json_array_length("json_payload"))
+            .cast("long")
+            .alias("n_elements")
+        )
+    )
