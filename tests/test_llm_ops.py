@@ -417,3 +417,76 @@ def test_chunk_sliding_reconstructs_documents(spark, sf_dir):
         F.md5("rebuilt") != F.md5("text")
     )
     assert bad.count() == 0
+
+
+def test_event_funnel_stages_monotone(spark, sf_dir):
+    """Stage counts must shrink monotonically and be non-vacuous: the
+    fixture corpus has users in every stage."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    row = all_queries()["event_funnel"].fn(spark, sf_dir).collect()[0]
+    assert row["n_view_users"] >= row["n_click_users"] >= row["n_purchase_users"]
+    assert row["n_purchase_users"] > 0
+
+
+def test_cdc_applies_deletes(spark):
+    """A user whose latest change is an 'error' op must be absent from the
+    compacted state; sf0.001 plants 3 such users among 15."""
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = all_queries()["cdc_apply_changelog"].fn(spark, sf_dir)
+    survivors = {r["user_id"] for r in out.collect()}
+    all_users = {
+        r["user_id"]
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    deleted = all_users - survivors
+    assert len(deleted) == 3, deleted
+    assert not out.filter(F.col("last_op") == "error").count()
+
+
+def test_containment_pairs_nonvacuous_and_canonical(spark, sf_dir):
+    """The corpus contains subset near-dups; every pair is canonical
+    (doc_a < doc_b) and meets the threshold."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["dedup_containment"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["containment"] >= 0.8
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """recall@10 is a ratio in [0, 1e6] ppm over exactly K exact results
+    per query; the LSH index on this corpus must find at least one true
+    neighbor for at least one query (non-vacuous)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["ann_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert any(r["n_hits"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert r["n_hits"] <= r["n_exact"]
+
+
+def test_triangle_wedge_invariant(spark, sf_dir):
+    """Every triangle closes exactly 3 wedges, so W >= 3T; the templated
+    corpus must actually contain triangles (non-vacuous)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    row = all_queries()["graph_triangles"].fn(spark, sf_dir).collect()[0]
+    assert row["n_triangles"] > 0
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    assert 0 <= row["closure_nano"] <= 1_000_000_000
