@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_recall_eval",
     "cdc_apply_changelog",
     "mrf_bronze_elements",
+    "rolling_user_spend",
 ]
 
 

@@ -190,6 +190,7 @@ _DRIVER_PRIORITY = [
     "graph_triangles",
     "ann_recall_eval",
     "cdc_apply_changelog",
+    "rolling_user_spend",
 ]
 
 

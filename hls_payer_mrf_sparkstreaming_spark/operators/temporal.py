@@ -390,3 +390,52 @@ def cdc_apply_changelog(spark, sf_dir):
             .alias("last_value_cents"),
         )
     )
+
+
+_ROLL_US = 7 * 86400 * 1_000_000  # 7-day window in microseconds
+
+
+@query(
+    "rolling_user_spend",
+    oracle=f"""
+        SELECT user_id, ts,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS spend_7d_cents,
+               CAST(count(*) OVER w AS BIGINT) AS n_events_7d
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(ts)
+            RANGE BETWEEN {_ROLL_US - 1} PRECEDING AND CURRENT ROW
+        )
+    """,
+    description="rolling 7-day per-user spend and event count — the "
+    "standard temporal feature-engineering shape for activity features. "
+    "A RANGE window frame over the microsecond epoch (both engines order "
+    "and bound on the same integer, so sub-second event collisions can "
+    "never skew the frame) with exact integer cents. One shuffle on "
+    "user_id, per-key ordered frame state bounded by the window span — "
+    "never a per-user collect or a self-join, which is what this "
+    "replaces at 100 TB",
+)
+def rolling_user_spend(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ: diff against a naive epoch literal rather than
+    # unix_micros (TZ-typed only) — identical to DuckDB's epoch_us on a
+    # naive timestamp, no session-timezone dependence
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-(_ROLL_US - 1), 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("spend_7d_cents"),
+        F.count("*").over(w).cast("long").alias("n_events_7d"),
+    )
