@@ -38,3 +38,24 @@ def write_catalog(path: str = "OPERATORS.md") -> None:
 
 if __name__ == "__main__":
     write_catalog()
+
+
+def registry_counts() -> dict[str, int]:
+    """Live operator/oracle/bench counts — the single source for the
+    README's headline numbers (drift-guarded by tests/test_plans.py)."""
+    import re
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    q = all_queries()
+    with open(
+        __file__.rsplit("/", 2)[0] + "/bench.py"
+    ) as f:
+        headline = len(re.findall(r'^\s+"([a-z_0-9]+)",$', f.read(), re.M))
+    return {
+        "operators": len(q),
+        "oracled": sum(1 for p in q.values() if p.oracle),
+        "headline": headline,
+    }

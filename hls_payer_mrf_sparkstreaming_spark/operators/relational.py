@@ -417,10 +417,11 @@ def cube_counts(spark, sf_dir):
     "shuffle every key; rsd=0.01. The sketch value itself is "
     "engine-specific, so the ORACLE-CHECKED output is the error-bound "
     "predicate: |approx - exact| / exact <= 5*rsd, computed inside the "
-    "query (the exact twin is verification scaffolding; the sketch column "
-    "is what production reads). DuckDB's twin is the constant-TRUE "
-    "relation, so a sketch drifting out of its published bound turns the "
-    "driver row red",
+    "query. This registered entry is the VERIFICATION TWIN (it pays for "
+    "the exact count on purpose, to judge the sketch); production reads "
+    "approx_distinct_users_sketch below, which never computes the exact "
+    "distinct. DuckDB's twin is the constant-TRUE relation, so a sketch "
+    "drifting out of its published bound turns the driver row red",
 )
 def approx_distinct_users(spark, sf_dir):
     rsd = 0.01
@@ -438,6 +439,21 @@ def approx_distinct_users(spark, sf_dir):
                 / F.col("exact_users")
                 <= 5 * rsd
             ).alias("within_bounds"),
+        )
+    )
+
+
+def approx_distinct_users_sketch(spark, sf_dir):
+    """Production shape of approx_distinct_users: sketch only, no exact
+    twin — one partial-agg shuffle carrying fixed-size HLL buffers instead
+    of every distinct (event_type, user_id) pair. Accuracy is certified by
+    the registered verification twin; this plan is pinned shuffle-light by
+    tests/test_plans.py."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
         )
     )
 
@@ -747,10 +763,12 @@ def repartition_roundtrip(spark, sf_dir):
     "percentile_summary needs a per-group sort. The sketch value is "
     "engine-specific, so the ORACLE-CHECKED output is the rank-error "
     "predicate: each approx quantile must land between the exact "
-    "(p±0.005)-quantile values, computed in the same aggregation (the "
-    "exact twin is verification scaffolding). DuckDB's twin is the "
-    "constant-TRUE relation, so a sketch outside its rank-error bound "
-    "turns the driver row red",
+    "(p±0.005)-quantile values, computed in the same aggregation. This "
+    "registered entry is the VERIFICATION TWIN (it pays for the exact "
+    "percentiles on purpose); production reads "
+    "approx_percentile_sketch below, which keeps sketch-only cost. "
+    "DuckDB's twin is the constant-TRUE relation, so a sketch outside "
+    "its rank-error bound turns the driver row red",
 )
 def approx_percentile_summary(spark, sf_dir):
     eps = 0.005  # >= 50x the configured ~0.0001 rank error
@@ -774,5 +792,65 @@ def approx_percentile_summary(spark, sf_dir):
             F.col("approx_p")[1]
             .between(F.col("exact_p")[2], F.col("exact_p")[3])
             .alias("p95_within_bounds"),
+        )
+    )
+
+
+def approx_percentile_sketch(spark, sf_dir):
+    """Production shape of approx_percentile_summary: mergeable quantile
+    sketch only — no exact percentile_disc, so no per-group value-count
+    state. Accuracy is certified by the registered verification twin;
+    plan pinned sort-free by tests/test_plans.py."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95], 10000
+            ).alias("approx_p")
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    description="GROUPING SETS aggregation — detail, per-flag subtotal and "
+    "grand total in ONE pass (vs three scans if issued separately); "
+    "completes the rollup_counts/cube_counts family with the general "
+    "grouping-set form. NULL grouping slots are COALESCEd to a sentinel "
+    "so the hash-compared output is engine-neutral; revenue in exact "
+    "integer cents. Catalyst expands the sets via a single Expand node "
+    "feeding one partial-agg shuffle, so at 100 TB the fact table is "
+    "read and shuffled once for all three granularities",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice")))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue_cents",
         )
     )

@@ -196,3 +196,43 @@ def class_weights(spark, sf_dir):
         .cast("long")
         .alias("weight_ppm"),
     )
+
+
+_DOMAIN_CAP = 15  # max docs kept per source (binds on the 500-doc table)
+
+
+@query(
+    "domain_cap",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {_DOMAIN_CAP}
+    """,
+    description="per-domain document cap — the standard pretraining-mix "
+    "guard against a single crawl domain dominating the corpus: keep at "
+    "most K docs per source, preferring longer documents, with doc_id as "
+    "the deterministic tiebreak (no engine-dependent row order). One "
+    "shuffle on source + a row_number window whose state is a single "
+    "counter per key; output is bounded by K x #domains regardless of "
+    "corpus size. Heavy-hitter domains make the window partition large "
+    "but never wide (the counter short-circuits after K at emit time); "
+    "with AQE skew handling on, even a billion-doc domain splits cleanly "
+    "because the frame is row-based and needs no cross-partition state "
+    "beyond the sort",
+)
+def domain_cap(spark, sf_dir):
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source")
+    )

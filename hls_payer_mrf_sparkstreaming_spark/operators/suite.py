@@ -112,20 +112,44 @@ def rebalance(df: DataFrame) -> DataFrame:
     # RDD (analyzer + physical planning) on every call, while inputFiles()
     # only consults the file index driver-side
     try:
+        from urllib.parse import unquote, urlparse
+
         total = 0
         for f in df.inputFiles():
-            p = f.removeprefix("file:")
+            # inputFiles() returns URIs with percent-encoded paths
+            p = unquote(urlparse(f).path) if "://" in f else unquote(
+                f.removeprefix("file:")
+            )
             total += os.path.getsize(p)
-        max_split = int(
+        est_partitions = max(1, -(-total // _parse_bytes_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .removesuffix("b")
-        )
-        est_partitions = max(1, -(-total // max_split))
+        )))
     except Exception:
-        est_partitions = 1
+        # unknown scan size: leave the plan alone — a silent fallback to
+        # "1 partition, so repartition everything" would add a corpus-wide
+        # shuffle at exactly the scale where it hurts most
+        return df
     if est_partitions >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIXES = {
+    "k": 1 << 10,
+    "m": 1 << 20,
+    "g": 1 << 30,
+    "t": 1 << 40,
+    "p": 1 << 50,
+}
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '128MB',
+    case-insensitive) into bytes, mirroring JavaUtils.byteStringAsBytes."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIXES:
+        return int(float(s[:-1]) * _SIZE_SUFFIXES[s[-1]])
+    return int(s)
 
 
 # The driver's CORRECTNESS harness verifies the FIRST 50 registry entries
@@ -135,62 +159,60 @@ def rebalance(df: DataFrame) -> DataFrame:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # flagship MRF pipeline (the reference's core demo) — never checked
-    "mrf_bronze",
-    "mrf_bronze_elements",
-    "mrf_silver_prices",
-    "mrf_silver_providers",
-    "mrf_gold_shoppable",
-    "mrf_variant_codes",
-    # ANN / embedding family — never checked
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "embedding_neardup_pairs",
-    "knn_join",
-    "embedding_quantize",
-    "embedding_drift_centroids",
-    # multimodal family — never checked
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    # text / corpus pipeline — never checked
-    "pii_scrub",
-    "decontaminate",
-    "bm25_search",
-    "text_repetition",
-    "corpus_mix",
-    "quality_funnel",
-    "corpus_overlap",
-    "text_chunk_sliding",
-    "pack_sequences",
-    "tokenize_pad_ids",
-    "rank_fusion_rrf",
-    "ngram_counts",
-    "unigram_logprob_score",
-    "shard_manifest",
-    # stats / layout — never checked
-    "corr_stats",
-    "histogram_prices",
-    "profile_columns",
-    "zorder_tiles",
-    "drift_ks",
-    # red in r3 (checkpoint-dir fix) — needs a green driver row
-    "dedup_cluster",
-    # no_oracle in r3 — now oracle-checked via within_bounds, need rows
-    "approx_distinct_users",
-    "approx_percentile_summary",
-    # new in round 4 — never checked
-    "anomaly_mad",
-    "token_length_histogram",
-    "class_weights",
-    "event_funnel",
-    "dedup_containment",
-    "graph_triangles",
-    "ann_recall_eval",
-    "cdc_apply_changelog",
-    "rolling_user_spend",
+    # new in round 5 — never driver-checked, go first
+    "domain_cap",
+    "quality_deciles",
+    "lag_features",
+    "grouping_sets_revenue",
+    "dup_rate_by_source",
+    # last driver-checked in r3 (rotated out of the r4 window); on r4's
+    # code they were re-proved only by the pytest mini-oracle — give each a
+    # fresh driver row this round, then swap the r4 greens back in r6
+    "explode_tokens",
+    "array_index",
+    "nested_extract",
+    "cross_join",
+    "surrogate_keys",
+    "param_filter",
+    "limit_topk",
+    "pricing_summary",
+    "star_join_revenue",
+    "window_topk_per_group",
+    "rollup_counts",
+    "skew_salted_join",
+    "cube_counts",
+    "set_ops",
+    "semi_anti_join",
+    "outer_join_counts",
+    "windowed_agg_events",
+    "sessionize",
+    "distinct_agg",
+    "percentile_summary",
+    "pivot_counts",
+    "repartition_roundtrip",
+    "asof_join",
+    "range_join",
+    "attribution_join",
+    "scd2_intervals",
+    "dedup_exact",
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_match_names",
+    "dedup_graph_stats",
+    "sample_stratified",
+    "sample_quota_per_stratum",
+    "split_train_test",
+    "kmeans_train",
+    "text_token_count",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "tfidf_top_terms",
+    "quality_filter_pipeline",
 ]
 
 

@@ -982,3 +982,34 @@ def token_length_histogram(spark, sf_dir):
             F.sum("nt").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "quality_deciles",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(NTILE(10) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS BIGINT) AS decile
+        FROM documents
+    """,
+    description="per-language quality deciles via NTILE(10) — the "
+    "bucketing step behind 'train on the top-N deciles' curation "
+    "policies. The order key is (n_chars, doc_id): a total order, so "
+    "both engines assign identical deciles (NTILE over a partial order "
+    "is engine-dependent). One shuffle on lang; per-key window state is "
+    "a row counter. At 100 TB the exact NTILE needs the per-language "
+    "sort; the documented scale path for approximate deciles is the "
+    "approx_percentile_sketch cutpoints in operators/relational.py "
+    "joined back as a broadcast — this exact operator is the oracle "
+    "anchor for that",
+)
+def quality_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
