@@ -206,6 +206,17 @@ class _Options:
         return str(self.get("includeoffsets", "false")).lower() == "true"
 
     @property
+    def manifest_file(self) -> str | None:
+        """Path to a precomputed chunk-manifest (JSONL of
+        ``{"path","start","end","header_key"}``). When set, ``partitions()``
+        skips scanning entirely and plans straight from the manifest — this
+        is how distributed discovery hands executor-scanned manifests to
+        the planner (see ``build_manifest_distributed``). The path is opened
+        through ``mrf_io.open_input``, so it may live on any pyarrow-fs
+        scheme the data itself uses."""
+        return self.get("manifestfile")
+
+    @property
     def max_chunks_per_batch(self) -> int:
         """0 (default) = discover the whole file in the first micro-batch.
 
@@ -287,8 +298,29 @@ class PayerMrfBatchReader(DataSourceReader):
 
     def partitions(self):
         opts = self._opts
-        paths = mrf_io.resolve_input_paths(opts.path, opts.decompress_dir)
         allowed = self._hk_allowed
+        if opts.manifest_file:
+            import json
+
+            with mrf_io.open_input(opts.manifest_file) as f:
+                rows = [
+                    json.loads(line)
+                    for line in f.read().decode("utf-8").splitlines()
+                    if line
+                ]
+            return [
+                _ChunkPartition(
+                    r["path"],
+                    r["start"],
+                    r["end"],
+                    r["header_key"],
+                    opts.payload_as_array,
+                    opts.include_offsets,
+                )
+                for r in rows
+                if allowed is None or r["header_key"] in allowed
+            ]
+        paths = mrf_io.resolve_input_paths(opts.path, opts.decompress_dir)
 
         def scan_one(path: str):
             return [
@@ -347,114 +379,195 @@ class PayerMrfPushdownBatchReader(PayerMrfBatchReader):
         return filters
 
 
-class PayerMrfStreamReader(DataSourceStreamReader):
-    """Micro-batch streaming over the chunk manifest.
+class _FileScan:
+    """Per-file lazy discovery state: a pulled-on-demand chunk generator,
+    the released-but-uncommitted chunk rows, and the committed GC base."""
 
-    Offsets are ``{"index": n}`` — the count of manifest entries released so
-    far (reference JsonMRFSource.scala:51-53 LongOffset semantics). The
-    manifest generator is pulled lazily: each ``latestOffset`` call releases
-    up to ``maxchunksperbatch`` newly discovered chunks, so downstream
-    processing is pipelined with discovery like the reference's reader
-    thread (JsonMRFSource.scala:138-178) but without shared mutable state.
+    __slots__ = ("gen", "rows", "gc", "exhausted")
+
+    def __init__(self, gen):
+        self.gen = gen
+        self.rows: list[ck.Chunk] = []
+        self.gc = 0
+        self.exhausted = False
+
+    def released(self) -> int:
+        return self.gc + len(self.rows)
+
+
+class PayerMrfStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over per-file chunk manifests.
+
+    Offsets are ``{"files": {path: n_released}}`` — an independent chunk
+    index PER FILE (the reference's LongOffset,
+    JsonMRFSource.scala:51-53, generalized to a multi-file corpus). Per-file
+    indices make restarts immune to the file SET changing between runs: a
+    file that arrives mid-stream — even one sorting lexicographically
+    before already-committed files — only adds a new key, it can never
+    shift another file's committed position (a single global index would).
+    Discovery is pulled lazily in deterministic sorted-path order, up to
+    ``maxchunksperbatch`` chunks per ``latestOffset`` call, so downstream
+    processing pipelines with discovery like the reference's reader thread
+    (JsonMRFSource.scala:138-178) but without shared mutable state; when
+    every known file is exhausted, the input is re-listed so directory
+    streams pick up late-arriving files.
+
+    Legacy ``{"index": n}`` checkpoints (pre-multi-file format) are
+    converted on restart by replaying the deterministic chain order over
+    the current sorted file set — valid as long as the file set did not
+    change while the stream was down, which the single-global-index format
+    required anyway.
     """
 
     def __init__(self, opts: _Options):
         self._opts = opts
-        self._gen = None
-        # index-aligned (path, Chunk) entries, GC'd via commit
-        self._manifest: list[tuple[str, ck.Chunk]] = []
-        self._gc_base = 0
-        self._exhausted = False
+        self._scans: dict[str, _FileScan] = {}  # insertion = release order
+        self._listed = False
 
     # -- discovery ----------------------------------------------------------
 
-    def _ensure_scan(self):
-        if self._gen is None:
-            paths = mrf_io.resolve_input_paths(
-                self._opts.path, self._opts.decompress_dir
-            )
+    def _file_gen(self, path: str):
+        hk = self._opts.header_key
+        for c in ck.scan_chunks(
+            path, self._opts.chunk_target, self._opts.buffersize
+        ):
+            if hk is None or c.header_key == hk:
+                yield c
 
-            hk = self._opts.header_key
-
-            def chain():
-                for p in paths:
-                    for c in ck.scan_chunks(
-                        p, self._opts.chunk_target, self._opts.buffersize
-                    ):
-                        if hk is None or c.header_key == hk:
-                            yield (p, c)
-
-            self._gen = chain()
-
-    def _discovered(self) -> int:
-        return self._gc_base + len(self._manifest)
+    def _list_files(self):
+        paths = mrf_io.resolve_input_paths(
+            self._opts.path, self._opts.decompress_dir
+        )
+        for p in paths:
+            if p not in self._scans:
+                self._scans[p] = _FileScan(self._file_gen(p))
+        self._listed = True
 
     def _pull(self, n: int) -> int:
-        """Pull up to n more chunks (n <= 0: all); return count pulled."""
-        self._ensure_scan()
-        if n <= 0:
-            n = float("inf")
+        """Release up to n more chunks (n <= 0: all known + newly listed
+        files, to exhaustion); returns count released."""
+        if not self._listed:
+            self._list_files()
+        budget = n if n > 0 else float("inf")
         pulled = 0
-        while pulled < n and not self._exhausted:
+        relisted = False
+        while pulled < budget:
+            scan = next(
+                (s for s in self._scans.values() if not s.exhausted), None
+            )
+            if scan is None:
+                if relisted:
+                    break
+                self._list_files()  # pick up late-arriving files
+                relisted = True
+                continue
             try:
-                self._manifest.append(next(self._gen))
+                scan.rows.append(next(scan.gen))
                 pulled += 1
             except StopIteration:
-                self._exhausted = True
+                scan.exhausted = True
         return pulled
 
-    def _ensure_until(self, index: int):
-        while self._discovered() < index and not self._exhausted:
-            self._pull(index - self._discovered())
-        if self._discovered() < index:
+    def _offset(self) -> dict:
+        return {
+            "files": {p: s.released() for p, s in self._scans.items()}
+        }
+
+    def _to_file_map(self, offset: dict) -> dict[str, int]:
+        if "files" in offset:
+            return dict(offset["files"])
+        # legacy single-global-index offset: replay the deterministic
+        # chain (sorted paths, chunks in scan order) to split the index
+        remaining = offset.get("index", 0)
+        out: dict[str, int] = {}
+        if remaining == 0:
+            return out
+        if not self._listed:
+            self._list_files()
+        for p, scan in self._scans.items():
+            while (
+                scan.released() - scan.gc
+            ) < remaining and not scan.exhausted:
+                try:
+                    scan.rows.append(next(scan.gen))
+                except StopIteration:
+                    scan.exhausted = True
+            take = min(remaining, scan.released())
+            out[p] = take
+            remaining -= take
+            if remaining == 0:
+                break
+        if remaining:
             raise RuntimeError(
-                f"payer-mrf: offset {index} beyond end of manifest "
-                f"({self._discovered()} chunks)"
+                f"payer-mrf: legacy offset overruns manifest by "
+                f"{remaining} chunks — the file set changed while the "
+                "stream was down"
             )
+        return out
 
     # -- DataSourceStreamReader protocol ------------------------------------
 
     def initialOffset(self):
-        return {"index": 0}
+        return {"files": {}}
 
     def latestOffset(self):
         self._pull(self._opts.max_chunks_per_batch)
-        return {"index": self._discovered()}
+        return self._offset()
 
     def partitions(self, start, end):
-        lo, hi = start["index"], end["index"]
-        self._ensure_until(hi)
-        if lo < self._gc_base:
-            raise RuntimeError(
-                f"payer-mrf: offset {lo} already committed (GC base "
-                f"{self._gc_base}); restart the stream from a checkpoint"
-            )
+        lo_map = self._to_file_map(start)
+        hi_map = self._to_file_map(end)
         opts = self._opts
-        return [
-            _ChunkPartition(
-                p,
-                c.start,
-                c.end,
-                c.header_key,
-                opts.payload_as_array,
-                opts.include_offsets,
+        parts: list[_ChunkPartition] = []
+        for p, hi in hi_map.items():
+            lo = lo_map.get(p, 0)
+            if hi <= lo:
+                continue
+            scan = self._scans.get(p)
+            if scan is None:  # restart: re-derive this file's manifest
+                scan = self._scans[p] = _FileScan(self._file_gen(p))
+            while scan.released() < hi and not scan.exhausted:
+                try:
+                    scan.rows.append(next(scan.gen))
+                except StopIteration:
+                    scan.exhausted = True
+            if scan.released() < hi:
+                raise RuntimeError(
+                    f"payer-mrf: offset {hi} beyond end of manifest for "
+                    f"{p} ({scan.released()} chunks) — file changed?"
+                )
+            if lo < scan.gc:
+                raise RuntimeError(
+                    f"payer-mrf: offset {lo} for {p} already committed "
+                    f"(GC base {scan.gc}); restart from a checkpoint"
+                )
+            parts.extend(
+                _ChunkPartition(
+                    p,
+                    c.start,
+                    c.end,
+                    c.header_key,
+                    opts.payload_as_array,
+                    opts.include_offsets,
+                )
+                for c in scan.rows[lo - scan.gc : hi - scan.gc]
             )
-            for p, c in self._manifest[lo - self._gc_base : hi - self._gc_base]
-        ]
+        return parts
 
     def read(self, partition: _ChunkPartition):
         return _read_partition(partition)
 
     def commit(self, end):
         # free committed manifest entries (reference JsonMRFSource.scala:226-238)
-        hi = end["index"]
-        if hi > self._gc_base:
-            del self._manifest[: hi - self._gc_base]
-            self._gc_base = hi
+        for p, hi in self._to_file_map(end).items():
+            scan = self._scans.get(p)
+            if scan is not None and hi > scan.gc:
+                del scan.rows[: hi - scan.gc]
+                scan.gc = hi
 
     def stop(self):
-        self._gen = None
-        self._manifest = []
+        self._scans = {}
+        self._listed = False
 
 
 def register(spark) -> None:
@@ -471,11 +584,112 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+# A corpus of this many files or more gets its chunk discovery run as a
+# Spark job instead of <=8 driver threads: at 100 TB ("thousands of
+# multi-GB files") driver-side scanning caps at ~8x single-file rate while
+# executors sit idle — one scan task per file removes that ceiling.
+DISTRIBUTED_DISCOVERY_MIN_FILES = 16
+
+
+def build_manifest_distributed(
+    spark,
+    paths: list[str],
+    manifest_path: str,
+    chunk_target: int = ck.DEFAULT_CHUNK_TARGET,
+    buffersize: int = ck.DEFAULT_READ_SIZE,
+) -> str:
+    """Run chunk discovery as a Spark job — one task per file — and write
+    the combined manifest as JSONL to ``manifest_path``.
+
+    The scanner (sources/chunker.py) already runs on executors for the
+    read path; here it runs there for DISCOVERY too, so a many-file corpus
+    scans at cluster rate instead of the driver's thread ceiling (the
+    reference's discovery is driver-side single-file,
+    JsonMRFSource.scala:138-178 — this is the repo's 100 TB extension).
+    Manifest rows are ~100 bytes per ~chunktargetbytes of data (a 100 TB
+    corpus at 8 MB chunks is ~1 GB of manifest), collected once and
+    written as one file; for corpora beyond that, shard the path list and
+    emit one manifest per shard.
+    """
+    import json
+
+    sc = spark.sparkContext
+
+    def scan_file(path):
+        return [
+            {
+                "path": path,
+                "start": c.start,
+                "end": c.end,
+                "header_key": c.header_key,
+            }
+            for c in ck.scan_chunks(path, chunk_target, buffersize)
+        ]
+
+    rows = (
+        sc.parallelize(paths, len(paths)).flatMap(scan_file).collect()
+    )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, manifest_path)
+    return manifest_path
+
+
 def read_payer_mrf(spark, path: str, **options):
-    """Batch-read an MRF file into the 3-column bronze DataFrame."""
+    """Batch-read MRF file(s) into the 3-column bronze DataFrame.
+
+    When ``path`` resolves to ``DISTRIBUTED_DISCOVERY_MIN_FILES`` or more
+    files (directory / glob corpora), chunk discovery automatically runs
+    as a Spark job (``build_manifest_distributed``) and the planner reads
+    the resulting manifest instead of re-scanning driver-side. Override
+    with ``distributeddiscovery="true"``/``"false"``; an explicit
+    ``manifestfile=`` option always wins.
+    """
     register(spark)
+    opt_l = {str(k).lower(): v for k, v in options.items()}
+    dd = str(opt_l.pop("distributeddiscovery", "auto")).lower()
+    if "manifestfile" not in opt_l and dd != "false":
+        paths = mrf_io.resolve_input_paths(
+            path, opt_l.get("decompressdir")
+        )
+        if dd == "true" or len(paths) >= DISTRIBUTED_DISCOVERY_MIN_FILES:
+            import hashlib
+            import tempfile
+
+            chunk_target = int(
+                opt_l.get("chunktargetbytes", ck.DEFAULT_CHUNK_TARGET)
+            )
+            buffersize = int(opt_l.get("buffersize", ck.DEFAULT_READ_SIZE))
+            try:
+                # the cache key needs local stat(); remote corpora should
+                # pass manifestfile= (or distributeddiscovery=false) and
+                # manage manifest placement on their own storage
+                sig = hashlib.md5(
+                    repr(
+                        [
+                            (p, os.stat(p).st_size, os.stat(p).st_mtime_ns)
+                            for p in paths
+                        ]
+                        + [chunk_target, buffersize]
+                    ).encode()
+                ).hexdigest()[:16]
+            except OSError:
+                sig = None
+            if sig is not None:
+                mdir = os.path.join(
+                    tempfile.gettempdir(), "payer_mrf_manifests"
+                )
+                os.makedirs(mdir, exist_ok=True)
+                mpath = os.path.join(mdir, f"manifest_{sig}.jsonl")
+                if not os.path.exists(mpath):  # sig covers file content
+                    build_manifest_distributed(
+                        spark, paths, mpath, chunk_target, buffersize
+                    )
+                opt_l["manifestfile"] = mpath
     reader = spark.read.format(FORMAT_NAME)
-    for k, v in options.items():
+    for k, v in opt_l.items():
         reader = reader.option(k, v)
     return reader.load(path)
 

@@ -455,3 +455,157 @@ def test_checkpoint_restart_exactly_once(spark, mrf_file, tmp_path):
     want = {tuple(r) for r in expected.select(*key).collect()}
     have = {tuple(r) for r in got.select(*key).collect()}
     assert have == want
+
+
+def test_distributed_discovery_many_files(spark, tmp_path):
+    """>= DISTRIBUTED_DISCOVERY_MIN_FILES inputs: discovery runs as a Spark
+    job (one scan task per file) writing a manifest the planner reads,
+    instead of <=8 driver threads — and the rows are identical to the
+    driver-side path."""
+    from hls_payer_mrf_sparkstreaming_spark.sources import datasource as ds
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_mrf_file,
+    )
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = ds.DISTRIBUTED_DISCOVERY_MIN_FILES
+    for i in range(n_files):
+        write_mrf_file(str(d / f"payer_{i:02d}.json"), n_in_network=8, seed=i)
+
+    opts = dict(chunktargetbytes=4096, includeoffsets="true")
+    dist = read_payer_mrf(spark, str(d), **opts)
+    driver_side = read_payer_mrf(
+        spark, str(d), distributeddiscovery="false", **opts
+    )
+    key = ["file_name", "header_key", "chunk_start"]
+    a = {tuple(r) for r in dist.select(*key).collect()}
+    b = {tuple(r) for r in driver_side.select(*key).collect()}
+    assert a == b and len(a) > n_files
+    # all files' chunks present
+    assert dist.select("file_name").distinct().count() == n_files
+
+    # the Spark-job path wrote a manifest covering every chunk
+    import glob as _glob
+    import tempfile
+
+    manifests = _glob.glob(
+        os.path.join(tempfile.gettempdir(), "payer_mrf_manifests", "*.jsonl")
+    )
+    rows = []
+    for m in manifests:
+        with open(m) as f:
+            rows.extend(json.loads(line) for line in f if line.strip())
+    covered = {
+        (r["path"], r["header_key"], r["start"])
+        for r in rows
+        if r["path"].startswith(str(d))
+    }
+    assert {(r[0], r[1], r[2]) for r in a} == covered
+
+
+def test_distributed_discovery_forced_on_two_files(spark, tmp_path):
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_mrf_file,
+    )
+
+    d = tmp_path / "two"
+    d.mkdir()
+    write_mrf_file(str(d / "a.json"), n_in_network=10, seed=1)
+    write_mrf_file(str(d / "b.json"), n_in_network=12, seed=2)
+    forced = read_payer_mrf(
+        spark, str(d), distributeddiscovery="true", chunktargetbytes=4096
+    )
+    plain = read_payer_mrf(
+        spark, str(d), distributeddiscovery="false", chunktargetbytes=4096
+    )
+    a = {
+        (r["file_name"], r["header_key"], r["json_payload"])
+        for r in forced.collect()
+    }
+    b = {
+        (r["file_name"], r["header_key"], r["json_payload"])
+        for r in plain.collect()
+    }
+    assert a == b
+
+
+def test_checkpoint_restart_exactly_once_multifile(spark, tmp_path):
+    """Directory stream killed mid-flight; a NEW file that sorts BEFORE the
+    committed ones arrives while the stream is down; restart must deliver
+    every chunk of every file exactly once. Per-file chunk offsets make the
+    arrival order irrelevant — a global index would shift committed
+    positions and lose/duplicate chunks."""
+    import time
+
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_mrf_file,
+    )
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    write_mrf_file(str(d / "m_one.json"), n_in_network=40, seed=11)
+    write_mrf_file(str(d / "z_two.json"), n_in_network=40, seed=12)
+
+    out = str(tmp_path / "bronze_multi")
+    ckpt = str(tmp_path / "ck_multi")
+    opts = dict(chunktargetbytes=1024, includeoffsets="true")
+
+    q = (
+        stream_payer_mrf(spark, str(d), maxchunksperbatch=2, **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [
+            p
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        if len(done) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    n_partial = spark.read.parquet(out).count()
+
+    # arrives while the stream is down AND sorts before both existing files
+    write_mrf_file(str(d / "a_late.json"), n_in_network=40, seed=13)
+
+    expected = read_payer_mrf(
+        spark, str(d), distributeddiscovery="false", **opts
+    )
+    n_total = expected.count()
+    assert 0 < n_partial < n_total
+
+    q2 = (
+        stream_payer_mrf(spark, str(d), **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.read.parquet(out).count() >= n_total:
+            time.sleep(1.0)
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = spark.read.parquet(out)
+    key = ["file_name", "header_key", "chunk_start"]
+    assert got.count() == n_total
+    assert got.select(*key).distinct().count() == n_total
+    want = {tuple(r) for r in expected.select(*key).collect()}
+    have = {tuple(r) for r in got.select(*key).collect()}
+    assert have == want
