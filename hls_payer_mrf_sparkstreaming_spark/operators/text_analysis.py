@@ -999,10 +999,9 @@ def token_length_histogram(spark, sf_dir):
     "both engines assign identical deciles (NTILE over a partial order "
     "is engine-dependent). One shuffle on lang; per-key window state is "
     "a row counter. At 100 TB the exact NTILE needs the per-language "
-    "sort; the documented scale path for approximate deciles is the "
-    "approx_percentile_sketch cutpoints in operators/relational.py "
-    "joined back as a broadcast — this exact operator is the oracle "
-    "anchor for that",
+    "sort; the production scale path is quality_deciles_approx below "
+    "(sketch cutpoints broadcast back, no corpus sort), for which this "
+    "exact operator is the oracle anchor",
 )
 def quality_deciles(spark, sf_dir):
     from pyspark.sql import Window
@@ -1012,4 +1011,33 @@ def quality_deciles(spark, sf_dir):
         "doc_id",
         "lang",
         F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+def quality_deciles_approx(spark, sf_dir):
+    """Production shape of quality_deciles for 100 TB: per-language decile
+    CUTPOINTS from a mergeable quantile sketch (one partial-agg pass, K
+    rows out), broadcast back onto the corpus, decile = 1 + #cutpoints
+    below the score — no per-language sort anywhere. Differs from exact
+    NTILE only at tie/boundary values (value-based buckets vs forced
+    equal counts); tests/test_llm_ops.py bounds that disagreement. The
+    registered quality_deciles entry is the oracle anchor."""
+    docs = load(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.percentile_approx(
+            "n_chars", [i / 10 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    )
+    return docs.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            1
+            + F.aggregate(
+                F.col("cuts"),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc
+                + F.when(F.col("n_chars") > c, 1).otherwise(0),
+            )
+        ).alias("decile"),
     )

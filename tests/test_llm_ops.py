@@ -490,3 +490,31 @@ def test_triangle_wedge_invariant(spark, sf_dir):
     assert row["n_triangles"] > 0
     assert row["n_wedges"] >= 3 * row["n_triangles"]
     assert 0 <= row["closure_nano"] <= 1_000_000_000
+
+
+def test_quality_deciles_approx_agrees_with_exact(spark):
+    """The sketch-cutpoint decile (production path) must agree with exact
+    NTILE except at tie/boundary values: >=90% identical assignments,
+    100% within one decile, and its plan must broadcast the K-row
+    cutpoints with no sort of the corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        quality_deciles,
+        quality_deciles_approx,
+    )
+
+    exact = {
+        (r["doc_id"]): r["decile"]
+        for r in quality_deciles(spark, sf_dir).collect()
+    }
+    approx_df = quality_deciles_approx(spark, sf_dir)
+    approx = {r["doc_id"]: r["decile"] for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    diffs = [abs(approx[d] - exact[d]) for d in exact]
+    same = sum(1 for x in diffs if x == 0) / len(diffs)
+    assert same >= 0.90, f"only {same:.2%} exact-decile agreement"
+    assert max(diffs) <= 1, f"max decile drift {max(diffs)}"
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
