@@ -114,8 +114,13 @@ def rebalance(df: DataFrame) -> DataFrame:
     try:
         from urllib.parse import unquote, urlparse
 
+        files = df.inputFiles()
+        if not files:
+            # not a file scan (in-memory relation, stream, ...): no basis
+            # for an estimate — leave the plan alone
+            return df
         total = 0
-        for f in df.inputFiles():
+        for f in files:
             # inputFiles() returns URIs with percent-encoded paths
             p = unquote(urlparse(f).path) if "://" in f else unquote(
                 f.removeprefix("file:")

@@ -422,6 +422,8 @@ class PayerMrfStreamReader(DataSourceStreamReader):
     def __init__(self, opts: _Options):
         self._opts = opts
         self._scans: dict[str, _FileScan] = {}  # insertion = release order
+        self._order: list[_FileScan] = []  # same order, for the pull cursor
+        self._cursor = 0  # first possibly-non-exhausted entry in _order
         self._listed = False
 
     # -- discovery ----------------------------------------------------------
@@ -440,7 +442,9 @@ class PayerMrfStreamReader(DataSourceStreamReader):
         )
         for p in paths:
             if p not in self._scans:
-                self._scans[p] = _FileScan(self._file_gen(p))
+                scan = _FileScan(self._file_gen(p))
+                self._scans[p] = scan
+                self._order.append(scan)
         self._listed = True
 
     def _pull(self, n: int) -> int:
@@ -452,15 +456,21 @@ class PayerMrfStreamReader(DataSourceStreamReader):
         pulled = 0
         relisted = False
         while pulled < budget:
-            scan = next(
-                (s for s in self._scans.values() if not s.exhausted), None
-            )
-            if scan is None:
+            # files exhaust in release order and new ones append, so a
+            # monotone cursor keeps this O(1) per chunk even for
+            # thousand-file corpora
+            while (
+                self._cursor < len(self._order)
+                and self._order[self._cursor].exhausted
+            ):
+                self._cursor += 1
+            if self._cursor >= len(self._order):
                 if relisted:
                     break
                 self._list_files()  # pick up late-arriving files
                 relisted = True
                 continue
+            scan = self._order[self._cursor]
             try:
                 scan.rows.append(next(scan.gen))
                 pulled += 1
@@ -526,6 +536,7 @@ class PayerMrfStreamReader(DataSourceStreamReader):
             scan = self._scans.get(p)
             if scan is None:  # restart: re-derive this file's manifest
                 scan = self._scans[p] = _FileScan(self._file_gen(p))
+                self._order.append(scan)
             while scan.released() < hi and not scan.exhausted:
                 try:
                     scan.rows.append(next(scan.gen))
@@ -567,6 +578,8 @@ class PayerMrfStreamReader(DataSourceStreamReader):
 
     def stop(self):
         self._scans = {}
+        self._order = []
+        self._cursor = 0
         self._listed = False
 
 
