@@ -609,3 +609,42 @@ def test_checkpoint_restart_exactly_once_multifile(spark, tmp_path):
     want = {tuple(r) for r in expected.select(*key).collect()}
     have = {tuple(r) for r in got.select(*key).collect()}
     assert have == want
+
+
+def test_legacy_global_index_offset_converts(tmp_path):
+    """Pre-multi-file checkpoints stored one global chunk index; a restart
+    on the new per-file format must map {"index": n} onto the same chunks
+    the old chain order released — no Spark session needed, the reader
+    protocol is plain Python."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        PayerMrfStreamReader,
+        _Options,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    d = tmp_path / "legacy"
+    d.mkdir()
+    write_mrf_file(str(d / "a.json"), n_in_network=20, seed=1)
+    write_mrf_file(str(d / "b.json"), n_in_network=20, seed=2)
+    opts = {"path": str(d), "chunktargetbytes": 2048}
+
+    # reference run on the new format: full release, all partitions
+    ref = PayerMrfStreamReader(_Options(opts))
+    ref._pull(0)
+    full = ref._offset()
+    all_parts = ref.partitions({"files": {}}, full)
+    n = len(all_parts)
+    assert n > 4
+
+    # fresh reader (simulated restart): legacy start offset at k must
+    # yield exactly the chunks after the first k of the old chain order
+    k = 3
+    fresh = PayerMrfStreamReader(_Options(opts))
+    tail = fresh.partitions({"index": k}, full)
+    key = lambda p: (p.path, p.start)  # noqa: E731
+    assert [key(p) for p in tail] == [key(p) for p in all_parts[k:]]
+
+    # legacy offset beyond the manifest must fail loudly, not mis-assign
+    fresh2 = PayerMrfStreamReader(_Options(opts))
+    with pytest.raises(RuntimeError, match="legacy offset overruns"):
+        fresh2.partitions({"index": n + 5}, full)
