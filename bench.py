@@ -98,6 +98,11 @@ HEADLINE = [
     "lag_features",
     "grouping_sets_revenue",
     "dup_rate_by_source",
+    "semantic_dedup",
+    "pq_encode",
+    "intra_corpus_dup_ngrams",
+    "retention_cohorts",
+    "ewma_user_value",
 ]
 
 

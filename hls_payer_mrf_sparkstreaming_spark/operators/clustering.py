@@ -176,3 +176,151 @@ def kmeans_assignments(emb, k: int = _K, rounds: int = _ROUNDS):
 def kmeans_train(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings"))
     return kmeans_assignments(emb)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): coarse-cluster the
+# embedding corpus, then prune near-identical vectors WITHIN each cell —
+# the pairwise cosine work is bounded per (cell, LSH-bucket) block and the
+# corpus is never compared all-pairs.
+# ---------------------------------------------------------------------------
+
+_SEM_STRIDE = 37  # vec_id % stride == 1 -> coarse centroid (as ann_ivf_topk)
+_SEM_TWIN_MOD = 5  # vec_id % 5 == 0 gets a scaled twin (planted semantic dup)
+_SEM_TAU = 0.9  # cosine threshold for "same meaning"
+
+_SEM_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _sem_planes():
+    from hls_payer_mrf_sparkstreaming_spark.operators.similarity import (
+        _planes,
+    )
+
+    return _planes(8, seed=23)
+
+
+_SEM_PLANES = _sem_planes()
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+        WITH e0 AS (SELECT vec_id, {_SEM_EMB_D} AS ev FROM embeddings),
+        aug AS (
+            SELECT vec_id * 2 AS id, ev FROM e0
+            UNION ALL
+            SELECT vec_id * 2 + 1 AS id,
+                   list_transform(ev, x -> x * 1.5) AS ev
+            FROM e0 WHERE vec_id % {_SEM_TWIN_MOD} = 0
+        ),
+        c AS (
+            SELECT vec_id AS cid, ev AS cv FROM e0
+            WHERE vec_id % {_SEM_STRIDE} = 1
+        ),
+        asg AS (
+            SELECT id, ev, cid FROM (
+                SELECT a.id, a.ev, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.id
+                           ORDER BY round({V.cosine_sql("a.ev", "c.cv")}, 6)
+                                    DESC, c.cid
+                       ) AS rn
+                FROM aug a CROSS JOIN c
+            ) WHERE rn = 1
+        ),
+        b AS (
+            SELECT id, ev, cid,
+                   {V.hyperplane_bucket_sql("ev", _SEM_PLANES)} AS bucket
+            FROM asg
+        ),
+        drops AS (
+            SELECT DISTINCT p2.id
+            FROM b p1 JOIN b p2
+              ON p1.cid = p2.cid AND p1.bucket = p2.bucket
+             AND p1.id < p2.id
+            WHERE round({V.cosine_sql("p1.ev", "p2.ev")}, 6) >= {_SEM_TAU}
+        )
+        SELECT b.id, b.cid AS cluster_id,
+               (d.id IS NOT NULL) AS is_dropped
+        FROM b LEFT JOIN drops d USING (id)
+    """,
+    description="semantic deduplication (SemDeDup shape): coarse-assign "
+    "every embedding to its max-cosine centroid (deterministic stride "
+    "sample as in ann_ivf_topk; the trained-kmeans variant plugs into the "
+    "same slot), then drop any vector whose (cell, 8-bit-LSH-bucket) "
+    "block holds a smaller-id vector with cosine >= 0.9 — keep-first "
+    "pruning of same-meaning redundancy that exact/MinHash text dedup "
+    "can never see. Scaled twin vectors are planted for every 5th id "
+    "(cosine is scale-invariant, so they are exact semantic dups) to "
+    "make pruning non-vacuous at every SF. Plan: assignment is a per-row "
+    "argmax fold over ONE broadcast centroid array (no N-by-K shuffle), "
+    "the pairwise join shuffles rows grouped by (cid, bucket) — block "
+    "height ~stride regardless of corpus size, so the quadratic work is "
+    "O(N * stride), never all-pairs — and the drop verdict re-joins on "
+    "the same key. Vectors shuffle once, ids thereafter",
+)
+def semantic_dedup(spark, sf_dir):
+    e0 = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    aug = (
+        e0.select((F.col("vec_id") * 2).alias("id"), "ev")
+        .unionAll(
+            e0.filter(F.col("vec_id") % _SEM_TWIN_MOD == 0).select(
+                (F.col("vec_id") * 2 + 1).alias("id"),
+                F.transform("ev", lambda x: x * 1.5).alias("ev"),
+            )
+        )
+    )
+    cent_arr = (
+        e0.filter(F.col("vec_id") % _SEM_STRIDE == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("cv"))
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+    init = F.struct(
+        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
+    )
+
+    def closer(acc, c):
+        sim = F.round(V.cosine(F.col("ev"), c["cv"]), 6)
+        take = (sim > acc["sim"]) | (
+            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
+        )
+        return F.when(
+            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    blocked = aug.crossJoin(F.broadcast(cent_arr)).select(
+        "id",
+        "ev",
+        F.aggregate("cents", init, closer)["cid"].alias("cid"),
+        V.hyperplane_bucket(F.col("ev"), _SEM_PLANES).alias("bucket"),
+    )
+    # the blocked projection feeds both join sides and the final verdict;
+    # persist keeps lineage (fault-tolerant at scale)
+    blocked = blocked.persist()
+    p1 = blocked.alias("p1")
+    p2 = blocked.alias("p2")
+    drops = (
+        p1.join(
+            p2,
+            (F.col("p1.cid") == F.col("p2.cid"))
+            & (F.col("p1.bucket") == F.col("p2.bucket"))
+            & (F.col("p1.id") < F.col("p2.id")),
+        )
+        .filter(
+            F.round(V.cosine(F.col("p1.ev"), F.col("p2.ev")), 6) >= _SEM_TAU
+        )
+        .select(F.col("p2.id").alias("id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        blocked.join(drops, "id", "left")
+        .select(
+            "id",
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(F.col("hit"), F.lit(False)).alias("is_dropped"),
+        )
+    )

@@ -569,3 +569,114 @@ def ann_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the compression step behind
+# billion-scale ANN indexes — each vector becomes M small code ids, one per
+# subspace, against per-subspace codebooks.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16  # codes per subspace: sub-vectors of the 16 smallest vec_ids
+_PQ_QUANT = 1000  # fixed-point scale so distances are exact integers
+
+_PQ_X = (
+    "list_transform(list_transform(embedding, v -> CAST(v AS DOUBLE)), "
+    f"v -> CAST(floor(v * {_PQ_QUANT}) AS BIGINT))"
+)
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, {_PQ_X} AS x FROM embeddings),
+        cb AS (SELECT vec_id AS cid, x AS cx FROM e WHERE vec_id < {_PQ_K}),
+        sub AS (
+            SELECT e.vec_id, r.j, c.cid,
+                   list_sum(list_transform(list_zip(
+                       list_slice(e.x, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB}),
+                       list_slice(c.cx, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB})),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+            FROM e
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) r
+            CROSS JOIN cb c
+        ),
+        best AS (
+            SELECT vec_id, j, cid, d FROM (
+                SELECT vec_id, j, cid, d,
+                       row_number() OVER (
+                           PARTITION BY vec_id, j ORDER BY d, cid
+                       ) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(cid, '-' ORDER BY j) AS pq_code,
+               CAST(sum(d) AS BIGINT) AS sq_err
+        FROM best GROUP BY vec_id
+    """,
+    description="product quantization encode (the billion-scale ANN "
+    f"compression step): {_DIM} dims split into {_PQ_M} subspaces of "
+    f"{_PQ_SUB}, each sub-vector snapped to the nearest of {_PQ_K} "
+    "deterministic codebook entries (argmin of exact integer squared "
+    "distance on fixed-point components, tie -> smaller code id) — a "
+    f"{_DIM * 4}-byte float vector becomes {_PQ_M} code ids plus an "
+    "integer reconstruction error, the asymmetric-distance index format. "
+    "Plan: the codebook collapses to ONE broadcast array-of-structs row; "
+    "encoding is a nested fold (subspaces x codes) entirely inside "
+    "whole-stage codegen — ZERO shuffle of the corpus, no N-by-K join, "
+    "no window; DuckDB replays the same argmin via row_number to prove "
+    "the fold exact",
+)
+def pq_encode(spark, sf_dir):
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            V.to_double_array("embedding"),
+            lambda v: F.floor(v * _PQ_QUANT).cast("long"),
+        ).alias("x"),
+    )
+    cb_arr = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("cx"))
+        .agg(F.collect_list(F.struct("cid", "cx")).alias("cbs"))
+    )
+    init = F.struct(
+        F.lit(1 << 62).cast("long").alias("d"),
+        F.lit(None).cast("long").alias("cid"),
+    )
+
+    def encode_sub(j):
+        def step(acc, c):
+            d = F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("x"), j * _PQ_SUB + 1, _PQ_SUB),
+                    F.slice(c["cx"], j * _PQ_SUB + 1, _PQ_SUB),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc2, v: acc2 + v,
+            )
+            take = (d < acc["d"]) | (
+                (d == acc["d"]) & (c["cid"] < acc["cid"])
+            )
+            return F.when(
+                take, F.struct(d.alias("d"), c["cid"].alias("cid"))
+            ).otherwise(acc)
+
+        return F.aggregate("cbs", init, step)
+
+    codes = F.array(*[encode_sub(j) for j in range(_PQ_M)])
+    return emb.crossJoin(F.broadcast(cb_arr)).select(
+        "vec_id",
+        F.array_join(
+            F.transform(codes, lambda s: s["cid"].cast("string")), "-"
+        ).alias("pq_code"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, s: acc + s["d"]
+        ).alias("sq_err"),
+    )

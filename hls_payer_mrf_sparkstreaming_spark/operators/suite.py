@@ -165,6 +165,11 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "semantic_dedup",
+    "pq_encode",
+    "intra_corpus_dup_ngrams",
+    "retention_cohorts",
+    "ewma_user_value",
     "domain_cap",
     "quality_deciles",
     "lag_features",

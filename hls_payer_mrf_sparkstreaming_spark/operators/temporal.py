@@ -477,3 +477,114 @@ def lag_features(spark, sf_dir):
         (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
         (cents - F.lag(cents).over(w)).alias("value_delta_cents"),
     )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+_TS_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+)
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+        WITH wk AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT) AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, week FROM wk)
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM act a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
+    description="cohort retention matrix: users grouped by first-activity "
+    "week, counted in each subsequent week they return — the standard "
+    "growth-analytics triangle. Week = integer microsecond-epoch div "
+    "(engine-neutral; no date truncation or timezone semantics to "
+    "disagree on). Plan: one groupBy user for the cohort anchor, one "
+    "(user, week) distinct, then an equi-join on user_id — both sides "
+    "already hash-partitioned on the same key, so the join adds no third "
+    "shuffle — and a final partial-agg groupBy of (cohort, offset) pairs. "
+    "Every shuffled row is two longs; per-user event lists never "
+    "materialize, so a billion-user corpus costs three skinny digest "
+    "shuffles",
+)
+def retention_cohorts(spark, sf_dir):
+    wk = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"({_TS_US_SQL}) div {_WEEK_US}").alias("week")
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = wk.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
+
+
+_EWMA_DEPTH = 8  # last 8 events; weight 2^(depth-1-age), exact integers
+
+
+@query(
+    "ewma_user_value",
+    oracle=f"""
+        WITH r AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                   ) AS age
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(cents * (1 << ({_EWMA_DEPTH} - age))) AS BIGINT)
+                   AS ewma_num,
+               CAST(sum(1 << ({_EWMA_DEPTH} - age)) AS BIGINT) AS ewma_den,
+               CAST(count(*) AS BIGINT) AS n_events_used
+        FROM r WHERE age <= {_EWMA_DEPTH}
+        GROUP BY user_id
+    """,
+    description="exponentially-weighted recent-value feature per user: the "
+    f"last {_EWMA_DEPTH} events weighted by powers of two (newest heaviest), "
+    "emitted as an exact integer numerator/denominator pair — the "
+    "half-life recency feature behavioral models consume, with zero "
+    "floating point anywhere so the hash-compared output is "
+    "engine-identical by construction (a float alpha^k EWMA is not: its "
+    "sum order drifts under parallelism). Plan: one shuffle on user_id, "
+    "a row_number window (O(1) state per row), filter to the top-"
+    f"{_EWMA_DEPTH}, partial-agg groupBy on the same key — the window and "
+    "the aggregation reuse one hash partitioning, and no per-user list is "
+    "ever collected",
+)
+def ewma_user_value(spark, sf_dir):
+    ts_us = F.expr(_TS_US_SQL).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us.desc(), F.col("event_id").desc()
+    )
+    # F.shiftleft takes a Python-int bit count; the per-row count needs expr
+    weight = F.expr(f"cast(shiftleft(1, {_EWMA_DEPTH} - age) as long)")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.row_number().over(w).alias("age"),
+        )
+        .filter(F.col("age") <= _EWMA_DEPTH)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * weight).cast("long").alias("ewma_num"),
+            F.sum(weight).cast("long").alias("ewma_den"),
+            F.count("*").cast("long").alias("n_events_used"),
+        )
+    )

@@ -1041,3 +1041,89 @@ def quality_deciles_approx(spark, sf_dir):
             )
         ).alias("decile"),
     )
+
+
+_DUPFRAC_N = 8  # same n-gram width as decontaminate
+
+
+@query(
+    "intra_corpus_dup_ngrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - {_DUPFRAC_N - 2}, 1)),
+                       i -> md5(array_to_string(
+                                list_slice(t, i, i + {_DUPFRAC_N - 1}), ' '))
+                   ))) AS h
+            FROM toks
+        ),
+        shared AS (
+            SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+        ),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_dup
+            FROM grams g JOIN shared USING (h)
+            GROUP BY g.doc_id
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_grams,
+               CAST(coalesce(h.n_dup, 0) * 1000000 // t.n_grams AS BIGINT)
+                   AS dup_ppm
+        FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    description="intra-corpus duplicate-n-gram fraction per document (the "
+    "corpus-wide companion to text_repetition's within-doc gate, and the "
+    f"filter behind 'drop docs that are mostly boilerplate'): each doc's "
+    f"distinct {_DUPFRAC_N}-gram hashes, the share of them appearing in "
+    "at least one OTHER doc (count >= 2 over per-doc-distinct grams), in "
+    "exact integer ppm. Plan: shingle hashes are computed per row in "
+    "codegen and deduped before the explode; the shared-gram set is two "
+    "chained partial-agg groupBys over 16-byte digests; the hit join "
+    "shuffles (digest, doc_id) pairs keyed by digest and everything "
+    "after is doc_id-keyed counts — document text never shuffles, so at "
+    "100 TB the wire carries only digests and longs",
+)
+def intra_corpus_dup_ngrams(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
+    )
+    # grams feeds the shared-set build, the hit join and the per-doc
+    # totals; persist keeps lineage (recompute on loss, no checkpoint I/O)
+    grams = grams.persist()
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = (
+        grams.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
+            "n_dup_grams"
+        ),
+        (
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            * 1000000
+            / F.col("n_grams")
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    )

@@ -518,3 +518,79 @@ def test_quality_deciles_approx_agrees_with_exact(spark):
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_drops_twins_keeps_originals(spark, sf_dir):
+    """Every planted scaled twin (odd id) must be pruned — cosine is
+    scale-invariant so each twin is an exact semantic dup of its original
+    — and no original (even id) may be dropped at this SF (measured: no
+    natural pair reaches cosine 0.9)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["semantic_dedup"].fn(spark, sf_dir).collect()
+    dropped = {r["id"] for r in rows if r["is_dropped"]}
+    assert dropped, "no twins pruned — plant is vacuous"
+    assert all(i % 2 == 1 for i in dropped), "an original was dropped"
+    n_twins = sum(1 for r in rows if r["id"] % 2 == 1)
+    assert len(dropped) == n_twins, "some planted twin survived"
+
+
+def test_pq_encode_codebook_vectors_self_encode(spark, sf_dir):
+    """A codebook vector's nearest code in every subspace is itself:
+    sq_err must be 0 and the code string must repeat its own id."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["pq_encode"].fn(spark, sf_dir).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    for cid in range(16):
+        r = by_id[cid]
+        assert r["sq_err"] == 0, r
+        assert r["pq_code"] == "-".join([str(cid)] * 8), r
+    # non-codebook vectors must carry a positive reconstruction error
+    assert all(r["sq_err"] > 0 for r in rows if r["vec_id"] >= 16)
+
+
+def test_retention_cohorts_triangle_shape(spark, sf_dir):
+    """Offsets are non-negative, every cohort has its offset-0 row, and
+    no week's active count exceeds the cohort's own week-0 count."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["retention_cohorts"].fn(spark, sf_dir).collect()
+    assert rows
+    base = {
+        r["cohort_week"]: r["active_users"]
+        for r in rows
+        if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["cohort_week"] in base
+        assert r["active_users"] <= base[r["cohort_week"]]
+
+
+def test_ewma_denominator_closed_form(spark, sf_dir):
+    """With power-of-two weights the denominator is exactly
+    2^depth - 2^(depth - n) for n events used — catches any weight or
+    row_number drift."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["ewma_user_value"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_events_used"]
+        assert 1 <= n <= 8
+        assert r["ewma_den"] == (1 << 8) - (1 << (8 - n)), r
+
+
+def test_intra_corpus_dup_bounds(spark, sf_dir):
+    """Natural 8-gram overlap exists at sf0.001 (non-vacuous) and the
+    per-doc fraction is a valid ppm bounded by the gram count."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["intra_corpus_dup_ngrams"].fn(spark, sf_dir).collect()
+    )
+    assert any(r["n_dup_grams"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000

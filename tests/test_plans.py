@@ -350,3 +350,58 @@ def test_event_funnel_shuffles_only_stage_subsets(spark):
     p = plan(spark, "event_funnel")
     for stage in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{stage})" in p, stage
+
+
+def test_pq_encode_is_broadcast_only(spark):
+    # PQ encoding is a per-row fold over one broadcast codebook row: the
+    # corpus must not shuffle and no window/sort may appear
+    p = plan(spark, "pq_encode")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    for node in ("SortMergeJoin", "Window"):
+        assert node not in p, node
+
+
+def test_semantic_dedup_joins_on_block_key(spark):
+    # the pairwise prune must be an equi-join keyed by (cid, bucket) —
+    # a CartesianProduct here is the all-pairs plan that dies at scale;
+    # the only nested-loop join allowed is the 1-row centroid broadcast
+    p = plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_retention_cohorts_shuffles_ids_only(spark):
+    # every exchange carries (user_id, week)-shaped longs, never event
+    # payload columns
+    p = plan(spark, "retention_cohorts")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all(
+        "props" not in b and "event_type" not in b for b in ex
+    ), ex
+
+
+def test_ewma_single_user_exchange(spark):
+    # the row_number window and the groupBy share one hash partitioning
+    # on user_id: exactly one exchange in the whole plan
+    import re
+
+    p = plan(spark, "ewma_user_value")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_intra_corpus_dup_shuffles_digests_not_text(spark):
+    # all exchanges carry md5 digests / doc ids / counts — document text
+    # must never cross the wire after the shingle projection
+    p = plan(spark, "intra_corpus_dup_ngrams")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text#" not in b for b in ex), ex
