@@ -103,6 +103,9 @@ HEADLINE = [
     "intra_corpus_dup_ngrams",
     "retention_cohorts",
     "ewma_user_value",
+    "auc_score",
+    "graph_pagerank",
+    "bloom_prefilter",
 ]
 
 
@@ -260,7 +263,15 @@ def main() -> None:
         record["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(record, separators=(",", ":"))
         if len(line) > 1900:
+            # the full per-query dict no longer fits the driver's 2000-char
+            # stdout tail; keep the top-8 slowest (the perf-review signal)
+            # and point at the sidecar for the rest
             record.pop("queries")
+            record["slowest"] = {
+                k: round(timings[k], 2)
+                for k in sorted(timings, key=timings.get, reverse=True)[:8]
+            }
+            record["detail"] = "bench_details.json"
             line = json.dumps(record, separators=(",", ":"))
     spark.stop()
     # printed after spark.stop() so no late JVM log line can land after it:

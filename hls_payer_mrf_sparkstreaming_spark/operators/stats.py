@@ -412,3 +412,87 @@ def anomaly_mad(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "auc_score",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_pos
+            FROM events
+        ),
+        per AS (
+            SELECT s,
+                   CAST(sum(is_pos) AS BIGINT) AS np_at,
+                   CAST(sum(1 - is_pos) AS BIGINT) AS nn_at
+            FROM tagged GROUP BY s
+        ),
+        cum AS (
+            SELECT s, np_at, nn_at,
+                   sum(nn_at) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                       - nn_at AS nn_below,
+                   sum(np_at) OVER () AS tp, sum(nn_at) OVER () AS tn
+            FROM per
+        )
+        SELECT CAST(sum(2 * nn_below * np_at + nn_at * np_at) AS BIGINT)
+                   AS auc_num,
+               CAST(max(2 * tp * tn) AS BIGINT) AS auc_den,
+               CAST(floor(CAST(sum(2 * nn_below * np_at + nn_at * np_at)
+                               AS DOUBLE)
+                          / max(2 * tp * tn) * {1_000_000_000})
+                    AS BIGINT) AS auc_nano,
+               CAST(max(tp) AS BIGINT) AS n_pos,
+               CAST(max(tn) AS BIGINT) AS n_neg
+        FROM cum
+    """,
+    description="exact ROC AUC of the event value as a purchase predictor "
+    "— the rank-sum (Mann-Whitney) formulation with tie-aware halves, "
+    "entirely in integer arithmetic: per-score-value positive/negative "
+    "counts (one map-side-combinable groupBy), a cumulative window over "
+    "the BOUNDED distinct-score domain (cents — thousands of rows at any "
+    "corpus scale, so the single-partition window is trivially safe), "
+    "and AUC emitted as an exact numerator/denominator pair plus a "
+    "floored-nano view. The standard model-eval metric computed without "
+    "a global row-rank sort — ranking 100 TB of scores needs only the "
+    "score-domain histogram",
+)
+def auc_score(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tagged = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_pos"
+        ),
+    )
+    per = tagged.groupBy("s").agg(
+        F.sum("is_pos").cast("long").alias("np_at"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("nn_at"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "np_at",
+        "nn_at",
+        (F.sum("nn_at").over(w) - F.col("nn_at")).alias("nn_below"),
+        F.sum("np_at").over(wall).alias("tp"),
+        F.sum("nn_at").over(wall).alias("tn"),
+    )
+    num = F.sum(
+        2 * F.col("nn_below") * F.col("np_at")
+        + F.col("nn_at") * F.col("np_at")
+    )
+    den = F.max(2 * F.col("tp") * F.col("tn"))
+    return cum.agg(
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        F.floor(num.cast("double") / den * _NANO).cast("long").alias(
+            "auc_nano"
+        ),
+        F.max("tp").cast("long").alias("n_pos"),
+        F.max("tn").cast("long").alias("n_neg"),
+    )

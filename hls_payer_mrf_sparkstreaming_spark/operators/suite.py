@@ -165,6 +165,9 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "auc_score",
+    "graph_pagerank",
+    "bloom_prefilter",
     "semantic_dedup",
     "pq_encode",
     "intra_corpus_dup_ngrams",

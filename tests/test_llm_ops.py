@@ -594,3 +594,37 @@ def test_intra_corpus_dup_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_dup_grams"] <= r["n_grams"]
         assert 0 <= r["dup_ppm"] <= 1_000_000
+
+
+def test_auc_identity_and_bounds(spark, sf_dir):
+    """den = 2*n_pos*n_neg exactly; AUC lands in [0, 1e9] nano-units."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    r = all_queries()["auc_score"].fn(spark, sf_dir).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert r["auc_den"] == 2 * r["n_pos"] * r["n_neg"]
+    assert 0 <= r["auc_nano"] <= 1_000_000_000
+
+
+def test_pagerank_bounds_and_hubs(spark, sf_dir):
+    """Every rank is at least the damping floor; some node exceeds the
+    uniform start (hubs exist in the templated near-dup graph)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["graph_pagerank"].fn(spark, sf_dir).collect()
+    assert rows, "near-dup graph has no endpoints"
+    floor = 150_000_000
+    assert all(r["pr_nano"] >= floor for r in rows)
+    assert max(r["pr_nano"] for r in rows) > 1_000_000_000
+
+
+def test_bloom_never_misses_members(spark, sf_dir):
+    """The Bloom invariant: every true member passes the filter; the
+    planted re-ingested copies make membership non-vacuous."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    r = all_queries()["bloom_prefilter"].fn(spark, sf_dir).collect()[0]
+    assert r["n_member"] > 0, "no re-ingested copies matched — vacuous"
+    assert r["n_missed"] == 0
+    assert r["n_pass"] >= r["n_member"]
+    assert r["n_probe"] >= r["n_pass"]

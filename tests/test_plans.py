@@ -405,3 +405,27 @@ def test_intra_corpus_dup_shuffles_digests_not_text(spark):
     ]
     assert ex, p
     assert all("text#" not in b for b in ex), ex
+
+
+def test_auc_partial_aggregation(spark):
+    # per-score counts must combine map-side before the bounded-domain
+    # cumulative window
+    p = plan(spark, "auc_score")
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_no_cartesian(spark):
+    # every per-round rank/edge join is an equi-join on src; a cartesian
+    # or nested-loop node means the iteration went all-pairs
+    p = plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bloom_bitmap_is_broadcast(spark):
+    # the bitmap must reach probes via broadcast (map-side screen); the
+    # only allowed nested-loop join is that single-row bitmap attach
+    p = plan(spark, "bloom_prefilter")
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
