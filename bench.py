@@ -106,6 +106,8 @@ HEADLINE = [
     "auc_score",
     "graph_pagerank",
     "bloom_prefilter",
+    "top_unshipped_orders",
+    "token_cooccurrence_lift",
 ]
 
 

@@ -854,3 +854,81 @@ def grouping_sets_revenue(spark, sf_dir):
             "revenue_cents",
         )
     )
+
+
+_Q3_CUT_US = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC in microseconds
+
+
+@query(
+    "top_unshipped_orders",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_u,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND epoch_us(o.o_orderdate) < {_Q3_CUT_US}
+          AND epoch_us(l.l_shipdate) > {_Q3_CUT_US}
+        GROUP BY l.l_orderkey, orderdate_us, o.o_orderpriority
+        ORDER BY revenue_u DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    description="TPC-H Q3 shape: top-10 highest-revenue orders placed "
+    "before the cutoff but not yet shipped, for one market segment — "
+    "the classic join + aggregate + top-k reporting query. Revenue in "
+    "exact integer price-cents x discount-basis-points units (no float "
+    "sum to drift under parallelism); date predicates compare integer "
+    "microsecond epochs so timestamp-type semantics can't diverge. "
+    "Plan: both filters push to their scans, customer (filtered to one "
+    "segment) broadcasts, the only fact shuffle is the partial-agg "
+    "groupBy on l_orderkey, and the top-10 is TakeOrderedAndProject — "
+    "never a global sort of the aggregate output",
+)
+def top_unshipped_orders(spark, sf_dir):
+    ep = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
+    ).cast("long")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(ep("o_orderdate") < _Q3_CUT_US)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            ep("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(ep("l_shipdate") > _Q3_CUT_US)
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_u"),
+        )
+    )
+    # customer (one segment) broadcasts; orders-x-lineitem shuffles on the
+    # order key — orders is a fact table at scale and must NOT broadcast
+    qualifying = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "orderdate_us", "o_orderpriority")
+    return (
+        li.join(qualifying, li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "orderdate_us", "o_orderpriority")
+        .agg(F.sum("rev_u").cast("long").alias("revenue_u"))
+        .select("l_orderkey", "revenue_u", "orderdate_us", "o_orderpriority")
+        .orderBy(F.col("revenue_u").desc(), "l_orderkey")
+        .limit(10)
+    )

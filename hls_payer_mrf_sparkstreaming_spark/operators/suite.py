@@ -165,6 +165,8 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "top_unshipped_orders",
+    "token_cooccurrence_lift",
     "auc_score",
     "graph_pagerank",
     "bloom_prefilter",

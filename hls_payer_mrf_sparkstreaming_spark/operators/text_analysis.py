@@ -1127,3 +1127,94 @@ def intra_corpus_dup_ngrams(spark, sf_dir):
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+_PMI_TOPV = 32  # co-occurrence is computed over the top-V vocab only
+
+
+@query(
+    "token_cooccurrence_lift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        df AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+            FROM toks GROUP BY tok
+        ),
+        w AS (
+            SELECT tok, n_tok FROM df ORDER BY n_tok DESC, tok
+            LIMIT {_PMI_TOPV}
+        ),
+        tw AS (
+            SELECT t.doc_id, t.tok, w.n_tok FROM toks t JOIN w USING (tok)
+        ),
+        p AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   max(a.n_tok) AS na, max(b.n_tok) AS nb,
+                   CAST(count(*) AS BIGINT) AS nab
+            FROM tw a JOIN tw b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        )
+        SELECT tok_a, tok_b, nab AS n_ab,
+               CAST(nab * n.n_docs * 1000000 // (na * nb) AS BIGINT)
+                   AS lift_ppm
+        FROM p CROSS JOIN n WHERE nab >= 2
+    """,
+    description="token co-occurrence lift over the top-"
+    f"{_PMI_TOPV} vocabulary: P(a,b)/(P(a)P(b)) at document level as the "
+    "exact integer n_ab*N*1e6 // (n_a*n_b) — the PMI ordering without "
+    "the log, so the hash-compared output has no float anywhere. The "
+    "collocation/compound-detection statistic for tokenizer vocab "
+    "construction. Plan: the vocabulary cap is what makes this scale — "
+    "per-doc pair fan-out is bounded by V^2/2 regardless of document "
+    "length, the tiny (tok, df) relation broadcasts to both join sides, "
+    "the pair self-join is an equi-join on doc_id (both sides already "
+    "partitioned by it), and the corpus size N rides in as ONE broadcast "
+    "scalar row — document text never shuffles",
+)
+def token_cooccurrence_lift(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    toks = toks.persist()
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    w = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+        .orderBy(F.col("n_tok").desc(), "tok")
+        .limit(_PMI_TOPV)
+    )
+    tw = toks.join(F.broadcast(w), "tok").select("doc_id", "tok", "n_tok")
+    a = tw.alias("a")
+    b = tw.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(
+            F.max("a.n_tok").alias("na"),
+            F.max("b.n_tok").alias("nb"),
+            F.count("*").cast("long").alias("n_ab"),
+        )
+        .filter(F.col("n_ab") >= 2)
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        F.expr("n_ab * n_docs * 1000000 div (na * nb)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

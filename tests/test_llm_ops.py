@@ -628,3 +628,30 @@ def test_bloom_never_misses_members(spark, sf_dir):
     assert r["n_missed"] == 0
     assert r["n_pass"] >= r["n_member"]
     assert r["n_probe"] >= r["n_pass"]
+
+
+def test_q3_revenue_positive_ordered(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["top_unshipped_orders"].fn(spark, sf_dir).collect()
+    )
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue_u"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(v > 0 for v in revs)
+
+
+def test_cooccurrence_lift_bounds(spark, sf_dir):
+    """Pairs are canonical (a < b), counts consistent, and the synthetic
+    corpus's shared vocabulary produces non-vacuous co-occurrence."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["token_cooccurrence_lift"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["n_ab"] >= 2
+        assert r["lift_ppm"] > 0

@@ -429,3 +429,25 @@ def test_bloom_bitmap_is_broadcast(spark):
     p = plan(spark, "bloom_prefilter")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_q3_broadcasts_dim_and_takes_ordered(spark):
+    # customer (one segment) must broadcast; the top-10 must be
+    # TakeOrderedAndProject, not a global sort of the aggregate
+    p = plan(spark, "top_unshipped_orders")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_cooccurrence_shuffles_tokens_not_text(spark):
+    # after the shingle projection only (doc_id, tok) rows and pair
+    # counts may cross the wire
+    p = plan(spark, "token_cooccurrence_lift")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text#" not in b for b in ex), ex
+    assert "CartesianProduct" not in p
