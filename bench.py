@@ -108,6 +108,10 @@ HEADLINE = [
     "bloom_prefilter",
     "top_unshipped_orders",
     "token_cooccurrence_lift",
+    "skyline_pareto",
+    "snapshot_diff",
+    "compaction_bins",
+    "calibration_bins",
 ]
 
 

@@ -932,3 +932,62 @@ def top_unshipped_orders(spark, sf_dir):
         .orderBy(F.col("revenue_u").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+        WITH per AS (
+            SELECT p_size,
+                   min(CAST(round(p_retailprice * 100) AS BIGINT))
+                       AS min_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_size
+        ),
+        runs AS (
+            SELECT p_size, min_price_cents, n_parts,
+                   min(min_price_cents) OVER (
+                       ORDER BY p_size DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_larger
+            FROM per
+        )
+        SELECT p_size, min_price_cents, n_parts
+        FROM runs
+        WHERE best_larger IS NULL OR min_price_cents < best_larger
+    """,
+    description="skyline (Pareto frontier) query: the parts that are "
+    "non-dominated on (maximize size, minimize price) — dominance "
+    "removal, the classic multi-criteria shortlist operator. Computed "
+    "WITHOUT any pairwise dominance join: one partial-agg groupBy "
+    "collapses the corpus to per-size minima (prices in exact integer "
+    "cents), then a running-min window over the BOUNDED size domain "
+    "(~50 rows at any corpus scale, so the single-partition window is "
+    "trivially safe) keeps exactly the rows cheaper than every larger "
+    "size. The naive NOT-EXISTS self-join is quadratic in rows; this is "
+    "one scan + a K-row window — the dimensionality-1 frontier trick "
+    "that works whenever one criterion has a small value domain",
+)
+def skyline_pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    per = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_size")
+        .agg(
+            F.min(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+                "min_price_cents"
+            ),
+            F.count("*").cast("long").alias("n_parts"),
+        )
+    )
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = per.withColumn(
+        "best_larger", F.min("min_price_cents").over(w)
+    )
+    return runs.filter(
+        F.col("best_larger").isNull()
+        | (F.col("min_price_cents") < F.col("best_larger"))
+    ).select("p_size", "min_price_cents", "n_parts")

@@ -496,3 +496,166 @@ def auc_score(spark, sf_dir):
         F.max("tp").cast("long").alias("n_pos"),
         F.max("tn").cast("long").alias("n_neg"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_orderkey % 4 <> 0
+        ),
+        b AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS v
+            FROM orders WHERE o_orderkey % 4 <> 1
+        ),
+        j AS (
+            SELECT a.k AS ka, b.k AS kb, a.v AS va, b.v AS vb
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        )
+        SELECT CAST(count(*) FILTER (ka IS NULL) AS BIGINT) AS n_added,
+               CAST(count(*) FILTER (kb IS NULL) AS BIGINT) AS n_removed,
+               CAST(count(*) FILTER (ka IS NOT NULL AND kb IS NOT NULL
+                                     AND va <> vb) AS BIGINT) AS n_changed,
+               CAST(count(*) FILTER (ka IS NOT NULL AND kb IS NOT NULL
+                                     AND va = vb) AS BIGINT) AS n_unchanged
+        FROM j
+    """,
+    description="snapshot reconciliation: FULL OUTER join of two table "
+    "versions on the primary key, classifying every key as "
+    "added / removed / changed / unchanged — the data-diff audit run "
+    "before replacing a corpus version (here: two deterministic "
+    "key-striped views of orders with a planted +1.00 update on every "
+    "5th key, so all four classes are non-vacuous at every SF). Values "
+    "compare in exact integer cents. Plan: ONE shuffle of each side on "
+    "the key, classification entirely in the join projection, then a "
+    "partial-agg count — no driver-side set math, no second scan; at "
+    "100 TB the wire carries (key, cents) pairs only",
+)
+def snapshot_diff(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("ka"), cents.alias("va")
+    )
+    b = orders.filter(F.col("o_orderkey") % 4 != 1).select(
+        F.col("o_orderkey").alias("kb"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0)
+        ).alias("vb"),
+    )
+    j = a.join(b, a["ka"] == b["kb"], "full_outer")
+    both = F.col("ka").isNotNull() & F.col("kb").isNotNull()
+    return j.agg(
+        F.count_if(F.col("ka").isNull()).cast("long").alias("n_added"),
+        F.count_if(F.col("kb").isNull()).cast("long").alias("n_removed"),
+        F.count_if(both & (F.col("va") != F.col("vb")))
+        .cast("long")
+        .alias("n_changed"),
+        F.count_if(both & (F.col("va") == F.col("vb")))
+        .cast("long")
+        .alias("n_unchanged"),
+    )
+
+
+_COMPACT_TARGET = 16384  # target compacted "file" size in chars
+
+
+@query(
+    "compaction_bins",
+    oracle=f"""
+        WITH runs AS (
+            SELECT source, doc_id, n_chars,
+                   coalesce(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS before
+            FROM documents
+        )
+        SELECT source,
+               CAST(before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM runs GROUP BY source, bin
+    """,
+    description="small-file compaction planner (the lakehouse OPTIMIZE "
+    "bin-packing step): within each source partition, documents pack "
+    "sequentially into target-size bins by prefix-sum — bin = running "
+    f"size BEFORE the doc div {_COMPACT_TARGET}, the deterministic "
+    "first-fit plan a compactor would execute. Plan: one shuffle on "
+    "source, a running-sum window with O(1) state, and a groupBy on the "
+    "SAME key so the window's partitioning is reused — the standard "
+    "maintenance query over a file manifest, which at 100 TB is "
+    "millions of rows, not the data itself",
+)
+def compaction_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = load(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    )
+    return (
+        runs.groupBy(
+            "source",
+            F.expr(f"before div {_COMPACT_TARGET}").alias("bin"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_CALIB_BIN_CENTS = 2000  # 20-dollar-wide score bins
+
+
+@query(
+    "calibration_bins",
+    oracle=f"""
+        SELECT CAST(round(value * 100) AS BIGINT) // {_CALIB_BIN_CENTS}
+                   AS score_bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS n_pos,
+               CAST(count(*) FILTER (event_type = 'purchase') * 1000000
+                    // count(*) AS BIGINT) AS pos_rate_ppm
+        FROM events GROUP BY score_bin
+    """,
+    description="calibration / reliability table for the value-as-"
+    "predictor score judged by auc_score: per fixed-width score bin, "
+    "the empirical positive rate in exact integer ppm — the table a "
+    "reliability diagram or a per-bin threshold policy is read from. "
+    "One map-side-combinable groupBy over the bounded bin domain; "
+    "integer bin math and integer rate division, so the hash-compared "
+    "output is engine-identical",
+)
+def calibration_bins(spark, sf_dir):
+    is_pos = (F.col("event_type") == "purchase").cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                f"CAST(round(value * 100) AS BIGINT) div {_CALIB_BIN_CENTS}"
+            ).alias("score_bin"),
+            is_pos.alias("p"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").cast("long").alias("n_pos"),
+            F.expr("sum(p) * 1000000 div count(*)")
+            .cast("long")
+            .alias("pos_rate_ppm"),
+        )
+    )

@@ -165,6 +165,10 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "skyline_pareto",
+    "snapshot_diff",
+    "compaction_bins",
+    "calibration_bins",
     "top_unshipped_orders",
     "token_cooccurrence_lift",
     "auc_score",

