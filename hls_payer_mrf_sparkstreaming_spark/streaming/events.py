@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -189,5 +190,72 @@ def attribution_stream(
             "purchase_id",
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
             "purchase_value",
+        )
+    )
+
+
+_CDC_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_op", StringType()),
+        StructField("last_value_cents", LongType()),
+    ]
+)
+
+
+def _cdc_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Latest-wins CDC state per user: keep the (ts, event_id)-max change,
+    emit the current winner after each update. Chunks arrive in no
+    particular order, so every row competes against state — never assume
+    intra-batch order."""
+    if state.exists:
+        ts_us, event_id, op, cents = state.get
+    else:
+        ts_us, event_id, op, cents = -1, -1, "", 0
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            r_ts = int(r.ts.value) // 1000  # pandas ns -> us
+            cand = (r_ts, int(r.event_id))
+            if cand > (ts_us, event_id):
+                ts_us, event_id = cand
+                op = str(r.event_type)
+                cents = int(round(float(r.value) * 100))
+    state.update((ts_us, event_id, op, cents))
+    yield pd.DataFrame(
+        [[int(key[0]), ts_us, event_id, op, cents]],
+        columns=[
+            "user_id",
+            "last_ts_us",
+            "last_event_id",
+            "last_op",
+            "last_value_cents",
+        ],
+    )
+
+
+def cdc_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/temporal.cdc_apply_changelog: latest-
+    wins upsert state per key via applyInPandasWithState, re-emitting the
+    winning change whenever it advances (update semantics). Downstream a
+    'error' final op means DELETE — consumers drop the key, exactly as
+    the batch operator filters it. State is ONE tuple per live key (the
+    lakehouse MERGE buffer), not an event list — bounded at 100 TB/day.
+
+    tests/test_streaming_ops.py proves the stream's final state equals
+    the batch operator's output on the same input."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_fn,
+            outputStructType=_CDC_OUT,
+            stateStructType=(
+                "ts_us long, event_id long, op string, cents long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -327,3 +327,60 @@ def test_incremental_corpus_dedup_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == 30 + 5 + 1
     fps = spark.read.parquet(str(out / "fps"))
     assert fps.count() == fps.distinct().count() == len(got)
+
+
+def test_cdc_stream_final_state_equals_batch(spark, events_stream_dir, tmp_path):
+    """The streaming latest-wins CDC state must converge to exactly the
+    batch cdc_apply_changelog result (same winner per key, deletes
+    dropped) on the same input."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import cdc_stream
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        cdc_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM cdc_state").collect()
+    # update mode appends a row per state advance; the final state per key
+    # is the (ts, event_id)-max row, and a final 'error' op is a DELETE
+    final = {}
+    for r in rows:
+        cand = (r["last_ts_us"], r["last_event_id"])
+        if r["user_id"] not in final or cand > final[r["user_id"]][0]:
+            final[r["user_id"]] = (
+                cand,
+                r["last_op"],
+                r["last_value_cents"],
+            )
+    got = {
+        u: (ts_eid[0], op, cents)
+        for u, (ts_eid, op, cents) in final.items()
+        if op != "error"
+    }
+
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    batch = all_queries()["cdc_apply_changelog"].fn(spark, sf_dir).collect()
+    expected = {
+        r["user_id"]: (
+            int(r["last_ts"].timestamp() * 1_000_000),
+            r["last_op"],
+            r["last_value_cents"],
+        )
+        for r in batch
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][1:] == expected[u][1:], u
+        assert got[u][0] == expected[u][0], u
