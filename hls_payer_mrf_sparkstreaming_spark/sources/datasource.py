@@ -24,6 +24,9 @@ Options (case-insensitive, reference parity):
                        sibling file; ours is configurable because source
                        dirs are often read-only)
   ``maxchunksperbatch`` streaming: max manifest rows per micro-batch
+  ``maxbytesperbatch`` streaming: stop releasing chunks once a micro-batch
+                       reaches this many payload bytes (admission control
+                       for uneven chunk sizes; ≥1 chunk always releases)
   ``headerkey``        plan/read ONLY chunks of this header_key — explicit
                        byte-range pruning (build_silver uses this per branch)
   ``includeoffsets``   "true" -> append ``chunk_start long`` (chunk byte
@@ -226,6 +229,19 @@ class _Options:
         thread.
         """
         return int(self.get("maxchunksperbatch", 0))
+
+    @property
+    def max_bytes_per_batch(self) -> int:
+        """0 (default) = no byte cap. Admission control by PAYLOAD SIZE
+        rather than chunk count: chunk byte ranges vary by orders of
+        magnitude (a provider_references chunk vs a 16 MB in_network run),
+        so a count cap alone gives uneven micro-batches. When set, a
+        ``latestOffset`` call stops releasing chunks once the released
+        bytes reach the cap (always at least one chunk, so the stream can
+        never stall). Same processingTime-trigger caveat as
+        ``maxchunksperbatch``.
+        """
+        return int(self.get("maxbytesperbatch", 0))
 
 
 class PayerMrfDataSource(DataSource):
@@ -447,15 +463,20 @@ class PayerMrfStreamReader(DataSourceStreamReader):
                 self._order.append(scan)
         self._listed = True
 
-    def _pull(self, n: int) -> int:
+    def _pull(self, n: int, max_bytes: int = 0) -> int:
         """Release up to n more chunks (n <= 0: all known + newly listed
-        files, to exhaustion); returns count released."""
+        files, to exhaustion); returns count released. ``max_bytes > 0``
+        additionally stops after the released byte ranges reach the cap
+        (checked after each chunk, so at least one chunk always releases
+        — progress is guaranteed even when one chunk exceeds the cap)."""
         if not self._listed:
             self._list_files()
         budget = n if n > 0 else float("inf")
+        byte_budget = max_bytes if max_bytes > 0 else float("inf")
         pulled = 0
+        bytes_pulled = 0
         relisted = False
-        while pulled < budget:
+        while pulled < budget and bytes_pulled < byte_budget:
             # files exhaust in release order and new ones append, so a
             # monotone cursor keeps this O(1) per chunk even for
             # thousand-file corpora
@@ -472,8 +493,10 @@ class PayerMrfStreamReader(DataSourceStreamReader):
                 continue
             scan = self._order[self._cursor]
             try:
-                scan.rows.append(next(scan.gen))
+                c = next(scan.gen)
+                scan.rows.append(c)
                 pulled += 1
+                bytes_pulled += c.end - c.start + 1
             except StopIteration:
                 scan.exhausted = True
         return pulled
@@ -521,7 +544,10 @@ class PayerMrfStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self):
-        self._pull(self._opts.max_chunks_per_batch)
+        self._pull(
+            self._opts.max_chunks_per_batch,
+            self._opts.max_bytes_per_batch,
+        )
         return self._offset()
 
     def partitions(self, start, end):

@@ -648,3 +648,59 @@ def test_legacy_global_index_offset_converts(tmp_path):
     fresh2 = PayerMrfStreamReader(_Options(opts))
     with pytest.raises(RuntimeError, match="legacy offset overruns"):
         fresh2.partitions({"index": n + 5}, full)
+
+
+def test_max_bytes_per_batch_rate_limits_release(tmp_path):
+    """Byte-budget admission control: each latestOffset releases chunks
+    until the byte cap, always at least one chunk (progress), and the
+    batch sequence covers every chunk exactly once — protocol-level, no
+    Spark session needed."""
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        PayerMrfStreamReader,
+        _Options,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+
+    d = tmp_path / "ratelimit"
+    d.mkdir()
+    write_mrf_file(str(d / "m.json"), n_in_network=40, seed=7)
+
+    cap = 4096
+    r = PayerMrfStreamReader(
+        _Options(
+            {
+                "path": str(d),
+                "chunktargetbytes": 1024,
+                "maxbytesperbatch": str(cap),
+            }
+        )
+    )
+    # full manifest for comparison
+    ref = PayerMrfStreamReader(
+        _Options({"path": str(d), "chunktargetbytes": 1024})
+    )
+    ref._pull(0)
+    all_parts = ref.partitions({"files": {}}, ref._offset())
+    assert len(all_parts) > 6
+
+    seen = []
+    prev = r.initialOffset()
+    for _ in range(200):
+        cur = r.latestOffset()
+        if cur == prev:
+            break
+        parts = r.partitions(prev, cur)
+        assert parts, "empty batch despite advancing offset"
+        batch_bytes = sum(p.end - p.start + 1 for p in parts)
+        # cap + one-chunk overshoot bound (the chunk that crossed the cap)
+        max_chunk = max(p.end - p.start + 1 for p in all_parts)
+        assert batch_bytes <= cap + max_chunk
+        seen.extend(parts)
+        prev = cur
+    else:
+        raise AssertionError("stream did not drain in 200 batches")
+
+    key = lambda p: (p.path, p.start, p.end)  # noqa: E731
+    assert sorted(map(key, seen)) == sorted(map(key, all_parts))
+    # the cap actually split the stream into multiple batches
+    assert len(seen) == len(all_parts)
