@@ -112,6 +112,9 @@ HEADLINE = [
     "snapshot_diff",
     "compaction_bins",
     "calibration_bins",
+    "interval_union_length",
+    "event_transition_matrix",
+    "mode_per_group",
 ]
 
 

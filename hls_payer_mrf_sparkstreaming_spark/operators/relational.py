@@ -991,3 +991,51 @@ def skyline_pareto(spark, sf_dir):
         F.col("best_larger").isNull()
         | (F.col("min_price_cents") < F.col("best_larger"))
     ).select("p_size", "min_price_cents", "n_parts")
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, n,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority
+                   ) AS rn
+            FROM c
+        ) WHERE rn = 1
+    """,
+    description="statistical mode per group with a DETERMINISTIC tie-break "
+    "(highest count, then smallest value — built-in mode()/max_by() pick "
+    "an arbitrary winner on ties, which breaks reproducibility across "
+    "engines and even across runs): one map-side-combinable groupBy "
+    "collapses the corpus to (group, value) counts, then a row_number "
+    "window runs over the BOUNDED #groups x #values relation — the fact "
+    "table shuffles once, the window never sees raw rows",
+)
+def mode_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

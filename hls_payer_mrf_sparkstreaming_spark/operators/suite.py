@@ -165,6 +165,9 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "interval_union_length",
+    "event_transition_matrix",
+    "mode_per_group",
     "skyline_pareto",
     "snapshot_diff",
     "compaction_bins",

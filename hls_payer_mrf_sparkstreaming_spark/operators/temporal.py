@@ -588,3 +588,134 @@ def ewma_user_value(spark, sf_dir):
             F.count("*").cast("long").alias("n_events_used"),
         )
     )
+
+
+_IVL_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-min activity span
+
+
+@query(
+    "interval_union_length",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) AS BIGINT) + {_IVL_LEN_US} AS e
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS reach
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(CASE WHEN reach IS NULL OR s > reach
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS island
+            FROM runs
+        ),
+        merged AS (
+            SELECT user_id, island, min(s) AS ms, max(e) AS me
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(me - ms) AS BIGINT) AS active_us
+        FROM merged GROUP BY user_id
+    """,
+    description="interval union length: total ACTIVE time per user when "
+    "every event opens a 30-minute span and overlapping spans must count "
+    "once — the classic merge-overlapping-intervals problem (billed "
+    "machine-hours, user active-time, sensor uptime). Solved with the "
+    "islands technique: a running max of span ends (O(1) window state) "
+    "marks gap starts, a running sum of gap flags numbers the islands, "
+    "and one groupBy merges each island — never a self-join of intervals "
+    "(quadratic per user) and never a per-user collect. One shuffle on "
+    "user_id; the two windows and the merge reuse the same partitioning; "
+    "all arithmetic is integer microseconds",
+)
+def interval_union_length(spark, sf_dir):
+    ts_us = F.expr(_TS_US_SQL).cast("long")
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        ts_us.alias("s"),
+        (ts_us + _IVL_LEN_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    reach = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gap = F.when(reach.isNull() | (F.col("s") > reach), 1).otherwise(0)
+    islands = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(gap)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("active_us"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type)
+                    AS BIGINT) AS prob_ppm
+        FROM trans
+    """,
+    description="first-order Markov transition matrix over per-user event "
+    "sequences: LAG pairs each event with its predecessor ((epoch, "
+    "event_id) order key so ties can't flip neighbors), one partial-agg "
+    "groupBy counts each (prev, next) pair, and row probabilities are "
+    "exact integer ppm via a window over the BOUNDED K x K transition "
+    "domain. The sequence-model feature extractor (and funnel-sanity "
+    "check) for behavioral data; at 100 TB the only event-scale shuffle "
+    "is the user_id window — the transition relation itself is K^2 rows "
+    "regardless of corpus size",
+)
+def event_transition_matrix(spark, sf_dir):
+    ts_us = F.expr(_TS_US_SQL).cast("long")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") * 1000000 / F.sum("n").over(wrow))
+        .cast("long")
+        .alias("prob_ppm"),
+    )

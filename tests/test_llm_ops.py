@@ -715,3 +715,69 @@ def test_calibration_rates_are_valid_ppm(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_pos"] <= r["n"]
         assert 0 <= r["pos_rate_ppm"] <= 1_000_000
+
+
+def test_interval_union_bounds(spark, sf_dir):
+    """Active time per user is at least one span length and at most
+    n_events * span (disjoint upper bound)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    span = 30 * 60 * 1_000_000
+    n_ev = {
+        r["user_id"]: r["cnt"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    rows = all_queries()["interval_union_length"].fn(spark, sf_dir).collect()
+    assert rows and set(r["user_id"] for r in rows) == set(n_ev)
+    for r in rows:
+        assert span <= r["active_us"] <= n_ev[r["user_id"]] * span
+        assert 1 <= r["n_spans"] <= n_ev[r["user_id"]]
+
+
+def test_transition_rows_sum_to_million(spark, sf_dir):
+    """Each prev_type's transition probabilities sum to ~1e6 ppm (floor
+    division loses at most K-1 ppm per row)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["event_transition_matrix"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["prob_ppm"])
+    for prev, ppms in by_prev.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, prev
+
+
+def test_mode_ties_break_to_smallest(spark, sf_dir):
+    """The winner per group must have the max count, and among equal
+    counts the lexicographically smallest value."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    counts = {}
+    for r in (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        counts.setdefault(r["o_orderstatus"], []).append(
+            (r["o_orderpriority"], r["n"])
+        )
+    got = {
+        r["o_orderstatus"]: (r["mode_priority"], r["n"])
+        for r in all_queries()["mode_per_group"].fn(spark, sf_dir).collect()
+    }
+    for status, pairs in counts.items():
+        best = sorted(pairs, key=lambda p: (-p[1], p[0]))[0]
+        assert got[status] == best, status

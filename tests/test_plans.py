@@ -477,3 +477,26 @@ def test_compaction_window_partitioning_reused(spark):
 
     p = plan(spark, "compaction_bins")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_interval_union_single_user_exchange(spark):
+    # both windows, the island merge and the final per-user aggregate must
+    # reuse ONE hash partitioning on user_id
+    import re
+
+    p = plan(spark, "interval_union_length")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_transition_matrix_aggregates_before_prob_window(spark):
+    # the event-scale work is the lag window + partial-agg groupBy; the
+    # ppm window must run over the K x K transition relation only
+    p = plan(spark, "event_transition_matrix")
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_mode_no_raw_row_window(spark):
+    # raw orders rows must be aggregated before any window touches them
+    p = plan(spark, "mode_per_group")
+    assert p.count("HashAggregate") >= 2, p
