@@ -115,6 +115,7 @@ HEADLINE = [
     "interval_union_length",
     "event_transition_matrix",
     "mode_per_group",
+    "sessionize_native",
 ]
 
 

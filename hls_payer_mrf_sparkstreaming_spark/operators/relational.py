@@ -1039,3 +1039,60 @@ def mode_per_group(spark, sf_dir):
             "n",
         )
     )
+
+
+_SW_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "sessionize_native",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             < {_SW_GAP_US}
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sids AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+               CAST(epoch_us(max(ts)) + {_SW_GAP_US} AS BIGINT)
+                   AS session_end_us,
+               count(*) AS n_events
+        FROM sids GROUP BY user_id, sid
+    """,
+    description="per-session rows via Spark's NATIVE session_window "
+    "operator (dynamic-gap session aggregation inside one groupBy — no "
+    "lag/cumsum window chain), proved equivalent to the islands rewrite "
+    "the oracle replays: sessions merge while consecutive events are "
+    "strictly within the 30-min gap, window end = last event + gap. "
+    "Complements sessionize (the lag composition) and sessionize_stream "
+    "(applyInPandasWithState): three expressions of one semantic, "
+    "cross-checked. Plan: session_window is a single partial-aggregable "
+    "session merge keyed by user_id — one shuffle, state bounded per key",
+)
+def sessionize_native(spark, sf_dir):
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

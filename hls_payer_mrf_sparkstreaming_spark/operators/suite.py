@@ -165,6 +165,7 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "sessionize_native",
     "interval_union_length",
     "event_transition_matrix",
     "mode_per_group",

@@ -781,3 +781,25 @@ def test_mode_ties_break_to_smallest(spark, sf_dir):
     for status, pairs in counts.items():
         best = sorted(pairs, key=lambda p: (-p[1], p[0]))[0]
         assert got[status] == best, status
+
+
+def test_sessionize_native_consistent_with_lag_rewrite(spark, sf_dir):
+    """The native session_window sessions must carry the same per-user
+    event totals as the lag-based sessionize, and session windows per
+    user must not overlap."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    native = all_queries()["sessionize_native"].fn(spark, sf_dir).collect()
+    lag = {
+        r["user_id"]: r["n_events"]
+        for r in all_queries()["sessionize"].fn(spark, sf_dir).collect()
+    }
+    per_user = {}
+    for r in native:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert set(per_user) == set(lag)
+    for u, sess in per_user.items():
+        assert sum(s["n_events"] for s in sess) == lag[u]
+        sess.sort(key=lambda s: s["session_start_us"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end_us"] <= b["session_start_us"]

@@ -500,3 +500,13 @@ def test_mode_no_raw_row_window(spark):
     # raw orders rows must be aggregated before any window touches them
     p = plan(spark, "mode_per_group")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_session_window_is_single_shuffle_no_lag_chain(spark):
+    # the native session aggregation must not fall back to a lag/cumsum
+    # window chain; one user_id exchange only
+    import re
+
+    p = plan(spark, "sessionize_native")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Window" not in p, p
