@@ -116,6 +116,8 @@ HEADLINE = [
     "event_transition_matrix",
     "mode_per_group",
     "sessionize_native",
+    "sliding_window_counts",
+    "pareto_share_curve",
 ]
 
 

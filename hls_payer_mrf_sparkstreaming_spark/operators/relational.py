@@ -1096,3 +1096,112 @@ def sessionize_native(spark, sf_dir):
             "n_events",
         )
     )
+
+
+_SLIDE_US = 30 * 60 * 1_000_000  # 30-min slide
+_WIN_SLOTS = 2  # 1-hour window / 30-min slide
+
+
+@query(
+    "sliding_window_counts",
+    oracle=f"""
+        SELECT (epoch_us(ts) // {_SLIDE_US} - v.i) * {_SLIDE_US}
+                   AS window_start_us,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        CROSS JOIN (VALUES (0), (1)) v(i)
+        GROUP BY 1, 2
+    """,
+    description="sliding-window aggregation via Spark's native "
+    "window('1 hour', '30 minutes') — each event lands in "
+    f"{_WIN_SLOTS} overlapping hourly slots; the oracle replays the slot "
+    "assignment as integer epoch arithmetic (slot k = slide-aligned "
+    "start k steps back), proving the built-in generator's slot math. "
+    "Completes the window family: tumbling (windowed_agg_events), "
+    "session (sessionize_native), sliding (here). Plan: the window "
+    "expression EXPANDS rows map-side (narrow generator) and one "
+    "partial-agg groupBy shuffles (slot, type) counts — state per key "
+    "is one counter regardless of corpus size",
+)
+def sliding_window_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "pareto_share_curve",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, cents,
+                   row_number() OVER (ORDER BY cents DESC, o_custkey)
+                       AS rnk,
+                   sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cents) OVER () AS total,
+                   count(*) OVER () AS n
+            FROM per
+        )
+        SELECT rnk * 100 // n AS cust_pctl,
+               CAST(max(cum * 1000000 // total) AS BIGINT)
+                   AS revenue_share_ppm
+        FROM ranked GROUP BY 1
+    """,
+    description="Pareto concentration curve (the 80/20 audit): customers "
+    "ranked by revenue, cumulative revenue share in exact integer ppm at "
+    "each customer percentile — the inequality profile that decides "
+    "whether a handful of keys dominate a corpus (and therefore whether "
+    "skew mitigation is needed downstream). Plan: the corpus collapses "
+    "to per-key totals in one partial-agg groupBy; the ranking windows "
+    "run over the DISTINCT-KEY relation (not raw rows). The global-order "
+    "window is the honest cost — at billion-key scale the same curve "
+    "comes from a quantile-sketch of per-key totals; this exact form is "
+    "the oracle anchor for that sketch",
+)
+def pareto_share_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    word = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per.select(
+        F.row_number().over(word).alias("rnk"),
+        F.sum("cents")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n"),
+    )
+    return (
+        ranked.groupBy(F.expr("rnk * 100 div n").alias("cust_pctl"))
+        .agg(
+            F.max(F.expr("cum * 1000000 div total"))
+            .cast("long")
+            .alias("revenue_share_ppm")
+        )
+    )

@@ -165,6 +165,8 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "sliding_window_counts",
+    "pareto_share_curve",
     "sessionize_native",
     "interval_union_length",
     "event_transition_matrix",

@@ -803,3 +803,34 @@ def test_sessionize_native_consistent_with_lag_rewrite(spark, sf_dir):
         sess.sort(key=lambda s: s["session_start_us"])
         for a, b in zip(sess, sess[1:]):
             assert a["session_end_us"] <= b["session_start_us"]
+
+
+def test_sliding_slots_double_count_events(spark, sf_dir):
+    """Every event lands in exactly window/slide = 2 sliding slots, so
+    slot counts sum to exactly twice the event count."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = (
+        all_queries()["sliding_window_counts"].fn(spark, sf_dir).collect()
+    )
+    n = load(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n
+
+
+def test_pareto_curve_monotone_to_million(spark, sf_dir):
+    """Cumulative share is monotone in percentile and reaches 1e6 ppm at
+    the 100th percentile."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = sorted(
+        all_queries()["pareto_share_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["cust_pctl"],
+    )
+    assert rows
+    shares = [r["revenue_share_ppm"] for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1]["cust_pctl"] == 100
+    assert shares[-1] == 1_000_000

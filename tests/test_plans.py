@@ -510,3 +510,19 @@ def test_session_window_is_single_shuffle_no_lag_chain(spark):
     p = plan(spark, "sessionize_native")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "Window" not in p, p
+
+
+def test_sliding_window_partial_agg(spark):
+    # the window generator must stay map-side with a two-phase aggregate
+    p = plan(spark, "sliding_window_counts")
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_pareto_aggregates_before_ranking_windows(spark):
+    # the ranking windows must run over per-key totals, never raw orders
+    # rows: an aggregate appears below the first Window node
+    p = plan(spark, "pareto_share_curve")
+    assert p.count("HashAggregate") >= 2, p
+    first_window = p.find("Window")
+    assert first_window > 0 and "HashAggregate" in p[first_window:], p
