@@ -118,6 +118,9 @@ HEADLINE = [
     "sessionize_native",
     "sliding_window_counts",
     "pareto_share_curve",
+    "sample_weighted_by_score",
+    "key_skew_report",
+    "churn_labels",
 ]
 
 

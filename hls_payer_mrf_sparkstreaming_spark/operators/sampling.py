@@ -236,3 +236,54 @@ def domain_cap(spark, sf_dir):
         .filter(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "source")
     )
+
+
+_QSALT = "qsample-v1:"  # independent of the mix gate and the split hash
+
+
+@query(
+    "sample_weighted_by_score",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   least(1000, greatest(100, n_chars * 1000 // 400))
+                       AS keep_permille
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(keep_permille AS BIGINT) AS keep_permille
+        FROM scored
+        WHERE ({md5u60_sql(f"'{_QSALT}' || CAST(doc_id AS VARCHAR)")}
+               % 1000) < keep_permille
+    """,
+    description="quality-weighted importance sampling: each document's "
+    "keep probability is PROPORTIONAL to its quality score (here length "
+    "as the stand-in, clamped to [10%, 100%]) and the keep decision is "
+    "the salted-hash gate md5-60(salt||doc_id) mod 1000 < permille — "
+    "score-aware downsampling (keep the good, thin the bad) that is a "
+    "pure scan-time codegen filter: no RNG, no shuffle, reproducible "
+    "across engines/retries/corpus growth, and independent of the "
+    "stratified-mix and train-test-split hash decisions via the salt. "
+    "The per-doc permille rides along so downstream reweighting "
+    "(1/p importance weights) needs no second scan",
+)
+def sample_weighted_by_score(spark, sf_dir):
+    keep = F.least(
+        F.lit(1000),
+        F.greatest(F.lit(100), F.expr("n_chars * 1000 div 400")),
+    )
+    gate = (
+        F.pmod(
+            md5u60(
+                F.concat(F.lit(_QSALT), F.col("doc_id").cast("string"))
+            ),
+            F.lit(1000),
+        )
+        < keep
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", keep.cast("long").alias("keep_permille")
+        )
+        .filter(gate)
+    )

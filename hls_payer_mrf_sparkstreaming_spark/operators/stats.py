@@ -659,3 +659,48 @@ def calibration_bins(spark, sf_dir):
             .alias("pos_rate_ppm"),
         )
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+        WITH per AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        hist AS (
+            SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket_log2,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_rows_per_key
+            FROM per GROUP BY 1
+        )
+        SELECT bucket_log2, n_keys, n_rows, max_rows_per_key
+        FROM hist
+    """,
+    description="join-key skew audit: the rows-per-key distribution of "
+    "lineitem's order key as a power-of-two histogram (keys per bucket, "
+    "rows per bucket, heaviest key per bucket) — the diagnostic that "
+    "decides whether a join needs salting or AQE skew handling BEFORE it "
+    "runs. Two chained partial-agg groupBys; the per-key relation "
+    "shuffles (key, count) longs and the histogram is a few dozen rows "
+    "at any scale. log2 on exact integer counts is engine-safe: both "
+    "engines see identical integers, and floor(log2) changes only at "
+    "exact powers of two where log2 is exact in IEEE double",
+)
+def key_skew_report(spark, sf_dir):
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        per.groupBy(
+            F.floor(F.log2("n")).cast("long").alias("bucket_log2")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows_per_key"),
+        )
+    )

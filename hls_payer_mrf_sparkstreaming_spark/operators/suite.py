@@ -165,6 +165,9 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "sample_weighted_by_score",
+    "key_skew_report",
+    "churn_labels",
     "sliding_window_counts",
     "pareto_share_curve",
     "sessionize_native",

@@ -719,3 +719,62 @@ def event_transition_matrix(spark, sf_dir):
         .cast("long")
         .alias("prob_ppm"),
     )
+
+
+_CHURN_US = 3 * 86400 * 1_000_000  # churned = no purchase in the last 3 days
+
+
+@query(
+    "churn_labels",
+    oracle=f"""
+        WITH horizon AS (
+            SELECT max(epoch_us(ts)) AS h FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   max(epoch_us(ts)) AS last_us,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS last_buy_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT p.user_id,
+               CAST(p.last_us AS BIGINT) AS last_seen_us,
+               p.n_events,
+               (p.last_buy_us IS NULL
+                OR h.h - p.last_buy_us >= {_CHURN_US}) AS churned
+        FROM per p CROSS JOIN horizon h
+    """,
+    description="churn labeling: a user is churned when they made no "
+    "purchase in the final 3 days of the observation window (or never "
+    "purchased) — the standard supervised label for retention models, "
+    "anchored to the CORPUS horizon (max event time) rather than wall "
+    "clock so the label set is reproducible, and purchase-based so both "
+    "classes are non-vacuous on browsing-heavy data. One partial-agg "
+    "groupBy per user (last-seen, last-purchase and event count in the "
+    "same pass via a conditional max) plus the horizon as ONE broadcast "
+    "scalar row — never a second full scan joined by shuffle; integer "
+    "microsecond arithmetic throughout",
+)
+def churn_labels(spark, sf_dir):
+    ts_us = F.expr(_TS_US_SQL).cast("long")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", ts_us.alias("ts_us"), "event_type"
+    )
+    horizon = e.agg(F.max("ts_us").alias("h"))
+    per = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("last_buy_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return per.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.col("last_us").alias("last_seen_us"),
+        "n_events",
+        (
+            F.col("last_buy_us").isNull()
+            | (F.col("h") - F.col("last_buy_us") >= _CHURN_US)
+        ).alias("churned"),
+    )

@@ -834,3 +834,42 @@ def test_pareto_curve_monotone_to_million(spark, sf_dir):
     assert shares == sorted(shares)
     assert rows[-1]["cust_pctl"] == 100
     assert shares[-1] == 1_000_000
+
+
+def test_weighted_sample_keeps_proportional(spark, sf_dir):
+    """Longer docs keep more often; every kept doc carries its permille
+    and permilles stay in the clamp range."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = (
+        all_queries()["sample_weighted_by_score"].fn(spark, sf_dir).collect()
+    )
+    n_total = load(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) < n_total
+    assert all(100 <= r["keep_permille"] <= 1000 for r in rows)
+
+
+def test_skew_report_accounts_every_row(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["key_skew_report"].fn(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert (1 << r["bucket_log2"]) <= r["max_rows_per_key"] < (
+            1 << (r["bucket_log2"] + 1)
+        )
+
+
+def test_churn_both_classes_present(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["churn_labels"].fn(spark, sf_dir).collect()
+    labels = {r["churned"] for r in rows}
+    assert labels == {True, False}, "one churn class is vacuous"

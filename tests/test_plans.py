@@ -526,3 +526,21 @@ def test_pareto_aggregates_before_ranking_windows(spark):
     assert p.count("HashAggregate") >= 2, p
     first_window = p.find("Window")
     assert first_window > 0 and "HashAggregate" in p[first_window:], p
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    # the score-proportional gate is a scan-time filter: no exchange
+    p = plan(spark, "sample_weighted_by_score")
+    assert "Exchange" not in p, p
+
+
+def test_skew_report_two_chained_partial_aggs(spark):
+    p = plan(spark, "key_skew_report")
+    assert p.count("HashAggregate") >= 4, p  # two aggs x partial/final
+
+
+def test_churn_horizon_is_broadcast(spark):
+    # the corpus horizon must attach as a broadcast scalar, not a shuffle
+    p = plan(spark, "churn_labels")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p
