@@ -121,6 +121,7 @@ HEADLINE = [
     "sample_weighted_by_score",
     "key_skew_report",
     "churn_labels",
+    "minhash_error_eval",
 ]
 
 

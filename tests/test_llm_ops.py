@@ -873,3 +873,18 @@ def test_churn_both_classes_present(spark, sf_dir):
     rows = all_queries()["churn_labels"].fn(spark, sf_dir).collect()
     labels = {r["churned"] for r in rows}
     assert labels == {True, False}, "one churn class is vacuous"
+
+
+def test_minhash_error_within_theory_bound(spark, sf_dir):
+    """MinHash standard error with 32 perms is ~sqrt(J(1-J)/32) <= 0.09;
+    assert every candidate's |est - exact| stays within a generous 4-sigma
+    (ppm) and that the eval is non-vacuous."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["minhash_error_eval"].fn(spark, sf_dir).collect()
+    assert rows, "no LSH candidate pairs at this SF"
+    for r in rows:
+        assert 0 <= r["est_ppm"] <= 1_000_000
+        assert 0 <= r["exact_ppm"] <= 1_000_000
+        assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+        assert r["abs_err_ppm"] <= 360_000, r  # 4 * max SE of 32 perms

@@ -544,3 +544,10 @@ def test_churn_horizon_is_broadcast(spark):
     p = plan(spark, "churn_labels")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p
+
+
+def test_minhash_eval_exact_only_on_candidates(spark):
+    # the shingle-set intersection must only run on LSH candidate pairs:
+    # every join is an equi-join (band bucket or id rejoin), no cartesian
+    p = plan(spark, "minhash_error_eval")
+    assert "CartesianProduct" not in p, p
