@@ -122,6 +122,7 @@ HEADLINE = [
     "key_skew_report",
     "churn_labels",
     "minhash_error_eval",
+    "pca_power_iteration",
 ]
 
 

@@ -324,3 +324,117 @@ def semantic_dedup(spark, sf_dir):
             F.coalesce(F.col("hit"), F.lit(False)).alias("is_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration for the dominant principal direction — the third
+# iterative-algorithm class here (k-means above = centroid EM, PageRank in
+# dedup.py = graph fixpoint, this = linear algebra), all oracle-exact via
+# fixed-point integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_PI_ROUNDS = 3
+_PI_VSCALE = 1000  # v components in integer milli-units, max-norm = 1000
+
+_PI_X_SQL = (
+    "list_transform(list_transform(embedding, v -> CAST(v AS DOUBLE)), "
+    "v -> CAST(floor(v * 1000) AS BIGINT))"
+)
+
+
+def _pi_oracle() -> str:
+    dims = _DIM
+    body = f"""
+        e AS (SELECT vec_id, {_PI_X_SQL} AS x FROM embeddings),
+        v0 AS (SELECT list_transform(range(1, {dims} + 1),
+                                     i -> CAST({_PI_VSCALE} AS BIGINT)) AS v)"""
+    for r in range(_PI_ROUNDS):
+        body += f""",
+        s{r} AS (
+            SELECT e.vec_id, e.x,
+                   list_sum(list_transform(list_zip(e.x, v{r}.v),
+                                           p -> p[1] * p[2])) AS s
+            FROM e CROSS JOIN v{r}
+        ),
+        raw{r} AS (
+            SELECT d.d, CAST(sum(s{r}.s * s{r}.x[d.d]) AS BIGINT) AS raw
+            FROM s{r}
+            CROSS JOIN (SELECT unnest(range(1, {dims} + 1)) AS d) d
+            GROUP BY d.d
+        ),
+        v{r + 1} AS (
+            SELECT list(CASE WHEN raw < 0 THEN -1 ELSE 1 END
+                        * (abs(raw) * {_PI_VSCALE} // g) ORDER BY d) AS v
+            FROM raw{r}, (SELECT max(abs(raw)) AS g FROM raw{r})
+        )"""
+    return f"""
+        WITH {body.lstrip()}
+        SELECT d.i AS dim, v[d.i] AS v_milli
+        FROM v{_PI_ROUNDS},
+             (SELECT unnest(range(1, {dims} + 1)) AS i) d
+    """
+
+
+@query(
+    "pca_power_iteration",
+    oracle=_pi_oracle(),
+    description=f"dominant principal direction via {_PI_ROUNDS} rounds of "
+    "power iteration (v <- X'Xv, max-norm renormalized each round) in "
+    "EXACT fixed-point integers: embeddings quantize to milli-units, the "
+    "per-row projection s_i = x.v is a codegen fold over ONE broadcast "
+    "v row, the Gram-vector product X'(Xv) is a posexplode into "
+    "(dim, s*x_d) partial sums — 64 rows out per round regardless of "
+    "corpus size — and renormalization divides abs values only "
+    "(sign split out) so truncation direction can never differ between "
+    "engines. No N x N Gram matrix, no per-round driver collect beyond "
+    "the 64-row v relation; at extreme scale the integer sums move to "
+    "DECIMAL(38,0) with the same plan shape. The iterative "
+    "linear-algebra class next to kmeans_train (EM) and graph_pagerank "
+    "(graph fixpoint), oracle-replayed round by round",
+)
+def pca_power_iteration(spark, sf_dir):
+    e = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", _quantize("embedding").alias("x")
+    )
+    e = e.persist()
+    v_row = spark.range(1).select(
+        F.array(
+            *[F.lit(_PI_VSCALE).cast("long") for _ in range(_DIM)]
+        ).alias("v")
+    )
+    for _ in range(_PI_ROUNDS):
+        s = e.crossJoin(F.broadcast(v_row)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+        raw = (
+            s.select(
+                F.posexplode("x").alias("d0", "xd"), F.col("s")
+            )
+            .groupBy((F.col("d0") + 1).alias("d"))
+            .agg(F.sum(F.col("s") * F.col("xd")).alias("raw"))
+        )
+        g = raw.agg(F.max(F.abs("raw")).alias("g"))
+        v_row = (
+            raw.crossJoin(F.broadcast(g))
+            .select(
+                "d",
+                (
+                    F.when(F.col("raw") < 0, -1).otherwise(1)
+                    * F.expr(f"abs(raw) * {_PI_VSCALE} div g")
+                ).alias("vd"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "vd"))),
+                    lambda t: t["vd"],
+                ).alias("v")
+            )
+        )
+    return v_row.select(
+        F.posexplode("v").alias("i0", "v_milli")
+    ).select((F.col("i0") + 1).alias("dim"), "v_milli")

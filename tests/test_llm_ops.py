@@ -888,3 +888,17 @@ def test_minhash_error_within_theory_bound(spark, sf_dir):
         assert 0 <= r["exact_ppm"] <= 1_000_000
         assert r["abs_err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
         assert r["abs_err_ppm"] <= 360_000, r  # 4 * max SE of 32 perms
+
+
+def test_pca_direction_is_max_normalized(spark, sf_dir):
+    """The returned direction has all 64 dims, max-norm exactly 1000
+    milli-units, and is not axis-degenerate (more than one nonzero)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["pca_power_iteration"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 64
+    vs = [r["v_milli"] for r in rows]
+    assert max(abs(v) for v in vs) == 1000
+    assert sum(1 for v in vs if v != 0) > 8

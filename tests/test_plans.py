@@ -551,3 +551,12 @@ def test_minhash_eval_exact_only_on_candidates(spark):
     # every join is an equi-join (band bucket or id rejoin), no cartesian
     p = plan(spark, "minhash_error_eval")
     assert "CartesianProduct" not in p, p
+
+
+def test_pca_rounds_reduce_to_dim_rows(spark):
+    # every round's Gram-vector product must partially aggregate the
+    # posexploded (dim, partial) rows; no cartesian beyond the broadcast
+    # 1-row v attach
+    p = plan(spark, "pca_power_iteration")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
