@@ -123,6 +123,7 @@ HEADLINE = [
     "churn_labels",
     "minhash_error_eval",
     "pca_power_iteration",
+    "knn_classify",
 ]
 
 

@@ -680,3 +680,93 @@ def pq_encode(spark, sf_dir):
             codes, F.lit(0).cast("long"), lambda acc, s: acc + s["d"]
         ).alias("sq_err"),
     )
+
+
+_KNNC_SEEDS = 50  # labeled seed set: vec_id < 50 (few-shot labeling)
+_KNNC_K = 3
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, {_EMB_D} AS ev FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS s_id, label AS s_label, ev AS sv FROM e
+            WHERE vec_id < {_KNNC_SEEDS}
+        ),
+        scored AS (
+            SELECT e.vec_id, s.s_id, s.s_label,
+                   round({V.cosine_sql('e.ev', 's.sv')}, 6) AS sim
+            FROM e CROSS JOIN seeds s WHERE e.vec_id >= {_KNNC_SEEDS}
+        ),
+        top AS (
+            SELECT vec_id, s_id, s_label, sim FROM (
+                SELECT vec_id, s_id, s_label, sim,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, s_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn <= {_KNNC_K}
+        )
+        SELECT vec_id, pred_label, n_votes FROM (
+            SELECT vec_id, s_label AS pred_label,
+                   CAST(count(*) AS BIGINT) AS n_votes,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY count(*) DESC, s_label
+                   ) AS rn
+            FROM top GROUP BY vec_id, s_label
+        ) WHERE rn = 1
+    """,
+    description=f"k-NN label propagation (few-shot classification): each "
+    f"unlabeled vector takes the majority label of its {_KNNC_K} most "
+    f"cosine-similar vectors from a {_KNNC_SEEDS}-seed labeled set, ties "
+    "broken by smallest label — how a small human-labeled sample fans "
+    "out over an unlabeled corpus. Plan: the seed set is TINY by "
+    "construction so it broadcasts whole (corpus never shuffles for "
+    "scoring); the per-vector top-k window holds 50 skinny "
+    "(id, label, sim) rows of state per key, and the majority vote is a "
+    "bounded second window over at most k rows per vector. The "
+    "deterministic (sim, seed-id) and (votes, label) orderings make the "
+    "prediction engine-exact — the oracle replays it bit for bit",
+)
+def knn_classify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    seeds = emb.filter(F.col("vec_id") < _KNNC_SEEDS).select(
+        F.col("vec_id").alias("s_id"),
+        F.col("label").alias("s_label"),
+        F.col("ev").alias("sv"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= _KNNC_SEEDS)
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "s_id",
+            "s_label",
+            F.round(V.cosine(F.col("ev"), F.col("sv")), 6).alias("sim"),
+        )
+    )
+    wtop = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), "s_id"
+    )
+    top = scored.withColumn("rn", F.row_number().over(wtop)).filter(
+        F.col("rn") <= _KNNC_K
+    )
+    votes = top.groupBy("vec_id", "s_label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    wpick = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), "s_label"
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("s_label").alias("pred_label"), "n_votes")
+    )

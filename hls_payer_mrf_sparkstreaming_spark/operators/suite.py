@@ -165,6 +165,7 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "knn_classify",
     "pca_power_iteration",
     "minhash_error_eval",
     "sample_weighted_by_score",

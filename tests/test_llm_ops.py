@@ -902,3 +902,26 @@ def test_pca_direction_is_max_normalized(spark, sf_dir):
     vs = [r["v_milli"] for r in rows]
     assert max(abs(v) for v in vs) == 1000
     assert sum(1 for v in vs if v != 0) > 8
+
+
+def test_knn_classify_covers_unlabeled_with_valid_votes(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["knn_classify"].fn(spark, sf_dir).collect()
+    n_unlabeled = (
+        load(spark, sf_dir, "embeddings").filter("vec_id >= 50").count()
+    )
+    assert len(rows) == n_unlabeled
+    labels = {
+        r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 3
+        assert r["pred_label"] in labels

@@ -560,3 +560,11 @@ def test_pca_rounds_reduce_to_dim_rows(spark):
     p = plan(spark, "pca_power_iteration")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_knn_classify_broadcasts_seed_set(spark):
+    # the labeled seed set must broadcast; the corpus never shuffles for
+    # scoring — only the skinny scored rows move to the top-k window
+    p = plan(spark, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
