@@ -124,6 +124,9 @@ HEADLINE = [
     "minhash_error_eval",
     "pca_power_iteration",
     "knn_classify",
+    "cluster_quality_summary",
+    "ngram_novelty_score",
+    "seasonal_profile",
 ]
 
 

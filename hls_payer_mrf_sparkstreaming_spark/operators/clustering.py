@@ -438,3 +438,101 @@ def pca_power_iteration(spark, sf_dir):
     return v_row.select(
         F.posexplode("v").alias("i0", "v_milli")
     ).select((F.col("i0") + 1).alias("dim"), "v_milli")
+
+
+@query(
+    "cluster_quality_summary",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, {_X_SQL} AS x FROM embeddings),
+        ed AS (
+            SELECT vec_id, x,
+                   list_transform(x, v -> CAST(v AS DOUBLE)) AS xd
+            FROM e
+        ),
+        c AS (SELECT vec_id AS cid, xd AS cv FROM ed WHERE vec_id < {_K}),
+        scored AS (
+            SELECT ed.vec_id, c.cid,
+                   CAST({_sqdist_sql("ed.xd", "c.cv")} AS BIGINT) AS d,
+                   row_number() OVER (
+                       PARTITION BY ed.vec_id
+                       ORDER BY {_sqdist_sql("ed.xd", "c.cv")}, c.cid
+                   ) AS rn
+            FROM ed CROSS JOIN c
+        ),
+        own AS (SELECT vec_id, cid, d AS d_own FROM scored WHERE rn = 1),
+        alt AS (SELECT vec_id, d AS d_alt FROM scored WHERE rn = 2)
+        SELECT o.cid AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(o.d_own) AS BIGINT) AS sum_d_own,
+               CAST(sum(a.d_alt) AS BIGINT) AS sum_d_alt,
+               CAST(count(*) FILTER (a.d_alt < 2 * o.d_own) AS BIGINT)
+                   AS n_boundary
+        FROM own o JOIN alt a USING (vec_id)
+        GROUP BY o.cid
+    """,
+    description="cluster assignment quality: per cluster, the summed "
+    "squared distance to the OWN centroid next to the summed distance to "
+    "the SECOND-nearest centroid, plus the count of boundary points "
+    "(second-nearest closer than 2x own) — the silhouette-style "
+    "diagnostic that tells which k-means/IVF cells are well-separated "
+    "and which need splitting, in exact integer fixed-point so the "
+    "verdict is engine-identical. Plan: one argmin+runner-up pass per "
+    "row against the broadcast centroid set (rows never pairwise "
+    "compared), then one partial-agg groupBy on cluster id — the "
+    "evaluation costs one corpus scan regardless of K",
+)
+def cluster_quality_summary(spark, sf_dir):
+    pts = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", _quantize("embedding").alias("x")
+    ).withColumn("xd", F.transform("x", lambda v: v.cast("double")))
+    cent_arr = (
+        pts.filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("cid"), F.col("xd").alias("cv"))
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+    # two-slot argmin fold: carry (best, runner-up) through one pass over
+    # the broadcast centroid array — no N x K row expansion, no window
+    big = F.lit(1 << 62).cast("long")
+    nul = F.lit(None).cast("long")
+    init = F.struct(
+        F.struct(big.alias("d"), nul.alias("cid")).alias("b1"),
+        F.struct(big.alias("d"), nul.alias("cid")).alias("b2"),
+    )
+
+    def step(acc, c):
+        d = _sqdist(F.col("xd"), c["cv"]).cast("long")
+        cand = F.struct(d.alias("d"), c["cid"].alias("cid"))
+        better1 = (d < acc["b1"]["d"]) | (
+            (d == acc["b1"]["d"]) & (c["cid"] < acc["b1"]["cid"])
+        )
+        better2 = (d < acc["b2"]["d"]) | (
+            (d == acc["b2"]["d"]) & (c["cid"] < acc["b2"]["cid"])
+        )
+        return (
+            F.when(
+                better1,
+                F.struct(cand.alias("b1"), acc["b1"].alias("b2")),
+            )
+            .when(better2, F.struct(acc["b1"].alias("b1"), cand.alias("b2")))
+            .otherwise(acc)
+        )
+
+    both = pts.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", F.aggregate("cents", init, step).alias("bb")
+    )
+    return (
+        both.select(
+            F.col("bb")["b1"]["cid"].alias("cluster_id"),
+            F.col("bb")["b1"]["d"].alias("d_own"),
+            F.col("bb")["b2"]["d"].alias("d_alt"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d_own").cast("long").alias("sum_d_own"),
+            F.sum("d_alt").cast("long").alias("sum_d_alt"),
+            F.count_if(F.col("d_alt") < 2 * F.col("d_own"))
+            .cast("long")
+            .alias("n_boundary"),
+        )
+    )

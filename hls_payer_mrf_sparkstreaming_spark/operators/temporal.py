@@ -778,3 +778,44 @@ def churn_labels(spark, sf_dir):
             | (F.col("h") - F.col("last_buy_us") >= _CHURN_US)
         ).alias("churned"),
     )
+
+
+@query(
+    "seasonal_profile",
+    oracle=f"""
+        SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+                   AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+    description="seasonality heatmap: event counts and value by "
+    "(day-of-week, hour-of-day), with BOTH coordinates derived from "
+    "integer microsecond-epoch arithmetic (1970-01-01 was a Thursday, "
+    "hence the +4) — no date-part functions whose week/timezone "
+    "conventions differ between engines. The load-profile table behind "
+    "capacity planning and anomaly baselines. One map-side-combinable "
+    "groupBy over the bounded 7 x 24 domain; at any corpus scale the "
+    "shuffle carries at most 168 rows per task",
+)
+def seasonal_profile(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                f"(({_TS_US_SQL}) div 86400000000 + 4) % 7"
+            ).cast("long").alias("dow"),
+            F.expr(
+                f"(({_TS_US_SQL}) % 86400000000) div 3600000000"
+            ).cast("long").alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

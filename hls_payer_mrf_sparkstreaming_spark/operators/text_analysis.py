@@ -1218,3 +1218,68 @@ def token_cooccurrence_lift(spark, sf_dir):
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - {_DUPFRAC_N - 2}, 1)),
+                       i -> md5(array_to_string(
+                                list_slice(t, i, i + {_DUPFRAC_N - 1}), ' '))
+                   ))) AS h
+            FROM toks
+        ),
+        first_seen AS (
+            SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT)
+                   AS n_novel,
+               CAST(count(*) FILTER (f.first_doc = g.doc_id) * 1000000
+                    // count(*) AS BIGINT) AS novelty_ppm
+        FROM grams g JOIN first_seen f USING (h)
+        GROUP BY g.doc_id
+    """,
+    description="ingest-order novelty score: the fraction of each "
+    "document's distinct 8-grams that appear for the FIRST time in this "
+    "document (first occurrence = smallest doc_id owning the gram) — "
+    "the marginal-new-content metric that tells a curation pipeline "
+    "when an ingest feed has stopped adding information, the per-doc "
+    "complement of intra_corpus_dup_ngrams' global dup rate. Plan: "
+    "shingle hashes dedupe per row in codegen before the explode, "
+    "first-owners come from one partial-agg min-groupBy over 16-byte "
+    "digests, the ownership join shuffles (digest, doc_id) pairs keyed "
+    "by digest, and per-doc counts re-aggregate on doc_id — text never "
+    "crosses the wire; exact integer ppm output",
+)
+def ngram_novelty_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
+    )
+    grams = grams.persist()
+    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id"))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "count_if(first_doc = doc_id) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

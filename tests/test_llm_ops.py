@@ -925,3 +925,50 @@ def test_knn_classify_covers_unlabeled_with_valid_votes(spark, sf_dir):
     for r in rows:
         assert 1 <= r["n_votes"] <= 3
         assert r["pred_label"] in labels
+
+
+def test_cluster_quality_invariants(spark, sf_dir):
+    """Runner-up distance dominates own distance; member counts cover the
+    corpus; boundary count bounded by membership."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = (
+        all_queries()["cluster_quality_summary"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    total = sum(r["n_members"] for r in rows)
+    assert total == load(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r["sum_d_alt"] >= r["sum_d_own"]
+        assert 0 <= r["n_boundary"] <= r["n_members"]
+
+
+def test_novelty_complements_dup_fraction(spark, sf_dir):
+    """Novel grams + duplicated-first-elsewhere grams = all grams; doc 0
+    (the smallest id) is 100% novel by construction."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["ngram_novelty_score"].fn(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty_ppm"] == 1_000_000
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+def test_seasonal_profile_domain(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["seasonal_profile"].fn(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == load(
+        spark, sf_dir, "events"
+    ).count()
+    for r in rows:
+        assert 0 <= r["dow"] <= 6
+        assert 0 <= r["hour"] <= 23

@@ -568,3 +568,29 @@ def test_knn_classify_broadcasts_seed_set(spark):
     p = plan(spark, "knn_classify")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cluster_quality_no_expansion_no_window(spark):
+    # the two-slot argmin fold keeps best+runner-up inside codegen:
+    # no per-(row, centroid) window and no sort-merge join
+    p = plan(spark, "cluster_quality_summary")
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_novelty_shuffles_digests_not_text(spark):
+    p = plan(spark, "ngram_novelty_score")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text#" not in b for b in ex), ex
+
+
+def test_seasonal_profile_partial_agg(spark):
+    p = plan(spark, "seasonal_profile")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Exchange" in p
