@@ -39,19 +39,26 @@ def stream_events_from_parquet(spark, events_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event_type with watermark — the
-    streaming twin of relational.windowed_agg_events (same output columns,
-    so batch results validate the stream).
+    """Tumbling (or, with ``slide``, overlapping sliding) window
+    counts/sums per event_type with watermark — the streaming twin of
+    relational.windowed_agg_events / sliding_window_counts (same output
+    columns, so batch results validate the stream). Sliding windows
+    multiply state by window/slide overlapping slots per key; the
+    watermark still expires each slot once its end passes.
 
     ``ts`` is cast to TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ, and
     the testdata parquet is NTZ. The cast is applied identically on the
     batch path, so stream == batch equality is tz-independent."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(

@@ -384,3 +384,49 @@ def test_cdc_stream_final_state_equals_batch(spark, events_stream_dir, tmp_path)
     for u in expected:
         assert got[u][1:] == expected[u][1:], u
         assert got[u][0] == expected[u][0], u
+
+
+def test_sliding_window_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    """Overlapping sliding windows (1 h window / 30 min slide) through the
+    streaming path must equal the batch computation slot for slot."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        windowed_event_counts(stream, slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start_epoch"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r["window_start_epoch"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in windowed_event_counts(
+            batch.withWatermark("ts", "2 hours"), slide="30 minutes"
+        ).collect()
+    }
+    assert got == expected
+    # sliding slots must double-count each event vs the tumbling twin
+    n_tumbling = sum(
+        v[0]
+        for v in {
+            (r["window_start_epoch"], r["event_type"]): (r["n_events"],)
+            for r in windowed_event_counts(
+                batch.withWatermark("ts", "2 hours")
+            ).collect()
+        }.values()
+    )
+    assert sum(v[0] for v in got.values()) == 2 * n_tumbling
