@@ -127,6 +127,7 @@ HEADLINE = [
     "cluster_quality_summary",
     "ngram_novelty_score",
     "seasonal_profile",
+    "join_size_estimate",
 ]
 
 

@@ -704,3 +704,71 @@ def key_skew_report(spark, sf_dir):
             F.max("n").cast("long").alias("max_rows_per_key"),
         )
     )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+        WITH a AS (
+            SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT user_id % 1000 AS k, CAST(count(*) AS BIGINT) AS nb
+            FROM events GROUP BY 1
+        ),
+        j AS (SELECT a.k, a.na, b.nb FROM a JOIN b USING (k))
+        SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_keys_a,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS n_keys_b,
+               CAST(count(*) AS BIGINT) AS n_shared_keys,
+               CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS predicted_rows,
+               CAST(coalesce(max(na * nb), 0) AS BIGINT) AS max_key_rows
+        FROM j
+    """,
+    description="equi-join size estimation from key histograms: "
+    "|A JOIN B| = sum over shared keys of na*nb, computed from two "
+    "partial-agg key-count relations and a count-only join — the "
+    "planner-style diagnostic that prices a join (total output AND the "
+    "worst single key's contribution, the skew hotspot) WITHOUT ever "
+    "executing the wide join or moving payload columns. Pairs with "
+    "key_skew_report: that profiles one table, this prices the join of "
+    "two. Every shuffled row is (key, count); at 100 TB this costs two "
+    "digest-weight aggregations where the real join would cost the "
+    "full payload shuffle",
+)
+def join_size_estimate(spark, sf_dir):
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").cast("long").alias("na"))
+    )
+    b = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 1000).alias("k"))
+        .agg(F.count("*").cast("long").alias("nb"))
+    )
+    j = a.join(b, "k").select(
+        (F.col("na") * F.col("nb")).alias("prod")
+    )
+    counts_a = a.agg(F.count("*").cast("long").alias("n_keys_a"))
+    counts_b = b.agg(F.count("*").cast("long").alias("n_keys_b"))
+    return (
+        j.agg(
+            F.count("*").cast("long").alias("n_shared_keys"),
+            F.coalesce(F.sum("prod"), F.lit(0))
+            .cast("long")
+            .alias("predicted_rows"),
+            F.coalesce(F.max("prod"), F.lit(0))
+            .cast("long")
+            .alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(counts_a))
+        .crossJoin(F.broadcast(counts_b))
+        .select(
+            "n_keys_a",
+            "n_keys_b",
+            "n_shared_keys",
+            "predicted_rows",
+            "max_key_rows",
+        )
+    )

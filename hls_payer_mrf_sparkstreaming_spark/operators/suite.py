@@ -165,6 +165,7 @@ def _parse_bytes_conf(v: str) -> int:
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked, go first
+    "join_size_estimate",
     "cluster_quality_summary",
     "ngram_novelty_score",
     "seasonal_profile",

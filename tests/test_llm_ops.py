@@ -972,3 +972,24 @@ def test_seasonal_profile_domain(spark, sf_dir):
     for r in rows:
         assert 0 <= r["dow"] <= 6
         assert 0 <= r["hour"] <= 23
+
+
+def test_join_size_estimate_matches_real_join(spark, sf_dir):
+    """The histogram prediction must equal the actual join cardinality
+    (exact for equi-joins) — proved against a materialized join."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    r = all_queries()["join_size_estimate"].fn(spark, sf_dir).collect()[0]
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    events = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1000).alias("k")
+    )
+    actual = orders.join(events, "k").count()
+    assert r["predicted_rows"] == actual
+    assert 0 < r["n_shared_keys"] <= min(r["n_keys_a"], r["n_keys_b"])
+    assert r["max_key_rows"] <= r["predicted_rows"]

@@ -594,3 +594,18 @@ def test_seasonal_profile_partial_agg(spark):
     p = plan(spark, "seasonal_profile")
     assert p.count("HashAggregate") >= 2, p
     assert "Exchange" in p
+
+
+def test_join_size_estimate_never_joins_payload(spark):
+    # the estimate must be priced from key-count relations: every
+    # exchange carries keys and counts, never order/event payload columns
+    p = plan(spark, "join_size_estimate")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all(
+        "o_totalprice" not in b and "props" not in b for b in ex
+    ), ex
