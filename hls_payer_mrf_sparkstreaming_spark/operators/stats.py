@@ -378,9 +378,15 @@ def drift_ks(spark, sf_dir):
     "pretraining-corpus filtering. Plan: two partial-agg groupBys over "
     "the fact table plus broadcast joins of the K-row statistics back — "
     "no fact-table re-shuffle, the group key stays the partition key "
-    "throughout",
+    "throughout. The deviation projection feeds BOTH the MAD groupBy and "
+    "the final aggregate, so it is persisted (MEMORY_AND_DISK — spills, "
+    "never OOMs at scale) to cap fact-table scans at 2; Spark's "
+    "CacheManager canonicalizes the plan, so repeated calls reuse one "
+    "cached copy instead of stacking",
 )
 def anomaly_mad(spark, sf_dir):
+    from pyspark import StorageLevel
+
     c = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -394,7 +400,7 @@ def anomaly_mad(spark, sf_dir):
         "l_returnflag",
         "med",
         F.abs(F.col("cents") - F.col("med")).alias("d"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mad = dev.groupBy("l_returnflag").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
     )

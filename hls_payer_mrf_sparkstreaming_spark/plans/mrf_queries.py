@@ -33,14 +33,67 @@ def fixture_path() -> str:
     return p
 
 
+_BIG_N_ITEMS = 60
+_BIG_N_REFS = 20
+_BIG_SEED = 7
+# every element padded past the chunker's 1024-byte target floor, so at
+# chunktargetbytes=1024 the splitter MUST emit exactly one element per
+# chunk — which makes per-header chunk counts equal DuckDB's element
+# counts, turning the chunk-boundary placement itself into an oracled
+# quantity (not just the element totals mrf_bronze_elements checks)
+_BIG_MIN_ELEMENT_BYTES = 1400
+
+
+def fixture_big_path() -> str:
+    """Synthetic MRF file whose array elements each exceed the chunker's
+    1024-byte chunk-target floor (see ``min_element_bytes``)."""
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(
+        d, f"mrf_big_n{_BIG_N_ITEMS}_s{_BIG_SEED}_m{_BIG_MIN_ELEMENT_BYTES}.json"
+    )
+    if not os.path.exists(p):
+        write_mrf_file(
+            p,
+            n_in_network=_BIG_N_ITEMS,
+            n_provider_refs=_BIG_N_REFS,
+            seed=_BIG_SEED,
+            min_element_bytes=_BIG_MIN_ELEMENT_BYTES,
+        )
+    return p
+
+
+def _bronze_oracle() -> str:
+    return f"""
+        SELECT 'in_network' AS header_key,
+               CAST(len(in_network) AS BIGINT) AS n_chunks
+        FROM read_json('{fixture_big_path()}')
+        UNION ALL
+        SELECT 'provider_references' AS header_key,
+               CAST(len(provider_references) AS BIGINT) AS n_chunks
+        FROM read_json('{fixture_big_path()}')
+    """
+
+
 @query(
     "mrf_bronze",
-    oracle=None,  # engine-specific source; covered by tests/test_datasource.py
-    description="payer-mrf source end-to-end: chunk counts per header_key",
+    oracle=_bronze_oracle(),
+    description="payer-mrf source end-to-end: chunk counts per header_key "
+    "(header/footer fragments excluded). Oracled exactly: the fixture's "
+    "elements are each padded past the chunker's 1024-byte target floor "
+    "and the read uses chunktargetbytes=1024, so a correct splitter "
+    "closes a chunk after every element — per-header chunk counts must "
+    "equal the array lengths an independent DuckDB read_json sees. Any "
+    "chunk that merges two elements, splits one, or lands on the wrong "
+    "header breaks the hash",
 )
 def mrf_bronze(spark, sf_dir):
-    df = read_payer_mrf(spark, fixture_path(), chunktargetbytes=65536)
-    return df.groupBy("header_key").agg(F.count("*").alias("n_chunks"))
+    df = read_payer_mrf(spark, fixture_big_path(), chunktargetbytes=1024)
+    return (
+        df.filter(F.col("header_key") != "")
+        .groupBy("header_key")
+        .agg(F.count("*").cast("long").alias("n_chunks"))
+    )
 
 
 def _silver_prices_oracle() -> str:

@@ -97,13 +97,28 @@ def write_mrf(
     n_provider_refs: int = 10,
     seed: int = 42,
     indent: bool = True,
+    min_element_bytes: int = 0,
 ) -> dict:
     """Stream a synthetic MRF JSON document to ``out``; returns summary counts.
 
     Streams item by item so multi-GB files can be generated in O(1) memory.
+    ``min_element_bytes`` > 0 pads every array element (with a ``padding``
+    string field) to at least that serialized size — used by the
+    one-element-per-chunk splitter oracle, which needs every element to
+    exceed the chunker's 1024-byte floor so chunk counts equal element
+    counts exactly.
     """
     rng = random.Random(seed)
-    dump = (lambda o: json.dumps(o, indent=2)) if indent else json.dumps
+    base_dump = (lambda o: json.dumps(o, indent=2)) if indent else json.dumps
+
+    def dump(o: dict) -> str:
+        s = base_dump(o)
+        short = min_element_bytes - len(s.encode("utf-8"))
+        if short > 0:
+            o = dict(o)
+            o["padding"] = "x" * short
+            s = base_dump(o)
+        return s
     out.write("{\n")
     header = {
         "reporting_entity_name": "synthetic payer",
@@ -136,6 +151,9 @@ def write_mrf_file(
     n_provider_refs: int = 10,
     seed: int = 42,
     indent: bool = True,
+    min_element_bytes: int = 0,
 ) -> dict:
     with open(path, "w", encoding="utf-8") as f:
-        return write_mrf(f, n_in_network, n_provider_refs, seed, indent)
+        return write_mrf(
+            f, n_in_network, n_provider_refs, seed, indent, min_element_bytes
+        )
