@@ -297,6 +297,32 @@ def _scan_chunks_cached(path: str, chunk_target: int, buffersize: int):
     return chunks
 
 
+def _load_manifest_rows(manifest: str) -> list[dict]:
+    """Read a chunk manifest: either a single JSONL file or a DIRECTORY of
+    JSONL shards (the executor-written layout of
+    ``build_manifest_distributed``). Shard order is irrelevant — each row
+    is a self-contained (path, start, end, header_key) byte range."""
+    import json
+
+    if os.path.isdir(manifest):
+        files = sorted(
+            os.path.join(manifest, f)
+            for f in os.listdir(manifest)
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [manifest]
+    rows: list[dict] = []
+    for fp in files:
+        with mrf_io.open_input(fp) as f:
+            rows.extend(
+                json.loads(line)
+                for line in f.read().decode("utf-8").splitlines()
+                if line
+            )
+    return rows
+
+
 class PayerMrfBatchReader(DataSourceReader):
     """Batch mode: full manifest -> one partition per chunk.
 
@@ -316,14 +342,7 @@ class PayerMrfBatchReader(DataSourceReader):
         opts = self._opts
         allowed = self._hk_allowed
         if opts.manifest_file:
-            import json
-
-            with mrf_io.open_input(opts.manifest_file) as f:
-                rows = [
-                    json.loads(line)
-                    for line in f.read().decode("utf-8").splitlines()
-                    if line
-                ]
+            rows = _load_manifest_rows(opts.manifest_file)
             return [
                 _ChunkPartition(
                     r["path"],
@@ -638,7 +657,8 @@ def build_manifest_distributed(
     buffersize: int = ck.DEFAULT_READ_SIZE,
 ) -> str:
     """Run chunk discovery as a Spark job — one task per file — and write
-    the combined manifest as JSONL to ``manifest_path``.
+    the manifest as a DIRECTORY of JSONL shards at ``manifest_path``,
+    straight from the executors (``df.write.json``).
 
     The scanner (sources/chunker.py) already runs on executors for the
     read path; here it runs there for DISCOVERY too, so a many-file corpus
@@ -646,33 +666,40 @@ def build_manifest_distributed(
     reference's discovery is driver-side single-file,
     JsonMRFSource.scala:138-178 — this is the repo's 100 TB extension).
     Manifest rows are ~100 bytes per ~chunktargetbytes of data (a 100 TB
-    corpus at 8 MB chunks is ~1 GB of manifest), collected once and
-    written as one file; for corpora beyond that, shard the path list and
-    emit one manifest per shard.
+    corpus at 8 MB chunks is ~1 GB of manifest); each scan task writes its
+    own shard, so manifest bytes never pass through the driver and there
+    is no driver-memory ceiling on corpus size. On a cluster point
+    ``manifest_path`` at shared storage (HDFS/S3) so the planner can read
+    the shards back; the Hadoop committer's ``_SUCCESS`` marker makes the
+    write atomic-enough for the cache-reuse check in ``read_payer_mrf``.
     """
-    import json
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     sc = spark.sparkContext
 
     def scan_file(path):
         return [
-            {
-                "path": path,
-                "start": c.start,
-                "end": c.end,
-                "header_key": c.header_key,
-            }
+            (path, c.start, c.end, c.header_key)
             for c in ck.scan_chunks(path, chunk_target, buffersize)
         ]
 
-    rows = (
-        sc.parallelize(paths, len(paths)).flatMap(scan_file).collect()
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("header_key", StringType()),
+        ]
     )
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.replace(tmp, manifest_path)
+    rdd = sc.parallelize(paths, len(paths)).flatMap(scan_file)
+    spark.createDataFrame(rdd, schema).write.mode("overwrite").json(
+        manifest_path
+    )
     return manifest_path
 
 
@@ -721,8 +748,10 @@ def read_payer_mrf(spark, path: str, **options):
                     tempfile.gettempdir(), "payer_mrf_manifests"
                 )
                 os.makedirs(mdir, exist_ok=True)
-                mpath = os.path.join(mdir, f"manifest_{sig}.jsonl")
-                if not os.path.exists(mpath):  # sig covers file content
+                mpath = os.path.join(mdir, f"manifest_{sig}")
+                # sig covers file content; _SUCCESS guards against a
+                # half-written shard dir from an interrupted earlier job
+                if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
                     build_manifest_distributed(
                         spark, paths, mpath, chunk_target, buffersize
                     )

@@ -485,17 +485,26 @@ def test_distributed_discovery_many_files(spark, tmp_path):
     # all files' chunks present
     assert dist.select("file_name").distinct().count() == n_files
 
-    # the Spark-job path wrote a manifest covering every chunk
+    # the Spark-job path wrote a manifest shard DIR (executor-side write —
+    # no manifest bytes pass through the driver) covering every chunk
     import glob as _glob
     import tempfile
 
     manifests = _glob.glob(
-        os.path.join(tempfile.gettempdir(), "payer_mrf_manifests", "*.jsonl")
+        os.path.join(
+            tempfile.gettempdir(), "payer_mrf_manifests", "manifest_*"
+        )
     )
     rows = []
     for m in manifests:
-        with open(m) as f:
-            rows.extend(json.loads(line) for line in f if line.strip())
+        if not os.path.isdir(m):
+            continue
+        assert os.path.exists(os.path.join(m, "_SUCCESS"))
+        for part in os.listdir(m):
+            if part.startswith(("_", ".")):
+                continue
+            with open(os.path.join(m, part)) as f:
+                rows.extend(json.loads(line) for line in f if line.strip())
     covered = {
         (r["path"], r["header_key"], r["start"])
         for r in rows

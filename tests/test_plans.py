@@ -288,6 +288,26 @@ def test_sketch_only_percentile_has_no_exact_twin(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
 
 
+def test_no_driver_collect_in_package():
+    # .collect() pulls data (or manifests) through the driver — the one
+    # historical use (distributed-discovery manifest assembly) was replaced
+    # by an executor-side df.write.json in round 6. Keep the package at
+    # zero so a driver ceiling can't silently reappear. (Tests and bench
+    # collect freely — they ARE the driver.)
+    import glob as _glob
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "hls_payer_mrf_sparkstreaming_spark"
+    )
+    hits = []
+    for fp in _glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(fp) as f:
+            for i, line in enumerate(f, 1):
+                if ".collect()" in line:
+                    hits.append(f"{fp}:{i}")
+    assert not hits, f".collect() in package source: {hits}"
+
+
 def test_readme_counts_are_current():
     # the README's operator/oracle/suite-size claims must track the live
     # registry (round 4 shipped with stale hand-edited numbers)
