@@ -26,7 +26,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # estimate of the query's true cost
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-HEADLINE = [
+# Curated ordering: the expensive / representative queries first (their
+# medians are the ones worth eyeballing); the full registry is appended
+# below so bench coverage can never drift from the operator registry again
+# (round-5 verdict: 29 registered ops were silently unbenched).
+_CURATED = [
     "pricing_summary",
     "star_join_revenue",
     "skew_salted_join",
@@ -129,6 +133,19 @@ HEADLINE = [
     "seasonal_profile",
     "join_size_estimate",
 ]
+
+
+def _full_headline() -> list[str]:
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    registry = list(all_queries())
+    missing = [n for n in registry if n not in set(_CURATED)]
+    return _CURATED + missing
+
+
+HEADLINE = _full_headline()
 
 
 def bench_splitter() -> float:

@@ -43,19 +43,23 @@ if __name__ == "__main__":
 def registry_counts() -> dict[str, int]:
     """Live operator/oracle/bench counts — the single source for the
     README's headline numbers (drift-guarded by tests/test_plans.py)."""
-    import re
+    import importlib.util
 
     from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
         all_queries,
     )
 
     q = all_queries()
-    with open(
-        __file__.rsplit("/", 2)[0] + "/bench.py"
-    ) as f:
-        headline = len(re.findall(r'^\s+"([a-z_0-9]+)",$', f.read(), re.M))
+    # bench.HEADLINE is curated-order + registry tail (computed at import);
+    # import the module rather than regexing its source so the count stays
+    # live
+    spec = importlib.util.spec_from_file_location(
+        "_bench_for_counts", __file__.rsplit("/", 2)[0] + "/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     return {
         "operators": len(q),
         "oracled": sum(1 for p in q.values() if p.oracle),
-        "headline": headline,
+        "headline": len(bench.HEADLINE),
     }

@@ -164,60 +164,9 @@ def _parse_bytes_conf(v: str) -> int:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # new in round 5 — never driver-checked, go first
-    "join_size_estimate",
-    "cluster_quality_summary",
-    "ngram_novelty_score",
-    "seasonal_profile",
-    "knn_classify",
-    "pca_power_iteration",
-    "minhash_error_eval",
-    "sample_weighted_by_score",
-    "key_skew_report",
-    "churn_labels",
-    "sliding_window_counts",
-    "pareto_share_curve",
-    "sessionize_native",
-    "interval_union_length",
-    "event_transition_matrix",
-    "mode_per_group",
-    "skyline_pareto",
-    "snapshot_diff",
-    "compaction_bins",
-    "calibration_bins",
-    "top_unshipped_orders",
-    "token_cooccurrence_lift",
-    "auc_score",
-    "graph_pagerank",
-    "bloom_prefilter",
-    "semantic_dedup",
-    "pq_encode",
-    "intra_corpus_dup_ngrams",
-    "retention_cohorts",
-    "ewma_user_value",
-    "domain_cap",
-    "quality_deciles",
-    "lag_features",
-    "grouping_sets_revenue",
-    "dup_rate_by_source",
-    # last driver-checked in r3 (rotated out of the r4 window); on r4's
-    # code they were re-proved only by the pytest mini-oracle — give each a
-    # fresh driver row this round, then swap the r4 greens back in r6
-    "explode_tokens",
-    "array_index",
-    "nested_extract",
-    "cross_join",
-    "surrogate_keys",
-    "param_filter",
-    "limit_topk",
-    "pricing_summary",
-    "star_join_revenue",
-    "window_topk_per_group",
-    "rollup_counts",
-    "skew_salted_join",
-    "cube_counts",
-    "set_ops",
-    "semi_anti_join",
+    # round-6 window. The r5 verdict: 30 operators' most recent driver row
+    # is round 3 (they sat past the 50-entry window in both r4 and r5) —
+    # they lead this round's window for fresh CORRECTNESS rows.
     "outer_join_counts",
     "windowed_agg_events",
     "sessionize",
@@ -248,6 +197,29 @@ _DRIVER_PRIORITY = [
     "text_rolling_hash",
     "tfidf_top_terms",
     "quality_filter_pipeline",
+    # newly oracled in r6 (was the registry's one no_oracle entry)
+    "mrf_bronze",
+    # --- new round-6 operators insert HERE (before the backfill) ---
+    # backfill to 50 with ops whose last driver row is round 4
+    "mrf_bronze_elements",
+    "mrf_silver_prices",
+    "mrf_silver_providers",
+    "mrf_variant_codes",
+    "mrf_gold_shoppable",
+    "dedup_cluster",
+    "dedup_containment",
+    "graph_triangles",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "knn_join",
+    "decontaminate",
+    "pii_scrub",
+    "multimodal_meta",
+    "multimodal_decode",
+    "text_chunk_sliding",
+    "pack_sequences",
 ]
 
 
