@@ -391,3 +391,133 @@ def shard_manifest(spark, sf_dir):
             F.max("doc_id").cast("long").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional language model — one step up from the unigram scorer:
+# p(w2 | w1) = c(w1 w2) / c(w1) over the corpus's own top-V vocabulary.
+# The standard cheap perplexity proxy for fluency filtering (a doc of real
+# sentences scores far above shuffled or boilerplate text even when its
+# unigram mix is identical).
+# ---------------------------------------------------------------------------
+
+_BI_V = 256  # bigram-LM vocabulary (shared with the unigram scorer's scale)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        pairs AS (
+            SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l)),
+                              i -> struct_pack(w1 := l[i],
+                                               w2 := l[i + 1]))) AS bg
+                FROM toks
+            )
+        ),
+        uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(l) AS tok FROM toks)
+            GROUP BY tok ORDER BY c1 DESC, tok LIMIT {_BI_V}
+        ),
+        big AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM pairs GROUP BY w1, w2
+        ),
+        lm AS (
+            SELECT b.w1, b.w2,
+                   CAST(floor(ln(CAST(b.c2 AS DOUBLE) / u1.c1) * {_NANO})
+                        AS BIGINT) AS lp
+            FROM big b
+            JOIN uni u1 ON b.w1 = u1.tok
+            JOIN uni u2 ON b.w2 = u2.tok
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM pairs),
+        s AS (
+            SELECT p.doc_id,
+                   coalesce(lm.lp,
+                            CAST(floor(ln(0.5 / total) * {_NANO})
+                                 AS BIGINT)) AS lp
+            FROM pairs p CROSS JOIN tot
+            LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) AS sum_logprob_nano,
+               CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS avg_logprob_nano
+        FROM s GROUP BY doc_id
+    """,
+    description="bigram conditional-LM scoring p(w2|w1) = c(w1w2)/c(w1) "
+    f"over the corpus's own top-{_BI_V} vocabulary — the next step past "
+    "unigram_logprob_score toward perplexity-based fluency filtering "
+    "(word ORDER now matters). Per-bigram log-probs are floored into "
+    "integer nano-units inside the LM table so per-document sums are "
+    "exact under any execution order; out-of-vocab or unseen bigrams get "
+    "the fixed ln(0.5/total) floor. The LM table is bounded by V^2 and "
+    "joins the bigram stream BROADCAST; at 100 TB the only wide ops are "
+    "the two count aggregations and the per-doc re-aggregation — "
+    "documents never shuffle",
+)
+def text_bigram_logprob(spark, sf_dir):
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c1"))
+        .orderBy(F.desc("c1"), "tok")
+        .limit(_BI_V)
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), "c1")
+    u2 = uni.select(F.col("tok").alias("w2"))
+    lm = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(F.col("c2").cast("double") / F.col("c1")) * _NANO
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    tot = pairs.agg(F.count("*").cast("long").alias("total"))
+    oov = F.floor(F.log(0.5 / F.col("total")) * _NANO).cast("long")
+    s = (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(lm), ["w1", "w2"], "left")
+        .select("doc_id", F.coalesce(F.col("lp"), oov).alias("lp"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("sum_logprob_nano"),
+        F.floor(F.sum("lp").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("avg_logprob_nano"),
+    )

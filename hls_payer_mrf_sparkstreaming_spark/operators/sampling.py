@@ -287,3 +287,46 @@ def sample_weighted_by_score(spark, sf_dir):
         )
         .filter(gate)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: replace a raw per-document score with its rank
+# position inside its stratum, so scores become comparable ACROSS strata
+# (a 2000-char Chinese doc and a 2000-char English doc sit at different
+# quality quantiles; curation thresholds like "keep top 30%" need the
+# quantile, not the raw score).
+# ---------------------------------------------------------------------------
+
+_QNORM_PPM = 1_000_000
+
+
+@query(
+    "quantile_normalize_scores",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(floor(percent_rank() OVER (
+                        PARTITION BY lang ORDER BY n_chars, doc_id)
+                        * {_QNORM_PPM}) AS BIGINT) AS qnorm_ppm
+        FROM documents
+    """,
+    description="per-stratum quantile normalization of a document score "
+    "(n_chars as the stand-in quality signal): percent_rank over "
+    "(lang, score, doc_id) floored to exact integer ppm — the "
+    "cross-strata-comparable form curation thresholds need. The "
+    "doc_id tiebreaker makes ranks total and deterministic. Plan: one "
+    "hash-partition per lang + in-partition sort, no joins; at 100 TB "
+    "the exact twin is this window, and the sketch path is "
+    "approx_percentile bucketing (approx_percentile_summary) when a "
+    "full per-stratum sort is too hot",
+)
+def quantile_normalize_scores(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.percent_rank().over(w) * _QNORM_PPM)
+        .cast("long")
+        .alias("qnorm_ppm"),
+    )

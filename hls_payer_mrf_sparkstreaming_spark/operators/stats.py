@@ -778,3 +778,70 @@ def join_size_estimate(spark, sf_dir):
             "max_key_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column entropy profiling: Shannon entropy of each low-cardinality column's
+# value distribution — the screening stat for corpus curation (a source
+# column collapsing to one value, a language mix drifting toward a single
+# lang) and for choosing partition/bucket keys (low-entropy keys skew).
+# ---------------------------------------------------------------------------
+
+
+def _entropy_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}.{col}' AS column_name,
+               CAST(floor(-(CAST(c AS DOUBLE) / n)
+                          * ln(CAST(c AS DOUBLE) / n) * {_NANO})
+                    AS BIGINT) AS term
+        FROM (SELECT count(*) AS c FROM {table} GROUP BY {col}),
+             (SELECT count(*) AS n FROM {table})
+    """
+
+
+@query(
+    "column_entropy",
+    oracle=f"""
+        SELECT column_name,
+               CAST(count(*) AS BIGINT) AS n_categories,
+               CAST(sum(term) AS BIGINT) AS entropy_nano
+        FROM ({_entropy_sql('documents', 'lang')}
+              UNION ALL {_entropy_sql('documents', 'source')}
+              UNION ALL {_entropy_sql('events', 'event_type')})
+        GROUP BY column_name
+    """,
+    description="Shannon entropy (nano-nats) of each categorical column's "
+    "value distribution across documents.lang / documents.source / "
+    "events.event_type — the curation screening stat (is the corpus mix "
+    "degenerate?) and the bucket-key skew predictor. Per-category terms "
+    "-(p ln p) are floored into integer nano-units BEFORE summing, so "
+    "the K-row sum is exact under any aggregation order. Plan per "
+    "column: one partially-aggregated groupBy to K category rows plus a "
+    "broadcast single-row total — the fact tables never shuffle, and at "
+    "100 TB each branch is a map-side count",
+)
+def column_entropy(spark, sf_dir):
+    def ent(df, col: str, label: str):
+        counts = df.groupBy(col).agg(F.count("*").alias("c"))
+        tot = df.agg(F.count("*").alias("n"))
+        p = F.col("c").cast("double") / F.col("n")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(label).alias("column_name"),
+                F.floor(-p * F.log(p) * _NANO).cast("long").alias("term"),
+            )
+            .groupBy("column_name")
+            .agg(
+                F.count("*").cast("long").alias("n_categories"),
+                F.sum("term").cast("long").alias("entropy_nano"),
+            )
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    return (
+        ent(docs, "lang", "documents.lang")
+        .unionAll(ent(docs, "source", "documents.source"))
+        .unionAll(ent(ev, "event_type", "events.event_type"))
+    )

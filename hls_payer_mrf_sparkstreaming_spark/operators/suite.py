@@ -199,7 +199,13 @@ _DRIVER_PRIORITY = [
     "quality_filter_pipeline",
     # newly oracled in r6 (was the registry's one no_oracle entry)
     "mrf_bronze",
-    # --- new round-6 operators insert HERE (before the backfill) ---
+    # new in round 6 — never driver-checked
+    "text_bigram_logprob",
+    "column_entropy",
+    "quantile_normalize_scores",
+    "vocab_coverage_curve",
+    "dedup_normalized_exact",
+    "mrf_rate_percentiles",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

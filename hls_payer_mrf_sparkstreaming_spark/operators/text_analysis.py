@@ -1283,3 +1283,84 @@ def ngram_novelty_score(spark, sf_dir):
             .alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all token OCCURRENCES do the
+# top-k token TYPES cover? The tokenizer-design number — it tells you how
+# big a vocab must be before the OOV/byte-fallback rate is acceptable, and
+# it screens corpora whose curve is degenerate (boilerplate: near-total
+# coverage from a handful of types).
+# ---------------------------------------------------------------------------
+
+_COVER_KS = (2, 4, 8, 16)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        top AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM t GROUP BY tok
+            ORDER BY c DESC, tok LIMIT {max(_COVER_KS)}
+        ),
+        cum AS (
+            SELECT row_number() OVER (ORDER BY c DESC, tok) AS r,
+                   CAST(sum(c) OVER (ORDER BY c DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumc
+            FROM top
+        )
+        SELECT CAST(r AS BIGINT) AS k,
+               cumc AS n_occurrences_cum,
+               CAST(floor(CAST(cumc AS DOUBLE) / n * 1000000) AS BIGINT)
+                   AS cover_ppm
+        FROM cum CROSS JOIN tot
+        WHERE r IN {_COVER_KS}
+    """,
+    description="vocabulary coverage curve: share (exact ppm) of all "
+    f"token occurrences covered by the top-k token types, k in "
+    f"{_COVER_KS} — the tokenizer-sizing stat (how big must the vocab "
+    "be?) and a boilerplate screen (degenerate curves). Plan: one "
+    "partially-aggregated token count, TakeOrderedAndProject to the "
+    f"top {max(_COVER_KS)} types, then the running sum runs over those "
+    "K ROWS ONLY (a single-partition window over a constant-size "
+    "relation, NOT over the corpus) plus a broadcast scalar total — "
+    "scale-independent after the first aggregation",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tot = t.agg(F.count("*").cast("long").alias("n"))
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(max(_COVER_KS))
+    )
+    w = Window.orderBy(F.desc("c"), "tok")
+    cum = top.select(
+        F.row_number().over(w).alias("r"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumc"),
+    )
+    return (
+        cum.filter(F.col("r").isin(*_COVER_KS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("k"),
+            F.col("cumc").cast("long").alias("n_occurrences_cum"),
+            F.floor(F.col("cumc").cast("double") / F.col("n") * 1_000_000)
+            .cast("long")
+            .alias("cover_ppm"),
+        )
+    )

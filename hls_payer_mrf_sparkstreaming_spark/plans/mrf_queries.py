@@ -325,3 +325,65 @@ def mrf_bronze_elements(spark, sf_dir):
             .alias("n_elements")
         )
     )
+
+
+def _rate_percentiles_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_path()}')
+        ),
+        rates AS (
+            SELECT unnest(item.negotiated_rates) AS r FROM items
+        ),
+        pr AS (
+            SELECT unnest(r.negotiated_prices) AS p FROM rates
+        ),
+        c AS (
+            SELECT p.billing_class AS billing_class,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        )
+        SELECT billing_class,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p25_cents,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS median_cents,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p75_cents
+        FROM c GROUP BY 1
+    """
+
+
+@query(
+    "mrf_rate_percentiles",
+    oracle=_rate_percentiles_oracle(),
+    description="negotiated-rate benchmarking — the price-transparency "
+    "use case the CMS mandate exists for: per billing_class p25/median/"
+    "p75 of negotiated rates in exact integer cents (percentile_disc is "
+    "order-insensitive discrete statistics, so the parallel aggregation "
+    "is hash-exact), computed through the full chunker -> source -> "
+    "silver explode chain and oracled by an independent DuckDB "
+    "read_json of the same fixture. Plan: one partial-agg groupBy over "
+    "the exploded prices; the byte-range-pruned in_network branch means "
+    "provider_references bytes are never read",
+)
+def mrf_rate_percentiles(spark, sf_dir):
+    t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
+    c = t.prices.select(
+        "billing_class",
+        F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
+    )
+    return c.groupBy("billing_class").agg(
+        F.count("*").cast("long").alias("n_prices"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p25_cents"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("median_cents"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p75_cents"),
+    )

@@ -993,3 +993,115 @@ def test_join_size_estimate_matches_real_join(spark, sf_dir):
     assert r["predicted_rows"] == actual
     assert 0 < r["n_shared_keys"] <= min(r["n_keys_a"], r["n_keys_b"])
     assert r["max_key_rows"] <= r["predicted_rows"]
+
+
+def test_bigram_logprob_orders_real_above_scrambled(spark, sf_dir):
+    """The whole point of the bigram LM: frequent in-vocab bigrams score
+    above the OOV floor, and every doc's avg is a valid negative nano
+    log-prob bounded by the floor."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["text_bigram_logprob"].fn(spark, sf_dir).collect()
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert len(rows) == n_docs
+    avgs = [r["avg_logprob_nano"] for r in rows]
+    assert all(a < 0 for a in avgs)
+    # not all at the OOV floor: the corpus's own frequent bigrams must
+    # score strictly better than min for at least some docs
+    assert max(avgs) > min(avgs)
+    for r in rows:
+        assert r["sum_logprob_nano"] <= r["avg_logprob_nano"] * 1  # sanity
+        assert r["n_bigrams"] >= 1
+
+
+def test_column_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(K) (nano-nats) for every profiled column."""
+    import math
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["column_entropy"].fn(spark, sf_dir).collect()
+    assert {r["column_name"] for r in rows} == {
+        "documents.lang",
+        "documents.source",
+        "events.event_type",
+    }
+    for r in rows:
+        assert r["n_categories"] >= 2  # sf tables are non-degenerate
+        assert 0 <= r["entropy_nano"] <= math.log(r["n_categories"]) * 1e9
+
+
+def test_quantile_normalize_covers_unit_interval(spark, sf_dir):
+    """Each lang stratum spans [0, 1e6) with min rank exactly 0 and unique
+    ranks (doc_id tiebreak makes the order total)."""
+    from collections import defaultdict
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["quantile_normalize_scores"].fn(spark, sf_dir).collect()
+    )
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["qnorm_ppm"])
+    for lang, v in by_lang.items():
+        assert min(v) == 0, lang
+        assert max(v) <= 1_000_000
+        if len(v) > 1:
+            assert max(v) >= 999_000  # percent_rank hits 1.0 at the top
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Coverage is monotone in k and the largest k covers a majority of
+    occurrences on natural-ish text."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = sorted(
+        all_queries()["vocab_coverage_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 4, 8, 16]
+    covers = [r["cover_ppm"] for r in rows]
+    assert covers == sorted(covers)
+    assert all(0 < c <= 1_000_000 for c in covers)
+    assert covers[-1] > 500_000
+
+
+def test_normalized_dedup_collapses_planted_variants(spark, sf_dir):
+    """Every planted uppercased+punctuated twin must fall into a dup group:
+    n_redundant_rows >= number of canaries; plain exact dedup sees none."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    r = all_queries()["dedup_normalized_exact"].fn(spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_canaries = docs.where(F.col("doc_id") % 25 == 0).count()
+    assert n_canaries > 0
+    assert r["n_rows"] == n_docs + n_canaries
+    assert r["n_redundant_rows"] >= n_canaries
+    assert r["n_dup_groups"] >= 1
+
+
+def test_mrf_rate_percentiles_ordered(spark, sf_dir):
+    """p25 <= median <= p75 within every billing class, and the class
+    inventory matches the silver prices table."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["mrf_rate_percentiles"].fn(spark, sf_dir).collect()
+    assert {r["billing_class"] for r in rows} == {
+        "professional",
+        "institutional",
+    }
+    for r in rows:
+        assert r["p25_cents"] <= r["median_cents"] <= r["p75_cents"]
+        assert r["n_prices"] > 0

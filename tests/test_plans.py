@@ -629,3 +629,60 @@ def test_join_size_estimate_never_joins_payload(spark):
     assert all(
         "o_totalprice" not in b and "props" not in b for b in ex
     ), ex
+
+
+def test_bigram_lm_joins_are_broadcast(spark):
+    # the LM table and the scalar total must reach the bigram stream via
+    # broadcast; a SortMergeJoin would re-shuffle every bigram occurrence
+    p = plan(spark, "text_bigram_logprob")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_column_entropy_never_shuffles_raw_rows(spark):
+    # each branch: partial-agg groupBy to K category rows + broadcast
+    # single-row total; the only nested-loop join allowed is that
+    # single-row total attach
+    p = plan(spark, "column_entropy")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 6, p  # partial+final per branch
+
+
+def test_quantile_normalize_is_one_exchange_no_join(spark):
+    import re
+
+    p = plan(spark, "quantile_normalize_scores")
+    assert "Window" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Join" not in p, p
+
+
+def test_vocab_coverage_windows_constant_rows(spark):
+    # the running sum must run over the TakeOrdered top-K relation, never
+    # the corpus: TakeOrderedAndProject feeds the Window, no merge join
+    p = plan(spark, "vocab_coverage_curve")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_normalized_dedup_shuffles_digest_not_text(spark):
+    # same discipline as dedup_exact: exchanges carry the md5 of the
+    # normalized text, never the text column itself
+    p = plan(spark, "dedup_normalized_exact")
+    ex = [
+        block
+        for block in p.split("\n\n")
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text" not in b for b in ex), ex
+
+
+def test_mrf_rate_percentiles_single_agg(spark):
+    # exact discrete percentiles in ONE grouped aggregation over the
+    # exploded prices — no join-back, no window over the fact stream
+    p = plan(spark, "mrf_rate_percentiles")
+    assert "percentile_disc" in p, p
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
