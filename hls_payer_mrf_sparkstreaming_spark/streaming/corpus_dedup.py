@@ -34,11 +34,27 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def dedup_corpus_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Within-batch survivorship: min-id row per md5(text) fingerprint."""
+def dedup_corpus_batch(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalized: bool = False,
+) -> DataFrame:
+    """Within-batch survivorship: min-id row per content fingerprint —
+    ``md5(text)`` exact, or the md5 of the canonicalized text when
+    ``normalized`` (same normalization as the batch operator
+    ``dedup_normalized_exact``, so a streamed corpus collapses the same
+    case/punctuation variants its batch twin does)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    fp_src = (
+        normalized_text(F.col(text_col)) if normalized else F.col(text_col)
+    )
     w = Window.partitionBy("fp").orderBy(id_col)
     return (
-        batch.withColumn("fp", F.md5(text_col))
+        batch.withColumn("fp", F.md5(fp_src))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -53,6 +69,7 @@ def stream_dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    normalized: bool = False,
 ):
     """Start the incremental-dedup stream over a parquet document source
     and return the streaming query (``availableNow`` — drains then stops).
@@ -63,7 +80,7 @@ def stream_dedup_corpus(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        fresh = dedup_corpus_batch(batch, id_col, text_col)
+        fresh = dedup_corpus_batch(batch, id_col, text_col, normalized)
         try:
             seen = spark.read.parquet(fps_dir).select("fp")
             fresh = fresh.join(seen, "fp", "left_anti")

@@ -329,6 +329,75 @@ def test_incremental_corpus_dedup_equals_batch(spark, sf_dir, tmp_path):
     assert fps.count() == fps.distinct().count() == len(got)
 
 
+def test_normalized_corpus_dedup_stream_collapses_variants(
+    spark, sf_dir, tmp_path
+):
+    """Normalized streaming dedup: a second drop replays drop-1 documents
+    as uppercased+punctuated variants; with normalized=True the stream
+    must suppress every variant (and equal the batch normalized dedup),
+    while plain exact dedup would admit them all."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+        dedup_corpus_batch,
+        stream_dedup_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = [(r["doc_id"], r["text"]) for r in docs.limit(20).collect()]
+    n0 = max(d for d, _ in base) + 1
+    variants = [
+        (n0 + i, t.upper() + " !!") for i, (_, t) in enumerate(base[:12])
+    ]
+    drops = [base, variants + [(n0 + 500, "genuinely new text")]]
+    in_dir = tmp_path / "ndrops"
+    in_dir.mkdir()
+    for i, rows in enumerate(drops):
+        staged = str(tmp_path / f"nstage{i}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = next(
+            p for p in os.listdir(staged) if p.endswith(".parquet")
+        )
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "ndedup_out"
+    q = stream_dedup_corpus(
+        spark,
+        str(in_dir),
+        str(out),
+        str(tmp_path / "ck_ndedup"),
+        normalized=True,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    all_docs = spark.createDataFrame(
+        [r for rows in drops for r in rows], "doc_id: long, text: string"
+    )
+    want = {
+        (r["doc_id"], r["text"])
+        for r in dedup_corpus_batch(
+            all_docs, "doc_id", "text", normalized=True
+        )
+        .drop("fp")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(out / "docs")).collect()
+    }
+    assert got == want
+    # every planted variant was suppressed; only the genuinely new doc got in
+    assert len(got) == 20 + 1
+    assert all(d < n0 or d == n0 + 500 for d, _ in got)
+
+
 def test_cdc_stream_final_state_equals_batch(spark, events_stream_dir, tmp_path):
     """The streaming latest-wins CDC state must converge to exactly the
     batch cdc_apply_changelog result (same winner per key, deletes
