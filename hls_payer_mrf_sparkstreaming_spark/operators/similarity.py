@@ -588,6 +588,59 @@ _PQ_X = (
 )
 
 
+def _pq_fixed(spark, sf_dir):
+    """Embeddings in exact fixed-point: vec_id + x (int components)."""
+    return rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            V.to_double_array("embedding"),
+            lambda v: F.floor(v * _PQ_QUANT).cast("long"),
+        ).alias("x"),
+    )
+
+
+def _pq_codebook(emb):
+    """Deterministic codebook as ONE broadcastable row: cbs = array of
+    (cid, cx) for the _PQ_K smallest vec_ids."""
+    return (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("cx"))
+        .agg(F.collect_list(F.struct("cid", "cx")).alias("cbs"))
+    )
+
+
+def _pq_codes_col():
+    """array<struct(d, cid)> of per-subspace nearest-codebook assignments
+    — a nested fold over (subspace, code) entirely in codegen; requires
+    columns ``x`` (fixed-point vector) and ``cbs`` (codebook row)."""
+    init = F.struct(
+        F.lit(1 << 62).cast("long").alias("d"),
+        F.lit(None).cast("long").alias("cid"),
+    )
+
+    def encode_sub(j):
+        def step(acc, c):
+            d = F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("x"), j * _PQ_SUB + 1, _PQ_SUB),
+                    F.slice(c["cx"], j * _PQ_SUB + 1, _PQ_SUB),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc2, v: acc2 + v,
+            )
+            take = (d < acc["d"]) | (
+                (d == acc["d"]) & (c["cid"] < acc["cid"])
+            )
+            return F.when(
+                take, F.struct(d.alias("d"), c["cid"].alias("cid"))
+            ).otherwise(acc)
+
+        return F.aggregate("cbs", init, step)
+
+    return F.array(*[encode_sub(j) for j in range(_PQ_M)])
+
+
 @query(
     "pq_encode",
     oracle=f"""
@@ -633,44 +686,9 @@ _PQ_X = (
     "the fold exact",
 )
 def pq_encode(spark, sf_dir):
-    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.transform(
-            V.to_double_array("embedding"),
-            lambda v: F.floor(v * _PQ_QUANT).cast("long"),
-        ).alias("x"),
-    )
-    cb_arr = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("x").alias("cx"))
-        .agg(F.collect_list(F.struct("cid", "cx")).alias("cbs"))
-    )
-    init = F.struct(
-        F.lit(1 << 62).cast("long").alias("d"),
-        F.lit(None).cast("long").alias("cid"),
-    )
-
-    def encode_sub(j):
-        def step(acc, c):
-            d = F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("x"), j * _PQ_SUB + 1, _PQ_SUB),
-                    F.slice(c["cx"], j * _PQ_SUB + 1, _PQ_SUB),
-                    lambda p, q: (p - q) * (p - q),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc2, v: acc2 + v,
-            )
-            take = (d < acc["d"]) | (
-                (d == acc["d"]) & (c["cid"] < acc["cid"])
-            )
-            return F.when(
-                take, F.struct(d.alias("d"), c["cid"].alias("cid"))
-            ).otherwise(acc)
-
-        return F.aggregate("cbs", init, step)
-
-    codes = F.array(*[encode_sub(j) for j in range(_PQ_M)])
+    emb = _pq_fixed(spark, sf_dir)
+    cb_arr = _pq_codebook(emb)
+    codes = _pq_codes_col()
     return emb.crossJoin(F.broadcast(cb_arr)).select(
         "vec_id",
         F.array_join(
@@ -679,6 +697,145 @@ def pq_encode(spark, sf_dir):
         F.aggregate(
             codes, F.lit(0).cast("long"), lambda acc, s: acc + s["d"]
         ).alias("sq_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC): the query stays exact, the corpus is
+# its PQ codes — distance = sum over subspaces of ||q_sub - codebook[code]||^2.
+# This is the serving half of the billion-scale PQ index pq_encode builds.
+# ---------------------------------------------------------------------------
+
+_ADC_Q_LO = _PQ_K  # queries: first vectors OUTSIDE the codebook
+_ADC_Q_HI = _PQ_K + 4
+_ADC_TOPK = 10
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, {_PQ_X} AS x FROM embeddings),
+        cb AS (SELECT vec_id AS cid, x AS cx FROM e WHERE vec_id < {_PQ_K}),
+        sub AS (
+            SELECT e.vec_id, r.j, c.cid,
+                   list_sum(list_transform(list_zip(
+                       list_slice(e.x, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB}),
+                       list_slice(c.cx, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB})),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+            FROM e
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) r
+            CROSS JOIN cb c
+        ),
+        best AS (
+            SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id, j ORDER BY d, cid
+                       ) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, x AS qx FROM e
+            WHERE vec_id >= {_ADC_Q_LO} AND vec_id < {_ADC_Q_HI}
+        ),
+        adc AS (
+            SELECT q.q_id, b.vec_id,
+                   CAST(sum(list_sum(list_transform(list_zip(
+                       list_slice(q.qx, b.j * {_PQ_SUB} + 1,
+                                  b.j * {_PQ_SUB} + {_PQ_SUB}),
+                       list_slice(c.cx, b.j * {_PQ_SUB} + 1,
+                                  b.j * {_PQ_SUB} + {_PQ_SUB})),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT)
+                       AS adc_dist
+            FROM best b JOIN cb c ON b.cid = c.cid
+            CROSS JOIN q
+            GROUP BY q.q_id, b.vec_id
+        )
+        SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_dist
+        FROM (
+            SELECT q_id, vec_id, adc_dist,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc_dist, vec_id
+                   ) AS rn
+            FROM adc
+        ) WHERE rn <= {_ADC_TOPK}
+    """,
+    description="PQ asymmetric-distance top-k search — the serving half "
+    "of the pq_encode index: the query vector stays exact fixed-point, "
+    "every corpus vector is reduced to its per-subspace codebook "
+    "assignment, and distance is the sum of exact integer "
+    "query-to-codebook-centroid squared distances. The codebook and the "
+    "query set are each ONE broadcast row, corpus vectors encode and "
+    "score entirely inside whole-stage codegen with ZERO corpus "
+    "shuffle; only skinny (q_id, vec_id, dist) rows reach the per-query "
+    "top-k window. At 100 TB this is the memory win that makes ANN "
+    f"possible: {_DIM * 4} bytes/vector becomes {_PQ_M} code ids. "
+    "DuckDB replays encode + LUT scoring + ranking to prove the whole "
+    "path exact",
+)
+def pq_adc_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _pq_fixed(spark, sf_dir)
+    cb_arr = _pq_codebook(emb)
+    queries = (
+        emb.filter(
+            (F.col("vec_id") >= _ADC_Q_LO) & (F.col("vec_id") < _ADC_Q_HI)
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
+        .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
+    )
+    codes = _pq_codes_col()
+    # cid -> cx lookup for ADC reconstruction (map built from the one
+    # broadcast codebook row, evaluated in codegen)
+    cbmap = F.map_from_entries(
+        F.transform("cbs", lambda c: F.struct(c["cid"], c["cx"]))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cb_arr))
+        .select(
+            "vec_id",
+            F.transform(codes, lambda s: s["cid"]).alias("cids"),
+            cbmap.alias("cbmap"),
+        )
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "vec_id",
+            F.explode("qs").alias("q"),
+            "cbmap",
+            "cids",
+        )
+    )
+    subs = []
+    for j in range(_PQ_M):
+        cx_j = F.element_at(
+            F.col("cbmap"), F.element_at(F.col("cids"), j + 1)
+        )
+        subs.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q")["qx"], j * _PQ_SUB + 1, _PQ_SUB),
+                    F.slice(cx_j, j * _PQ_SUB + 1, _PQ_SUB),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+    adc = sum(subs[1:], subs[0])
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.select(
+            F.col("q")["q_id"].alias("q_id"),
+            "vec_id",
+            adc.cast("long").alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select("q_id", "rank", "vec_id", "adc_dist")
     )
 
 

@@ -206,6 +206,7 @@ _DRIVER_PRIORITY = [
     "vocab_coverage_curve",
     "dedup_normalized_exact",
     "mrf_rate_percentiles",
+    "pq_adc_topk",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

@@ -1105,3 +1105,27 @@ def test_mrf_rate_percentiles_ordered(spark, sf_dir):
     for r in rows:
         assert r["p25_cents"] <= r["median_cents"] <= r["p75_cents"]
         assert r["n_prices"] > 0
+
+
+def test_pq_adc_topk_ranked_and_complete(spark, sf_dir):
+    """Every query returns a full, strictly-ranked top-k with
+    non-decreasing ADC distances and no repeated corpus vector; the
+    query's own vector (reconstruction error only) lands in its top-k."""
+    from collections import defaultdict
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["pq_adc_topk"].fn(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["q_id"]].append(r)
+    assert len(by_q) == 4
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
+        ids = [r["vec_id"] for r in rs]
+        assert len(set(ids)) == len(ids)
+        assert q in ids  # self is near-best under reconstruction error

@@ -686,3 +686,26 @@ def test_mrf_rate_percentiles_single_agg(spark):
     assert "percentile_disc" in p, p
     assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_pq_adc_corpus_never_shuffles(spark):
+    # codebook + query set reach the corpus as broadcast single rows and
+    # encode + LUT scoring run in codegen, so the exchange feeding the
+    # per-query top-k window must carry only skinny (q_id, vec_id, dist)
+    # rows — never the fixed-point vectors, the codebook map, or the PQ
+    # codes; Spark 4's WindowGroupLimit also pre-prunes to k per
+    # partition before that shuffle
+    p = plan(spark, "pq_adc_topk")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    win_ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(q_id" in b
+    ]
+    assert win_ex, p
+    for b in win_ex:
+        assert "qx" not in b and "cbmap" not in b and "cids" not in b, b
