@@ -839,6 +839,140 @@ def pq_adc_topk(spark, sf_dir):
     )
 
 
+@query(
+    "pq_recall_eval",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, {_PQ_X} AS x FROM embeddings),
+        cb AS (SELECT vec_id AS cid, x AS cx FROM e WHERE vec_id < {_PQ_K}),
+        sub AS (
+            SELECT e.vec_id, r.j, c.cid,
+                   list_sum(list_transform(list_zip(
+                       list_slice(e.x, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB}),
+                       list_slice(c.cx, r.j * {_PQ_SUB} + 1,
+                                  r.j * {_PQ_SUB} + {_PQ_SUB})),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+            FROM e
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) r
+            CROSS JOIN cb c
+        ),
+        best AS (
+            SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id, j ORDER BY d, cid
+                       ) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, x AS qx FROM e
+            WHERE vec_id >= {_ADC_Q_LO} AND vec_id < {_ADC_Q_HI}
+        ),
+        adc_top AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY adc_dist, vec_id
+                       ) AS rn
+                FROM (
+                    SELECT q.q_id, b.vec_id,
+                           CAST(sum(list_sum(list_transform(list_zip(
+                               list_slice(q.qx, b.j * {_PQ_SUB} + 1,
+                                          b.j * {_PQ_SUB} + {_PQ_SUB}),
+                               list_slice(c.cx, b.j * {_PQ_SUB} + 1,
+                                          b.j * {_PQ_SUB} + {_PQ_SUB})),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))))
+                               AS BIGINT) AS adc_dist
+                    FROM best b JOIN cb c ON b.cid = c.cid
+                    CROSS JOIN q
+                    GROUP BY q.q_id, b.vec_id
+                )
+            ) WHERE rn <= {_ADC_TOPK}
+        ),
+        exact_top AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_sum(list_transform(
+                               list_zip(q.qx, e.x),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                               e.vec_id
+                       ) AS rn
+                FROM e CROSS JOIN q
+            ) WHERE rn <= {_ADC_TOPK}
+        )
+        SELECT x.q_id,
+               CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(a.vec_id) * 1000000 // {_ADC_TOPK} AS BIGINT)
+                   AS recall_ppm
+        FROM exact_top x
+        LEFT JOIN adc_top a
+          ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        GROUP BY x.q_id
+    """,
+    description="recall@k of the PQ asymmetric-distance search against "
+    "exact fixed-point L2 top-k — the eval that tells you whether the "
+    f"{_PQ_M}-byte compression is usable (mirrors ann_recall_eval's "
+    "role for the LSH index). Both rankings shuffle only skinny "
+    "(q_id, vec_id, dist) rows; the corpus is scored twice map-side "
+    "(once exact, once via codes) and never re-partitioned. Exact "
+    "integer distances end to end, so even the recall fractions are "
+    "hash-exact in ppm",
+)
+def pq_recall_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _pq_fixed(spark, sf_dir)
+    queries = (
+        emb.filter(
+            (F.col("vec_id") >= _ADC_Q_LO) & (F.col("vec_id") < _ADC_Q_HI)
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
+        .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
+    )
+    d_exact = F.aggregate(
+        F.zip_with(
+            F.col("q")["qx"], F.col("x"), lambda p, q: (p - q) * (p - q)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact_top = (
+        emb.crossJoin(F.broadcast(queries))
+        .select("vec_id", F.explode("qs").alias("q"), "x")
+        .select(
+            F.col("q")["q_id"].alias("q_id"),
+            "vec_id",
+            d_exact.alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ADC_TOPK)
+        .select("q_id", "vec_id")
+    )
+    adc_top = pq_adc_topk(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("a_vec")
+    )
+    return (
+        exact_top.join(
+            F.broadcast(adc_top),
+            (exact_top.q_id == adc_top.q_id)
+            & (exact_top.vec_id == adc_top.a_vec),
+            "left",
+        )
+        .drop(adc_top.q_id)
+        .groupBy("q_id")
+        .agg(
+            F.count("a_vec").cast("long").alias("n_hits"),
+            F.expr(f"count(a_vec) * 1000000 div {_ADC_TOPK}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 _KNNC_SEEDS = 50  # labeled seed set: vec_id < 50 (few-shot labeling)
 _KNNC_K = 3
 

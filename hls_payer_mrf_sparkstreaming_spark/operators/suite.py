@@ -207,6 +207,9 @@ _DRIVER_PRIORITY = [
     "dedup_normalized_exact",
     "mrf_rate_percentiles",
     "pq_adc_topk",
+    "interpolate_missing",
+    "token_entropy_per_doc",
+    "pq_recall_eval",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

@@ -1364,3 +1364,61 @@ def vocab_coverage_curve(spark, sf_dir):
             .alias("cover_ppm"),
         )
     )
+
+
+@query(
+    "token_entropy_per_doc",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM t GROUP BY doc_id, tok
+        ),
+        n AS (
+            SELECT doc_id, tok, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / n)
+                                   * ln(CAST(c AS DOUBLE) / n)
+                                   * {_NANO}) AS BIGINT)) AS BIGINT)
+                   AS entropy_nano
+        FROM n GROUP BY doc_id
+    """,
+    description="per-document Shannon entropy (nano-nats) of the doc's "
+    "own token distribution — the repetition/diversity quality signal "
+    "(boilerplate and keyword-stuffed spam sit far below prose of the "
+    "same length; complements text_repetition's ngram view). "
+    "Per-type terms -(p ln p) are floored into integer nano-units "
+    "BEFORE the per-doc sum, so the result is exact under any "
+    "aggregation order. Plan: one partially-aggregated (doc_id, token) "
+    "count, a per-doc window for the total, one final per-doc "
+    "aggregation — shuffles carry (doc_id, token, count) triples, "
+    "never text",
+)
+def token_entropy_per_doc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("c"))
+    n = c.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return n.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.floor(-p * F.log(p) * _NANO).cast("long"))
+        .cast("long")
+        .alias("entropy_nano"),
+    )

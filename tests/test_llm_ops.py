@@ -1129,3 +1129,70 @@ def test_pq_adc_topk_ranked_and_complete(spark, sf_dir):
         ids = [r["vec_id"] for r in rs]
         assert len(set(ids)) == len(ids)
         assert q in ids  # self is near-best under reconstruction error
+
+
+def test_interpolate_grid_regular_and_bounded(spark, sf_dir):
+    """Grid points are _GRID_S-aligned and consecutive per user; every
+    interpolated value lies within the user's observed per-second range
+    (linear interpolation can't extrapolate)."""
+    from collections import defaultdict
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["interpolate_missing"].fn(spark, sf_dir).collect()
+    assert rows
+    by_u = defaultdict(list)
+    for r in rows:
+        assert r["grid_es"] % 21_600 == 0
+        by_u[r["user_id"]].append(r)
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("es"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .groupBy("user_id")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    }
+    for u, rs in by_u.items():
+        es = sorted(r["grid_es"] for r in rs)
+        assert all(b - a == 21_600 for a, b in zip(es, es[1:])), u
+        lo, hi = bounds[u]
+        for r in rs:
+            assert lo <= r["interp_cents"] <= hi, (u, r)
+
+
+def test_token_entropy_bounds_per_doc(spark, sf_dir):
+    import math
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["token_entropy_per_doc"].fn(spark, sf_dir).collect()
+    assert len(rows) == load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 1 <= r["n_types"] <= r["n_tokens"]
+        assert 0 <= r["entropy_nano"] <= math.log(r["n_types"]) * 1e9 + 1
+
+
+def test_pq_recall_counts_consistent(spark, sf_dir):
+    """recall_ppm must be exactly n_hits/k in ppm, every query present,
+    and the ADC index must find at least the query's own vector."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["pq_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 1 <= r["n_hits"] <= 10
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // 10

@@ -709,3 +709,31 @@ def test_pq_adc_corpus_never_shuffles(spark):
     assert win_ex, p
     for b in win_ex:
         assert "qx" not in b and "cbmap" not in b and "cids" not in b, b
+
+
+def test_interpolate_missing_is_joinless(spark):
+    # grid + observations merge into ONE per-user ordered stream with
+    # carry window frames — a grid-to-series join would shuffle the fact
+    # stream once per bracket side at scale
+    p = plan(spark, "interpolate_missing")
+    assert "Join" not in p, p
+    assert "Window" in p, p
+
+
+def test_token_entropy_shuffles_no_text(spark):
+    p = plan(spark, "token_entropy_per_doc")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text" not in b for b in ex), ex
+
+
+def test_pq_recall_join_is_broadcast(spark):
+    # the two 40-row rankings meet via broadcast; a SortMergeJoin here
+    # would re-sort both ranked sets for no reason
+    p = plan(spark, "pq_recall_eval")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
