@@ -1205,3 +1205,63 @@ def pareto_share_curve(spark, sf_dir):
             .alias("revenue_share_ppm")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: "parts ordered together" — the self-join
+# whose blow-up is bounded by basket size, the classic recommend/affinity
+# primitive.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_TOPK = 20
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pairs GROUP BY part_a, part_b
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT {_COPURCHASE_TOPK}
+    """,
+    description="market-basket co-occurrence: top part pairs appearing in "
+    "the same order — the affinity/recommendation primitive. The "
+    "self-join is blocked on the order key, so the blow-up is bounded "
+    "by basket size squared (TPC-H baskets are <= 7 items) — NEVER "
+    "all-pairs over the catalog; pair counting is one "
+    "partially-aggregated groupBy and the top-k is "
+    "TakeOrderedAndProject. The same shape at 100 TB (pair explosion "
+    "bounded per basket, shuffle carries (part_a, part_b) ids only)",
+)
+def copurchase_pairs(spark, sf_dir):
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(_COPURCHASE_TOPK)
+    )

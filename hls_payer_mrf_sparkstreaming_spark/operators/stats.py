@@ -845,3 +845,63 @@ def column_entropy(spark, sf_dir):
         .unionAll(ent(docs, "source", "documents.source"))
         .unionAll(ent(ev, "event_type", "events.event_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: the standard high-cardinality categorical
+# feature for tabular models — each row's category becomes the mean target
+# of all OTHER rows in that category, so the feature never leaks the row's
+# own label.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(CASE WHEN g.n > 1
+                         THEN floor(CAST(g.s - e.cents AS DOUBLE) / (g.n - 1))
+                         ELSE 0 END AS BIGINT) AS loo_mean_cents
+        FROM e JOIN g USING (event_type)
+    """,
+    description="leave-one-out target encoding of event_type against the "
+    "event value (exact integer cents): each row gets the mean of every "
+    "OTHER row in its category — the leakage-safe form of mean encoding "
+    "for high-cardinality categoricals. Plan: one partially-aggregated "
+    "groupBy reduces the fact table to K (sum, count) rows which "
+    "broadcast back; the encode itself is a map-side projection, so the "
+    "fact table is scanned twice but NEVER shuffled — at 100 TB the "
+    "category stats are kilobytes regardless of corpus size",
+)
+def target_encoding_loo(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        F.floor(
+            (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1)
+        ),
+    ).otherwise(F.lit(0))
+    return e.join(F.broadcast(g), "event_type").select(
+        "event_id",
+        "event_type",
+        loo.cast("long").alias("loo_mean_cents"),
+    )

@@ -210,6 +210,9 @@ _DRIVER_PRIORITY = [
     "interpolate_missing",
     "token_entropy_per_doc",
     "pq_recall_eval",
+    "target_encoding_loo",
+    "copurchase_pairs",
+    "incremental_agg_merge",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

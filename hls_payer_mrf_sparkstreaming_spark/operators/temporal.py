@@ -978,3 +978,67 @@ def interpolate_missing(spark, sf_dir):
             interp.cast("long").alias("interp_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-state rollup: monthly stats produced by MERGING daily partial
+# aggregates instead of re-scanning raw events — the incremental-pipeline
+# contract (sum/count/min/max compose) that lets a 100 TB warehouse
+# maintain coarse rollups from fine ones at partial-aggregate cost.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS min_cents,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="incremental rollup via mergeable partial-aggregate "
+    "state: daily (count, sum, min, max) partials per event_type are "
+    "MERGED into monthly stats (count-sum -> sum, min -> min, ...) "
+    "without touching raw rows again, and the oracle computes the "
+    "monthly stats DIRECTLY from raw events — hash equality IS the "
+    "proof that the state merge is lossless. This is the contract "
+    "every incremental warehouse pipeline rests on; the daily tier is "
+    "the only aggregation that sees raw data, so re-deriving coarser "
+    "grains costs partial-rows, not a 100 TB re-scan",
+)
+def incremental_agg_merge(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.min("cents").cast("long").alias("lo"),
+            F.max("cents").cast("long").alias("hi"),
+        )
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("long").alias("sum_cents"),
+            F.min("lo").cast("long").alias("min_cents"),
+            F.max("hi").cast("long").alias("max_cents"),
+        )
+    )

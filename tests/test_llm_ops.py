@@ -1196,3 +1196,102 @@ def test_pq_recall_counts_consistent(spark, sf_dir):
     for r in rows:
         assert 1 <= r["n_hits"] <= 10
         assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // 10
+
+
+def test_target_encoding_excludes_own_row(spark, sf_dir):
+    """For a category with n rows, sum(loo_mean * (n-1)) must equal
+    (n-1)*sum - sum = (n-2)... simpler: reconstruct — each loo mean is
+    (S - own)/(n-1), so own = S - loo*(n-1) must round-trip to the raw
+    cents within floor error."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["target_encoding_loo"].fn(spark, sf_dir).collect()
+    raw = {
+        r["event_id"]: (r["event_type"], r["c"])
+        for r in load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    }
+    stats = {}
+    for et, c in raw.values():
+        s, n = stats.get(et, (0, 0))
+        stats[et] = (s + c, n + 1)
+    assert len(rows) == len(raw)
+    for r in rows:
+        et, own = raw[r["event_id"]]
+        s, n = stats[et]
+        want = (s - own) // (n - 1) if n > 1 else 0
+        # floor of double vs integer floor-div agree for non-negative sums
+        assert abs(r["loo_mean_cents"] - want) <= 1, r
+
+
+def test_copurchase_pairs_exist_in_same_order(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["copurchase_pairs"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        n = sum(
+            1
+            for parts in baskets.values()
+            if r["part_a"] in parts and r["part_b"] in parts
+        )
+        assert n == r["n_orders"], r
+
+
+def test_incremental_merge_equals_direct(spark, sf_dir):
+    """The merged monthly stats must equal a direct monthly aggregation
+    over raw events — the mergeable-state contract."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    merged = {
+        (str(r["month"]), r["event_type"]): (
+            r["n_events"],
+            r["sum_cents"],
+            r["min_cents"],
+            r["max_cents"],
+        )
+        for r in all_queries()["incremental_agg_merge"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    direct = {
+        (str(r["month"]), r["event_type"]): (
+            r["n"],
+            r["s"],
+            r["lo"],
+            r["hi"],
+        )
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+            F.min(cents).cast("long").alias("lo"),
+            F.max(cents).cast("long").alias("hi"),
+        )
+        .collect()
+    }
+    assert merged == direct and merged

@@ -737,3 +737,26 @@ def test_pq_recall_join_is_broadcast(spark):
     p = plan(spark, "pq_recall_eval")
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_target_encoding_broadcasts_stats_never_shuffles_fact(spark):
+    # K-row category stats broadcast back; a SortMergeJoin would shuffle
+    # every event row by category at scale
+    p = plan(spark, "target_encoding_loo")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_copurchase_topk_is_take_ordered(spark):
+    # pair counting partial-aggregates and the top-k must be
+    # TakeOrderedAndProject, not a global sort of all pairs
+    p = plan(spark, "copurchase_pairs")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_incremental_merge_has_two_agg_tiers(spark):
+    # daily partials then monthly merge: at least two grouped
+    # aggregations, each with its partial phase
+    p = plan(spark, "incremental_agg_merge")
+    assert p.count("HashAggregate") >= 4, p
