@@ -58,17 +58,45 @@ def decompress_gz(path: str, target_dir: str | None = None) -> str:
 
     ``target_dir`` overrides the output directory (the source directory may
     be read-only). Idempotent: an existing up-to-date output is reused.
+
+    Remote ``scheme://...json.gz`` inputs stream-decompress into
+    ``target_dir`` (default: a per-machine temp dir) in one pass — no full
+    compressed copy ever lands on disk. On a cluster, point ``target_dir``
+    (the ``decompressdir`` source option) at SHARED storage; the default
+    local temp dir only works single-node, since executors must be able to
+    do ranged reads on the result.
     """
     p = _strip_file_scheme(path)
     if "://" in p:
-        raise NotImplementedError(
-            f"gzip inputs must be local for the splittable pre-pass (gzip "
-            f"streams are not seekable, so executors cannot do ranged reads "
-            f"on {path!r}). Download and decompress it to a shared local/"
-            f"cluster filesystem first, e.g. read_payer_mrf(spark, "
-            f"'<local>.json.gz', decompressdir='/tmp/mrf') after fetching, "
-            f"or point the source at an already-uncompressed .json copy."
+        import tempfile
+
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(p)
+        base = os.path.basename(rel)
+        out_name = (
+            base[: -len(".gz")] if base.endswith(".gz") else base + ".json"
         )
+        out_dir = target_dir or os.path.join(
+            tempfile.gettempdir(), "payer_mrf_decompressed"
+        )
+        out_path = os.path.join(out_dir, out_name)
+        info = fs.get_file_info(rel)
+        if os.path.exists(out_path) and (
+            info.mtime is None
+            or os.path.getmtime(out_path) >= info.mtime.timestamp()
+        ):
+            return out_path
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_path + ".tmp"
+        # compression=None: pyarrow would otherwise auto-decompress by
+        # extension and our gzip wrapper would see plain bytes
+        with fs.open_input_stream(rel, compression=None) as raw, gzip.GzipFile(
+            fileobj=raw, mode="rb"
+        ) as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst, _GZ_COPY_BUFFER)
+        os.replace(tmp, out_path)
+        return out_path
     base = os.path.basename(p)
     out_name = base[: -len(".gz")] if base.endswith(".gz") else base + ".json"
     out_dir = target_dir or os.path.dirname(p)
@@ -109,6 +137,36 @@ def resolve_input_paths(
 
     p = _strip_file_scheme(path)
     if "://" in p:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(p)
+        info = fs.get_file_info(rel)
+        if info.type == pafs.FileType.Directory:
+            scheme = p.split("://", 1)[0]
+            listed = fs.get_file_info(
+                pafs.FileSelector(rel, recursive=False)
+            )
+            cands = sorted(
+                f"{scheme}://{i.path}"
+                for i in listed
+                if i.is_file
+                and (i.path.endswith(".json") or i.path.endswith(".json.gz"))
+            )
+            if not cands:
+                raise ValueError(
+                    f"payer-mrf: no .json/.json.gz files in {path}"
+                )
+            # same gz-sibling dedupe as the local branch
+            listed_set = set(cands)
+            cands = [
+                c
+                for c in cands
+                if not (c.endswith(".json") and c + ".gz" in listed_set)
+            ]
+            resolved = [
+                resolve_input_path(c, decompress_dir) for c in cands
+            ]
+            return list(dict.fromkeys(resolved))
         return [resolve_input_path(p, decompress_dir)]
     if os.path.isdir(p):
         cands = sorted(
