@@ -300,11 +300,28 @@ def _scan_chunks_cached(path: str, chunk_target: int, buffersize: int):
 def _load_manifest_rows(manifest: str) -> list[dict]:
     """Read a chunk manifest: either a single JSONL file or a DIRECTORY of
     JSONL shards (the executor-written layout of
-    ``build_manifest_distributed``). Shard order is irrelevant — each row
-    is a self-contained (path, start, end, header_key) byte range."""
+    ``build_manifest_distributed``) — local or remote (``scheme://`` dirs
+    are listed through pyarrow). Shard order is irrelevant — each row is
+    a self-contained (path, start, end, header_key) byte range."""
     import json
 
-    if os.path.isdir(manifest):
+    if mrf_io.is_remote(manifest):
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(manifest)
+        if fs.get_file_info(rel).type == pafs.FileType.Directory:
+            scheme = manifest.split("://", 1)[0]
+            files = sorted(
+                f"{scheme}://{i.path}"
+                for i in fs.get_file_info(
+                    pafs.FileSelector(rel, recursive=False)
+                )
+                if i.is_file
+                and not os.path.basename(i.path).startswith(("_", "."))
+            )
+        else:
+            files = [manifest]
+    elif os.path.isdir(manifest):
         files = sorted(
             os.path.join(manifest, f)
             for f in os.listdir(manifest)

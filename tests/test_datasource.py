@@ -776,3 +776,26 @@ def test_remote_directory_listing_resolves_mixed_corpus(
         [f"mock://{d}/a.json", f"mock://{d}/b.json", str(dec / "c.json")]
     )
     assert os.path.exists(dec / "c.json")
+
+
+def test_remote_manifest_dir_listing(tmp_path, monkeypatch):
+    import pyarrow.fs as pafs
+
+    from hls_payer_mrf_sparkstreaming_spark.sources import (
+        datasource as ds,
+    )
+
+    monkeypatch.setattr(pafs, "FileSystem", _FakeRemoteFS)
+    d = tmp_path / "manifest_x"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"path": "/a.json", "start": 0, "end": 9, "header_key": ""}\n'
+    )
+    (d / "part-1.json").write_text(
+        '{"path": "/a.json", "start": 9, "end": 20,'
+        ' "header_key": "in_network"}\n'
+    )
+    (d / "_SUCCESS").write_text("")
+    rows = ds._load_manifest_rows(f"mock://{d}")
+    assert len(rows) == 2
+    assert {r["header_key"] for r in rows} == {"", "in_network"}
