@@ -1265,3 +1265,119 @@ def copurchase_pairs(spark, sf_dir):
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(_COPURCHASE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining lite: the most common session-opening paths — which first
+# three actions do sessions start with? The product-analytics primitive
+# behind onboarding funnels and bot detection.
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOPK = 15
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             <= 1800000000
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM marked
+        ),
+        numbered AS (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM sess
+        ),
+        paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM numbered WHERE rn <= {_PATH_LEN}
+            GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {_PATH_TOPK}
+    """,
+    description="session-opening path mining: sessions (30-min gap rule, "
+    "shared with sessionize) reduced to their first "
+    f"{_PATH_LEN} ordered event types, counted, top-{_PATH_TOPK} — the "
+    "sequence-mining primitive behind onboarding funnels and bot "
+    "screens. All windows share ONE hash partitioning on user_id "
+    "(session derivation, numbering), then paths partial-aggregate and "
+    "the top-k is TakeOrderedAndProject. Deterministic tie-breaks "
+    "(event_id within ts, path text at equal counts) keep the result "
+    "hash-exact",
+)
+def session_path_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(
+                    F.lag(F.col("ts").cast("timestamp")).over(w)
+                )
+            )
+            <= gap_us,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    wn = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    numbered = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -213,6 +213,8 @@ _DRIVER_PRIORITY = [
     "target_encoding_loo",
     "copurchase_pairs",
     "incremental_agg_merge",
+    "session_path_topk",
+    "dedup_cluster_survivors",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

@@ -1295,3 +1295,51 @@ def test_incremental_merge_equals_direct(spark, sf_dir):
         .collect()
     }
     assert merged == direct and merged
+
+
+def test_session_paths_cover_sessions(spark, sf_dir):
+    """Total path count across the top-k is bounded by the total session
+    count from sessionize, and every path has 1..3 steps."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["session_path_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    n_sessions_total = sum(
+        r["n_sessions"]
+        for r in all_queries()["sessionize"].fn(spark, sf_dir).collect()
+    )
+    assert sum(r["n_sessions"] for r in rows) <= n_sessions_total
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 3
+
+
+def test_cluster_survivor_is_longest_member(spark, sf_dir):
+    """Each survivor must be its cluster's longest doc, cluster sizes must
+    sum to the corpus, and multi-member clusters must exist (the corpus
+    plants near-dup families)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = all_queries()["dedup_cluster_survivors"].fn(spark, sf_dir).collect()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in all_queries()["dedup_cluster"].fn(spark, sf_dir).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert sum(r["cluster_size"] for r in rows) == len(clusters)
+    assert any(r["cluster_size"] > 1 for r in rows)
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for r in rows:
+        members = by_cluster[r["cluster_id"]]
+        assert r["survivor_doc_id"] in members
+        assert r["survivor_n_chars"] == max(chars[m] for m in members)
+        assert r["n_dropped"] == len(members) - 1

@@ -760,3 +760,24 @@ def test_incremental_merge_has_two_agg_tiers(spark):
     # aggregations, each with its partial phase
     p = plan(spark, "incremental_agg_merge")
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_session_paths_share_user_partitioning_and_take_ordered(spark):
+    # session derivation + numbering windows both partition by user; the
+    # final top-k must be TakeOrderedAndProject, not a global sort
+    p = plan(spark, "session_path_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_cluster_survivor_window_over_skinny_rows(spark):
+    # the retention window runs over (doc_id, cluster_id, n_chars) only —
+    # document text must never reach an exchange
+    p = plan(spark, "dedup_cluster_survivors")
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text" not in b for b in ex), ex
