@@ -52,17 +52,41 @@ def stream_silver_continuous(
     the query."""
     from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
         MrfSilverTables,
+        in_network_par_providers,
+        in_network_prices,
+        in_network_rates,
     )
     from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
         stream_payer_mrf,
     )
 
+    # same forcing as build_silver: surrogate keys hash the chunk byte
+    # offset, so a stream read without offsets would silently derive
+    # DIFFERENT keys than the batch pipeline over the same file
+    if "includeoffsets" not in {k.lower() for k in source_options}:
+        source_options["includeoffsets"] = "true"
+
     def write_batch(bronze: DataFrame, batch_id: int) -> None:
+        # batch-local staging, same reason as save_all: codes/prices/
+        # par_providers all derive from the parsed in_network branch —
+        # persist the parsed codes tier so each micro-batch parses its
+        # in_network JSON exactly once instead of three times
         t = MrfSilverTables(bronze)
-        for name in _CHUNK_LOCAL:
-            getattr(t, name).write.mode("append").parquet(
-                os.path.join(out_dir, name)
-            )
+        codes = t.codes.persist()
+        try:
+            rates = in_network_rates(codes)
+            for name, df in (
+                ("codes", codes),
+                ("prices", in_network_prices(rates)),
+                ("par_providers", in_network_par_providers(rates)),
+                ("provider_references", t.provider_references),
+                ("header", t.header),
+            ):
+                df.write.mode("append").parquet(
+                    os.path.join(out_dir, name)
+                )
+        finally:
+            codes.unpersist()
 
     writer = (
         stream_payer_mrf(spark, path, **source_options)
