@@ -212,8 +212,12 @@ def test_save_all_ctas_tables(spark, mrf_file, tmp_path):
             "in_network_prices": tables.prices,
             "in_network_par_providers": tables.par_providers,
         }
+        # listTables(db) also returns session-scoped TEMP VIEWS (e.g.
+        # ones other tests registered) — keep only the db's own tables
         listed = {
-            t.name for t in spark.catalog.listTables(db)
+            t.name
+            for t in spark.catalog.listTables(db)
+            if not t.isTemporary
         }
         assert listed == set(expected)
         for name, df in expected.items():
