@@ -271,3 +271,24 @@ def test_incremental_silver_from_streamed_bronze(spark, mrf_file, tmp_path):
         }
         assert got == want, name
         assert got, name
+
+
+def test_examples_demo_runs_end_to_end(spark, mrf_file, capsys):
+    """examples/demo.py (the reference-notebook parity flow) must run
+    bronze -> silver -> gold against a provided MRF file."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "payer_mrf_demo_example",
+        _os.path.join(
+            _os.path.dirname(__file__), "..", "examples", "demo.py"
+        ),
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    demo.main(mrf_file)
+    out = capsys.readouterr().out
+    assert "[bronze]" in out or "header_key" in out
+    assert "in_network_prices" in out
+    assert "[gold] shoppable price" in out
