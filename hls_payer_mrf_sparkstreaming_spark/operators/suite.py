@@ -215,6 +215,10 @@ _DRIVER_PRIORITY = [
     "incremental_agg_merge",
     "session_path_topk",
     "dedup_cluster_survivors",
+    "doc_oov_rate",
+    "line_dedup_rewrite",
+    "dedup_prefix_pairs",
+    "mrf_rate_spread",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

@@ -1422,3 +1422,65 @@ def token_entropy_per_doc(spark, sf_dir):
         .cast("long")
         .alias("entropy_nano"),
     )
+
+
+_OOV_VOCAB_K = 64  # corpus vocabulary = the 64 most frequent token types
+
+
+@query(
+    "doc_oov_rate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM t GROUP BY tok
+                ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_K}
+            )
+        )
+        SELECT t.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE vocab.tok IS NULL) AS BIGINT)
+                   AS n_oov,
+               CAST(floor(CAST(count(*) FILTER (WHERE vocab.tok IS NULL)
+                               AS DOUBLE) / count(*) * 1000000) AS BIGINT)
+                   AS oov_ppm
+        FROM t LEFT JOIN vocab ON t.tok = vocab.tok
+        GROUP BY t.doc_id
+    """,
+    description="per-document out-of-vocabulary rate against the corpus's "
+    f"own top-{_OOV_VOCAB_K} token types (count-desc, token-asc "
+    "tie-break) — the quality gate that flags docs written in a "
+    "different register/language than the training vocabulary. Plan: one "
+    "partial-agg token count feeds a TakeOrderedAndProject vocabulary "
+    f"({_OOV_VOCAB_K} rows) that is BROADCAST back to the exploded "
+    "token stream, so the corpus-side cost is one scan + one partial "
+    "aggregation and the per-token membership test never shuffles the "
+    "corpus",
+)
+def doc_oov_rate(spark, sf_dir):
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_OOV_VOCAB_K)
+        .select("tok")
+    )
+    joined = t.join(
+        F.broadcast(vocab.withColumnRenamed("tok", "vtok")),
+        t.tok == F.col("vtok"),
+        "left",
+    )
+    n_oov = F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.floor(n_oov.cast("double") / F.count("*") * 1_000_000)
+        .cast("long")
+        .alias("oov_ppm"),
+    )

@@ -387,3 +387,70 @@ def mrf_rate_percentiles(spark, sf_dir):
         .cast("long")
         .alias("p75_cents"),
     )
+
+
+def _rate_spread_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_path()}')
+        ),
+        rates AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(item.negotiated_rates) AS r
+            FROM items
+        ),
+        pr AS (
+            SELECT billing_code, unnest(r.negotiated_prices) AS p FROM rates
+        ),
+        c AS (
+            SELECT billing_code,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        )
+        SELECT billing_code,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               CAST(floor((max(cents) - min(cents)) * 10000.0 / min(cents))
+                    AS BIGINT) AS spread_bps
+        FROM c GROUP BY 1
+    """
+
+
+@query(
+    "mrf_rate_spread",
+    oracle=_rate_spread_oracle(),
+    description="per-procedure rate dispersion — the other headline "
+    "price-transparency question (how much does the SAME billing code "
+    "cost across provider groups?): per billing_code, the count, min "
+    "and max negotiated rate in exact integer cents and the spread in "
+    "basis points of the minimum, computed through the full chunker -> "
+    "source -> silver chain and oracled by an independent DuckDB "
+    "read_json of the same fixture. Plan: codes->prices is a surrogate-"
+    "key equi-join inside one exploded lineage (no shuffle beyond the "
+    "final partial-agg groupBy on billing_code); min/max/count are "
+    "order-insensitive so the parallel aggregation is hash-exact",
+)
+def mrf_rate_spread(spark, sf_dir):
+    t = build_silver(spark, fixture_path(), chunktargetbytes=65536)
+    c = (
+        t.codes.select("sk_in_network_id", "billing_code")
+        .join(t.prices, "sk_in_network_id")
+        .select(
+            "billing_code",
+            F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
+        )
+    )
+    return c.groupBy("billing_code").agg(
+        F.count("*").cast("long").alias("n_prices"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.floor(
+            (F.max("cents") - F.min("cents"))
+            * 10000.0
+            / F.min("cents")
+        )
+        .cast("long")
+        .alias("spread_bps"),
+    )
