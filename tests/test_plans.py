@@ -781,3 +781,35 @@ def test_cluster_survivor_window_over_skinny_rows(spark):
     ]
     assert ex, p
     assert all("text" not in b for b in ex), ex
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    # the top-K vocabulary must come back to the exploded token stream as
+    # a broadcast: a SortMergeJoin here shuffles every token occurrence in
+    # the corpus by token value
+    p = plan(spark, "doc_oov_rate")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # and the vocabulary itself is a top-k, not a global sort
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_line_dedup_rewrite_no_cartesian(spark):
+    # corpus rewrite = linear shuffles only: block-digest window +
+    # doc_id reassembly; any nested-loop/cartesian stage means the dup
+    # test degenerated to all-pairs
+    p = plan(spark, "line_dedup_rewrite")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_prefix_pairs_is_equijoin_on_block_key(spark):
+    # candidate generation must be an equi-join on the first-block digest;
+    # a nested-loop join would compare every document pair
+    p = plan(spark, "dedup_prefix_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
