@@ -1343,3 +1343,88 @@ def test_cluster_survivor_is_longest_member(spark, sf_dir):
         assert r["survivor_doc_id"] in members
         assert r["survivor_n_chars"] == max(chars[m] for m in members)
         assert r["n_dropped"] == len(members) - 1
+
+
+def test_line_dedup_removes_canary_and_rewrites_exactly(spark, sf_dir):
+    """Every planted boilerplate block (front of every 5th doc) must be
+    flagged duplicated; when it is the doc's ONLY duplicated block, the
+    rewrite must reproduce the original text byte-exactly. Docs without
+    the canary and no dup blocks must rewrite to themselves."""
+    import hashlib
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["line_dedup_rewrite"].fn(spark, sf_dir).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(rows) == set(texts)
+    exact = 0
+    for d, t in texts.items():
+        r = rows[d]
+        if d % 5 == 0:
+            assert r["n_dup_blocks"] >= 1, d
+            if r["n_dup_blocks"] == 1:
+                assert (
+                    r["clean_fp"] == hashlib.md5(t.encode()).hexdigest()
+                ), d
+                exact += 1
+        elif r["n_dup_blocks"] == 0:
+            assert r["clean_fp"] == hashlib.md5(t.encode()).hexdigest(), d
+    assert exact > 0
+
+
+def test_prefix_pairs_recover_all_planted_truncations(spark, sf_dir):
+    """Each planted 60%-truncation variant must pair with its own source
+    document, and every reported pair must satisfy the prefix property."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _PFX_CANARY_MOD,
+        _PFX_CANARY_OFFSET,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    pairs = all_queries()["dedup_prefix_pairs"].fn(spark, sf_dir).collect()
+    doc_ids = [
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    planted = {d for d in doc_ids if d % _PFX_CANARY_MOD == 0}
+    recovered = {
+        r["doc_short"] - _PFX_CANARY_OFFSET
+        for r in pairs
+        if r["doc_short"] >= _PFX_CANARY_OFFSET
+        and r["doc_short"] - _PFX_CANARY_OFFSET == r["doc_long"]
+    }
+    assert recovered == planted
+    assert all(0 < r["len_ratio_ppm"] < 1_000_000 for r in pairs)
+
+
+def test_oov_rate_zero_for_all_vocab_docs(spark, sf_dir):
+    """n_oov <= n_tokens everywhere, ppm bounded, and the corpus-level OOV
+    mass must equal the occurrences not covered by the top-64 vocabulary
+    (cross-check against vocab_coverage_curve's k=64 point)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["doc_oov_rate"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in rows)
+    assert all(0 <= r["oov_ppm"] <= 1_000_000 for r in rows)
+    cover = {
+        r["k"]: r
+        for r in all_queries()["vocab_coverage_curve"].fn(spark, sf_dir).collect()
+    }
+    if 64 in cover:
+        total = sum(r["n_tokens"] for r in rows)
+        oov = sum(r["n_oov"] for r in rows)
+        assert total - oov == cover[64]["n_occurrences_cum"]
