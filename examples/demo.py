@@ -45,6 +45,11 @@ def main(source: str | None = None) -> None:
         write_mrf_file(source, n_in_network=500, n_provider_refs=60, seed=1)
         print(f"[bronze] generated synthetic MRF: {source}")
 
+    from pyspark.sql import SparkSession
+
+    # getOrCreate() joins a caller's live session (e.g. the test suite's
+    # shared fixture) — only stop at the end what this demo itself created
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master="local[*]")
 
     # ---- Bronze: stream the single-object JSON as chunk rows ----------
@@ -109,7 +114,8 @@ def main(source: str | None = None) -> None:
     shoppable_price(
         codes, prices, par, pxp, hit["billing_code"], hit["tin_value"]
     ).show(truncate=False)
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
