@@ -101,3 +101,129 @@ def stream_dedup_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental line-level dedup (CCNet-style) with document rewrite
+# ---------------------------------------------------------------------------
+# The streaming twin of operators/dedup.py line_dedup_rewrite, with
+# first-arrival-wins semantics instead of the batch operator's corpus-wide
+# count: a block survives iff its fingerprint has never been seen — not in
+# any earlier micro-batch (the fp store) and not earlier within the same
+# batch (ordered by (doc_id, pos)). Documents are rewritten from their
+# surviving blocks and appended to ``out/docs``; the fingerprints of the
+# accepted blocks become the store. Same scale discipline as
+# stream_dedup_corpus: the store side carries 16-byte digests only.
+
+
+def split_doc_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int | None = None,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Explode documents into fingerprinted fixed-size token blocks."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _LINE_BLOCK_TOKENS,
+        block_split_expr,
+    )
+
+    n = n or _LINE_BLOCK_TOKENS
+    return df.select(
+        id_col,
+        *(carry or []),
+        F.posexplode(F.expr(block_split_expr(text_col, n))).alias(
+            "pos", "block"
+        ),
+    ).withColumn("fp", F.md5("block"))
+
+
+def _reassemble(blocks: DataFrame, id_col: str) -> DataFrame:
+    """Per-document rewrite from flagged blocks: surviving blocks (keep)
+    re-concatenated in position order."""
+    return blocks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "block"))
+                    )
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def line_dedup_reference(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Batch twin of the incremental stream: each block fingerprint's FIRST
+    occurrence in (batch, id, pos) order survives; every later occurrence
+    is dropped. With no ``batch_col`` the whole corpus is one batch."""
+    b = split_doc_blocks(
+        docs, id_col, text_col, n, carry=[batch_col] if batch_col else None
+    )
+    order = ([batch_col] if batch_col else []) + [id_col, "pos"]
+    w = Window.partitionBy("fp").orderBy(*order)
+    b = b.withColumn("keep", F.row_number().over(w) == 1)
+    return _reassemble(b, id_col)
+
+
+def stream_line_dedup(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    n: int | None = None,
+):
+    """Start the incremental line-dedup stream over a parquet document
+    source and return the streaming query (``availableNow``). Rewritten
+    documents land in ``out_dir/docs`` (doc_id, n_blocks, n_kept,
+    clean_text); accepted block fingerprints in ``out_dir/fps``."""
+    docs_dir = os.path.join(out_dir, "docs")
+    fps_dir = os.path.join(out_dir, "fps")
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        b = split_doc_blocks(batch, id_col, text_col, n)
+        w = Window.partitionBy("fp").orderBy(id_col, "pos")
+        b = b.withColumn("_first", F.row_number().over(w) == 1)
+        try:
+            seen = (
+                spark.read.parquet(fps_dir)
+                .select("fp")
+                .withColumn("_seen", F.lit(True))
+            )
+            b = b.join(seen, "fp", "left")
+        except Exception:  # first batch: no store yet
+            b = b.withColumn("_seen", F.lit(None).cast("boolean"))
+        b = b.withColumn(
+            "keep", F.col("_first") & F.col("_seen").isNull()
+        ).persist()
+        _reassemble(b, id_col).write.mode("append").parquet(docs_dir)
+        b.filter("keep").select("fp").write.mode("append").parquet(fps_dir)
+        b.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

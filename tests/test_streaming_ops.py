@@ -499,3 +499,83 @@ def test_sliding_window_stream_equals_batch(spark, events_stream_dir, tmp_path):
         }.values()
     )
     assert sum(v[0] for v in got.values()) == 2 * n_tumbling
+
+
+def test_incremental_line_dedup_equals_reference(spark, tmp_path):
+    """Streamed line-level dedup (first block-fingerprint arrival wins,
+    docs rewritten from surviving blocks) must equal the batch reference
+    with the same (batch, doc_id, pos) arrival order: cross-batch block
+    replays, in-batch cross-doc dups, in-doc repeats and partial tail
+    blocks all suppressed exactly once."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+        line_dedup_reference,
+        stream_line_dedup,
+    )
+
+    def blk(j):
+        return " ".join(f"w{j}x{k}" for k in range(12))
+
+    half = " ".join(f"tail{k}" for k in range(6))
+    drops = [
+        # batch 0: blk1 duplicated across docs within the batch
+        [(1, f"{blk(0)} {blk(1)}"), (2, f"{blk(1)} {blk(2)}")],
+        # batch 1: blk0 replays from batch 0; blk3/blk4 fresh
+        [(3, f"{blk(0)} {blk(3)}"), (4, blk(4))],
+        # batch 2: blk3 replays; doc 5 also repeats blk3 inside itself;
+        # doc 7 re-uses doc 6's block within the batch; doc 8 has a
+        # partial tail block
+        [
+            (5, f"{blk(3)} {blk(5)} {blk(3)}"),
+            (6, blk(6)),
+            (7, f"{blk(6)} {blk(7)}"),
+            (8, f"{blk(8)} {half}"),
+        ],
+    ]
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i, rows in enumerate(drops):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        # FileStreamSource orders files by modification time: pin it
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "line_out"
+    q = stream_line_dedup(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_line")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    all_docs = spark.createDataFrame(
+        [(d, t, i) for i, rows in enumerate(drops) for d, t in rows],
+        "doc_id: long, text: string, batch: int",
+    )
+    want = {
+        (r["doc_id"], r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in line_dedup_reference(all_docs, batch_col="batch").collect()
+    }
+    got = {
+        (r["doc_id"], r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in spark.read.parquet(str(out / "docs")).collect()
+    }
+    assert got == want
+    # spot semantics: doc 2 lost blk1, doc 3 lost blk0, doc 5 kept only
+    # blk5, doc 7 lost blk6 but kept blk7, doc 8 fully novel
+    by_id = {t[0]: t for t in got}
+    assert by_id[1] == (1, 2, 2, f"{blk(0)} {blk(1)}")
+    assert by_id[2] == (2, 2, 1, blk(2))
+    assert by_id[3] == (3, 2, 1, blk(3))
+    assert by_id[5] == (5, 3, 1, blk(5))
+    assert by_id[7] == (7, 2, 1, blk(7))
+    assert by_id[8] == (8, 2, 2, f"{blk(8)} {half}")
+    # the fp store holds each accepted fingerprint exactly once
+    fps = spark.read.parquet(str(out / "fps"))
+    assert fps.count() == fps.distinct().count()
+    assert fps.count() == sum(t[2] for t in got)
