@@ -1061,3 +1061,42 @@ def knn_classify(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("s_label").alias("pred_label"), "n_votes")
     )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT {_EMB_D} AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id, e.label,
+               round({V.cosine_sql(_EMB_D.replace('embedding', 'e.embedding'), 'q.qv')}, 6)
+                   AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0 AND e.label IN (1, 3)
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    description="metadata-FILTERED vector search (the vector-database "
+    "staple: top-k within a predicate, e.g. 'same language only'): "
+    "brute-force cosine top-10 restricted to label IN (1, 3). Plan: the "
+    "label predicate is applied BEFORE any vector math — pre-filtering, "
+    "not post-filtering a larger top-k, so recall under the filter is "
+    "exact by construction and the pushed filter prunes the scan "
+    "(plan-asserted); still TakeOrderedAndProject, no vector shuffle",
+)
+def ann_filtered_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        V.to_double_array("embedding").alias("qv")
+    )
+    e = emb.filter(
+        (F.col("vec_id") != 0) & F.col("label").isin(1, 3)
+    ).select("vec_id", "label", V.to_double_array("embedding").alias("ev"))
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

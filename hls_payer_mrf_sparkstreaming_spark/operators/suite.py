@@ -173,7 +173,6 @@ _DRIVER_PRIORITY = [
     "distinct_agg",
     "percentile_summary",
     "pivot_counts",
-    "repartition_roundtrip",
     "asof_join",
     "range_join",
     "attribution_join",
@@ -195,7 +194,6 @@ _DRIVER_PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",
-    "tfidf_top_terms",
     "quality_filter_pipeline",
     # newly oracled in r6 (was the registry's one no_oracle entry)
     "mrf_bronze",
@@ -219,6 +217,13 @@ _DRIVER_PRIORITY = [
     "line_dedup_rewrite",
     "dedup_prefix_pairs",
     "mrf_rate_spread",
+    "ann_filtered_topk",
+    "incremental_quantile_merge",
+    # r3-verified ops displaced from the 50-entry window to fit the
+    # never-verified r6 additions above (local mini-oracle still covers
+    # them every suite run); then backfill with round-4 greens
+    "repartition_roundtrip",
+    "tfidf_top_terms",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",

@@ -1042,3 +1042,84 @@ def incremental_agg_merge(spark, sf_dir):
             F.max("hi").cast("long").alias("max_cents"),
         )
     )
+
+
+# bin width 1024 cents = 2^10: division by a power of two is EXACT in
+# double arithmetic, so floor(cents / 1024) can never straddle an ULP
+# differently in the two engines
+_QM_BIN_CENTS = 1024
+_QM_MAX_BIN = 127
+
+
+@query(
+    "incremental_quantile_merge",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   least({_QM_MAX_BIN}, CAST(floor(
+                       CAST(round(value * 100) AS BIGINT) / {_QM_BIN_CENTS}.0)
+                       AS BIGINT)) AS b
+            FROM events
+        ),
+        g AS (SELECT event_type, b, count(*) AS n FROM c GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, b,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY b) AS cn,
+                   sum(n) OVER (PARTITION BY event_type) AS tot
+            FROM g
+        )
+        SELECT event_type,
+               CAST(max(tot) AS BIGINT) AS n_events,
+               CAST(min(CASE WHEN cn * 2 >= tot THEN b END)
+                    * {_QM_BIN_CENTS} AS BIGINT) AS p50_floor_cents,
+               CAST(min(CASE WHEN cn * 100 >= tot * 95 THEN b END)
+                    * {_QM_BIN_CENTS} AS BIGINT) AS p95_floor_cents
+        FROM cum GROUP BY 1
+    """,
+    description="mergeable quantile sketch: daily fixed-width histogram "
+    f"partials ({_QM_MAX_BIN + 1} bins of {_QM_BIN_CENTS} cents) per "
+    "event_type are MERGED (bin-count addition — the property t-digest/"
+    "KLL engines rely on) into global approximate p50/p95 (lower bin "
+    "edge at the cumulative crossing, integer-exact thresholds), while "
+    "the oracle bins RAW events directly — hash equality proves the "
+    "daily->global state merge is lossless, the quantile-sketch "
+    "companion to incremental_agg_merge's sum/min/max. At 100 TB only "
+    "the daily tier touches raw rows; the merge tier moves "
+    "(event_type, bin, count) triples, bounded by 128 rows per group "
+    "per day regardless of data size",
+)
+def incremental_quantile_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = F.least(
+        F.lit(_QM_MAX_BIN), F.floor(cents / float(_QM_BIN_CENTS))
+    ).cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            b.alias("b"),
+        )
+        .groupBy("day", "event_type", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    merged = daily.groupBy("event_type", "b").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    wt = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "b",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    p50 = F.min(F.when(F.col("cn") * 2 >= F.col("tot"), F.col("b")))
+    p95 = F.min(F.when(F.col("cn") * 100 >= F.col("tot") * 95, F.col("b")))
+    return cum.groupBy("event_type").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        (p50 * _QM_BIN_CENTS).cast("long").alias("p50_floor_cents"),
+        (p95 * _QM_BIN_CENTS).cast("long").alias("p95_floor_cents"),
+    )

@@ -813,3 +813,20 @@ def test_prefix_pairs_is_equijoin_on_block_key(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_filtered_ann_prefilters_at_scan(spark):
+    # the metadata predicate must reach the parquet scan (pre-filtering):
+    # post-filtering a larger top-k loses recall and scans every vector
+    p = plan(spark, "ann_filtered_topk")
+    assert "PushedFilters" in p and "In(label, [1,3]" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quantile_merge_is_partial_rows_only(spark):
+    # the merge tier must aggregate daily partials, not raw rows: two
+    # HashAggregate pairs (daily tier + merge tier), no second scan
+    # (formatted mode prints each node twice: tree + detail)
+    p = plan(spark, "incremental_quantile_merge")
+    assert p.count("Scan parquet") == 2, p
+    assert p.count("HashAggregate") >= 4, p
