@@ -330,3 +330,43 @@ def quantile_normalize_scores(spark, sf_dir):
         .cast("long")
         .alias("qnorm_ppm"),
     )
+
+
+_KFOLD_K = 5
+_KFOLD_SALT = "kfold-v1:"
+
+
+@query(
+    "stratified_kfold",
+    oracle=f"""
+        WITH f AS (
+            SELECT lang,
+                   {md5u60_sql(f"'{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)")}
+                       % {_KFOLD_K} AS fold
+            FROM documents
+        )
+        SELECT lang, CAST(fold AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY 1, 2
+    """,
+    description=f"deterministic {_KFOLD_K}-fold cross-validation "
+    "assignment: fold = md5-60(salt || doc_id) mod k, reported as per-"
+    "(lang, fold) counts — the CV-split contract (every doc in exactly "
+    "one fold, assignment reproducible across engines/retries/corpus "
+    "growth, folds statistically balanced within each stratum). Same "
+    "scan-time hash-gate family as sample_stratified/split_train_test "
+    "with its own salt, so fold membership is independent of every "
+    "other sampling decision; one partial-agg groupBy, no shuffle of "
+    "document rows",
+)
+def stratified_kfold(spark, sf_dir):
+    fold = (
+        md5u60(F.concat(F.lit(_KFOLD_SALT), F.col("doc_id").cast("string")))
+        % _KFOLD_K
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", fold.cast("long").alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

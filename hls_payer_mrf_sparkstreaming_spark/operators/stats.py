@@ -905,3 +905,68 @@ def target_encoding_loo(spark, sf_dir):
         "event_type",
         loo.cast("long").alias("loo_mean_cents"),
     )
+
+
+@query(
+    "winsorize_clip",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+                        AS BIGINT) AS lo,
+                   CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                        AS BIGINT) AS hi
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_type AS event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE cents < lo) AS BIGINT)
+                   AS n_clip_low,
+               CAST(count(*) FILTER (WHERE cents > hi) AS BIGINT)
+                   AS n_clip_high,
+               CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+                   AS sum_winsorized_cents
+        FROM c JOIN b USING (event_type)
+        GROUP BY 1
+    """,
+    description="per-group winsorization — the outlier-robust feature "
+    "scaling step: clamp each event's value to its group's exact "
+    "[p05, p95] (percentile_disc in integer cents, order-insensitive "
+    "so hash-exact) and report clip counts plus the winsorized sum. "
+    "Plan: the per-group bounds relation is a handful of rows and is "
+    "BROADCAST back onto the fact scan (anomaly_mad's stats-broadcast "
+    "pattern — the fact table never re-shuffles); the two fact passes "
+    "(bounds, then clamp) are the honest cost of EXACT percentiles — "
+    "at 100 TB swap pass one for the mergeable histogram sketch "
+    "(incremental_quantile_merge) and keep this clamp pass unchanged",
+)
+def winsorize_clip(spark, sf_dir):
+    c = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("hi"),
+    )
+    j = c.join(F.broadcast(b), "event_type")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_high"),
+        F.sum(clamped).cast("long").alias("sum_winsorized_cents"),
+    )

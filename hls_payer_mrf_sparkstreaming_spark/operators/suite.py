@@ -192,8 +192,6 @@ _DRIVER_PRIORITY = [
     "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
     "quality_filter_pipeline",
     # newly oracled in r6 (was the registry's one no_oracle entry)
     "mrf_bronze",
@@ -219,11 +217,15 @@ _DRIVER_PRIORITY = [
     "mrf_rate_spread",
     "ann_filtered_topk",
     "incremental_quantile_merge",
+    "stratified_kfold",
+    "winsorize_clip",
     # r3-verified ops displaced from the 50-entry window to fit the
     # never-verified r6 additions above (local mini-oracle still covers
     # them every suite run); then backfill with round-4 greens
     "repartition_roundtrip",
     "tfidf_top_terms",
+    "text_fingerprint",
+    "text_rolling_hash",
     # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",
