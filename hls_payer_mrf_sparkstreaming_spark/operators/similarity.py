@@ -1100,3 +1100,67 @@ def ann_filtered_topk(spark, sf_dir):
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ann_multiprobe_lsh",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, {_EMB_D} AS ev,
+                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_8)} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT ev AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+        probes AS (
+            SELECT xor(q.qbucket,
+                       CASE WHEN g.i = -1 THEN 0
+                            ELSE (1::BIGINT << g.i) END) AS bucket,
+                   q.qv
+            FROM q, (SELECT unnest(generate_series(-1, 7)) AS i) g
+        )
+        SELECT b.vec_id, b.label,
+               round({V.cosine_sql('b.ev', 'probes.qv')}, 6) AS cosine_sim
+        FROM b JOIN probes ON b.bucket = probes.bucket
+        WHERE b.vec_id <> 0
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 10
+    """,
+    description="multiprobe LSH ANN — the standard recall fix for "
+    "single-bucket hyperplane LSH: probe the query's own 8-bit bucket "
+    "PLUS the 8 one-bit-flip neighbor buckets (vectors near a "
+    "hyperplane land across it), then score cosine only within the 9 "
+    "probed buckets. Plan: the 9-row probe set is BROADCAST and the "
+    "candidate filter is an equi-join on bucket id, so the corpus "
+    "shuffles nothing and vector math runs on ~9/256 of the data — "
+    "recall approaches brute force at a fraction of ann_cosine_topk's "
+    "comparisons, the multiprobe trade every production ANN service "
+    "makes",
+)
+def ann_multiprobe_lsh(spark, sf_dir):
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    probes = q.select(
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.expr(f"qbucket ^ {1 << i}").cast("long")
+                    for i in range(8)
+                ],
+            )
+        ).alias("bucket"),
+        "qv",
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket")
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -189,7 +189,6 @@ _DRIVER_PRIORITY = [
     "split_train_test",
     "kmeans_train",
     "text_token_count",
-    "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
     "quality_filter_pipeline",
@@ -219,11 +218,13 @@ _DRIVER_PRIORITY = [
     "incremental_quantile_merge",
     "stratified_kfold",
     "winsorize_clip",
+    "ann_multiprobe_lsh",
     # r3-verified ops displaced from the 50-entry window to fit the
     # never-verified r6 additions above (local mini-oracle still covers
     # them every suite run); then backfill with round-4 greens
     "repartition_roundtrip",
     "tfidf_top_terms",
+    "text_token_count_bpe",
     "text_fingerprint",
     "text_rolling_hash",
     # backfill to 50 with ops whose last driver row is round 4

@@ -1051,6 +1051,38 @@ _QM_BIN_CENTS = 1024
 _QM_MAX_BIN = 127
 
 
+def qm_bin(value_col) -> F.Column:
+    """Histogram bin of a monetary value column — shared by the batch
+    operator and the streaming partial-state twin
+    (streaming/events.py stream_quantile_partials)."""
+    cents = F.round(value_col * 100).cast("long")
+    return F.least(
+        F.lit(_QM_MAX_BIN), F.floor(cents / float(_QM_BIN_CENTS))
+    ).cast("long")
+
+
+def qm_quantiles(merged) -> "DataFrame":
+    """Approximate p50/p95 from merged (event_type, b, n) bin counts via
+    the integer-exact cumulative crossing rule."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("b")
+    wt = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "b",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    p50 = F.min(F.when(F.col("cn") * 2 >= F.col("tot"), F.col("b")))
+    p95 = F.min(F.when(F.col("cn") * 100 >= F.col("tot") * 95, F.col("b")))
+    return cum.groupBy("event_type").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        (p50 * _QM_BIN_CENTS).cast("long").alias("p50_floor_cents"),
+        (p95 * _QM_BIN_CENTS).cast("long").alias("p95_floor_cents"),
+    )
+
+
 @query(
     "incremental_quantile_merge",
     oracle=f"""
@@ -1089,18 +1121,12 @@ _QM_MAX_BIN = 127
     "per day regardless of data size",
 )
 def incremental_quantile_merge(spark, sf_dir):
-    from pyspark.sql import Window
-
-    cents = F.round(F.col("value") * 100).cast("long")
-    b = F.least(
-        F.lit(_QM_MAX_BIN), F.floor(cents / float(_QM_BIN_CENTS))
-    ).cast("long")
     daily = (
         load(spark, sf_dir, "events")
         .select(
             F.date_trunc("day", "ts").alias("day"),
             "event_type",
-            b.alias("b"),
+            qm_bin(F.col("value")).alias("b"),
         )
         .groupBy("day", "event_type", "b")
         .agg(F.count("*").cast("long").alias("n"))
@@ -1108,18 +1134,4 @@ def incremental_quantile_merge(spark, sf_dir):
     merged = daily.groupBy("event_type", "b").agg(
         F.sum("n").cast("long").alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy("b")
-    wt = Window.partitionBy("event_type")
-    cum = merged.select(
-        "event_type",
-        "b",
-        F.sum("n").over(w).alias("cn"),
-        F.sum("n").over(wt).alias("tot"),
-    )
-    p50 = F.min(F.when(F.col("cn") * 2 >= F.col("tot"), F.col("b")))
-    p95 = F.min(F.when(F.col("cn") * 100 >= F.col("tot") * 95, F.col("b")))
-    return cum.groupBy("event_type").agg(
-        F.max("tot").cast("long").alias("n_events"),
-        (p50 * _QM_BIN_CENTS).cast("long").alias("p50_floor_cents"),
-        (p95 * _QM_BIN_CENTS).cast("long").alias("p95_floor_cents"),
-    )
+    return qm_quantiles(merged)

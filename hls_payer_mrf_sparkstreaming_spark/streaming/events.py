@@ -266,3 +266,63 @@ def cdc_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental quantile state: histogram partials as mergeable stream state
+# ---------------------------------------------------------------------------
+# Streaming twin of operators/temporal.py incremental_quantile_merge: each
+# micro-batch appends its (event_type, bin, count) histogram partial —
+# bounded rows per batch regardless of batch size — and quantiles are
+# computed from the MERGED partials at read time. Because bin-count
+# addition is associative and commutative, the streamed state merged over
+# any batching must equal the batch operator over the union; the parity
+# test pins exactly that.
+
+
+def stream_quantile_partials(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Accumulate per-batch histogram partials of event value by
+    event_type into ``out_dir`` (availableNow; drains then stops)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.temporal import qm_bin
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select("event_type", qm_bin(F.col("value")).alias("b"))
+            .groupBy("event_type", "b")
+            .agg(F.count("*").cast("long").alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantiles_from_partials(spark, out_dir: str) -> DataFrame:
+    """p50/p95 per event_type from the accumulated partial store — merge
+    cost is proportional to (groups x bins x batches), never raw rows."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.temporal import (
+        qm_quantiles,
+    )
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "b")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return qm_quantiles(merged)

@@ -579,3 +579,52 @@ def test_incremental_line_dedup_equals_reference(spark, tmp_path):
     fps = spark.read.parquet(str(out / "fps"))
     assert fps.count() == fps.distinct().count()
     assert fps.count() == sum(t[2] for t in got)
+
+
+def test_streamed_quantile_partials_equal_batch(spark, sf_dir, tmp_path):
+    """Histogram partials accumulated per micro-batch, then merged at read
+    time, must give EXACTLY the batch operator's quantiles over the same
+    events — the mergeable-state property the sketch rests on."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import (
+        quantiles_from_partials,
+        stream_quantile_partials,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i in range(3):
+        staged = str(tmp_path / f"stage{i}")
+        events.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "partials"
+    q = stream_quantile_partials(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_qp")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        tuple(r)
+        for r in quantiles_from_partials(spark, str(out)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in all_queries()["incremental_quantile_merge"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # state stays bounded: at most (groups x bins) rows per batch
+    partials = spark.read.parquet(str(out))
+    n_types = events.select("event_type").distinct().count()
+    assert partials.count() <= 3 * n_types * 128
