@@ -1164,3 +1164,103 @@ def ann_multiprobe_lsh(spark, sf_dir):
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# dimension truncation (Matryoshka-style): score with a PREFIX of the
+# embedding, re-rank/evaluate against the full vector
+_TRUNC_D = 16
+_TRUNC_NQ = 8
+_TRUNC_K = 10
+_EMB_T = f"list_slice({_EMB_D}, 1, {_TRUNC_D})"
+
+
+@query(
+    "embedding_truncate_recall",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, {_EMB_D} AS ev, {_EMB_T} AS tv
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, ev AS qv, tv AS qtv
+            FROM e WHERE vec_id < {_TRUNC_NQ}
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('e.ev', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ),
+        ex AS (SELECT qid, vec_id FROM exact WHERE rn <= {_TRUNC_K}),
+        trunc AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('e.tv', 'q.qtv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ),
+        tr AS (SELECT qid, vec_id FROM trunc WHERE rn <= {_TRUNC_K})
+        SELECT ex.qid AS query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(tr.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(tr.vec_id) * 1000000 // count(*) AS BIGINT)
+                   AS recall_ppm
+        FROM ex LEFT JOIN tr
+          ON tr.qid = ex.qid AND tr.vec_id = ex.vec_id
+        GROUP BY ex.qid
+    """,
+    description=f"dimension-truncation quality eval (the Matryoshka-"
+    f"representation trade): recall@{_TRUNC_K} of cosine ranking on the "
+    f"FIRST {_TRUNC_D} of {_DIM} dimensions against the full-dimension "
+    f"exact ranking, per query, for {_TRUNC_NQ} broadcast query vectors "
+    "— quantifies how much ANN quality survives a 4x cheaper index "
+    "(truncated vectors = 4x less memory bandwidth and compute per "
+    "comparison). Same broadcast-query/top-k-window shape as "
+    "ann_recall_eval: the corpus never shuffles, scored rows are "
+    "skinny (qid, vec_id, sim) triples",
+)
+def embedding_truncate_recall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    e = emb.withColumn("tv", F.slice("ev", 1, _TRUNC_D))
+    q = e.filter(F.col("vec_id") < _TRUNC_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("ev").alias("qv"),
+        F.col("tv").alias("qtv"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+
+    def topk(a, b):
+        sim = F.round(V.cosine(F.col(a), F.col(b)), 6)
+        return (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TRUNC_K)
+            .select("qid", "vec_id")
+        )
+
+    ex = topk("ev", "qv")
+    tr = topk("tv", "qtv").withColumn("hit", F.lit(1))
+    return (
+        ex.join(tr, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.expr("CAST(count(hit) * 1000000 DIV count(*) AS LONG)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
