@@ -1428,3 +1428,45 @@ def test_oov_rate_zero_for_all_vocab_docs(spark, sf_dir):
         total = sum(r["n_tokens"] for r in rows)
         oov = sum(r["n_oov"] for r in rows)
         assert total - oov == cover[64]["n_occurrences_cum"]
+
+
+def test_block_split_property_roundtrip(spark):
+    """Property: for arbitrary token lists, the fixed-size block split must
+    (a) preserve every token in order — rejoining the blocks reproduces the
+    text exactly — and (b) emit ceil(n_tokens / block) blocks, each of the
+    full block size except a shorter final tail."""
+    from hypothesis import given, settings, strategies as st
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        block_split_expr,
+    )
+
+    token = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1,
+        max_size=6,
+    )
+    texts = st.lists(token, min_size=1, max_size=40).map(" ".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(docs=st.lists(texts, min_size=1, max_size=8), n=st.sampled_from([3, 12]))
+    def run(docs, n):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+        )
+        from pyspark.sql import functions as F
+
+        rows = df.select(
+            "doc_id",
+            "text",
+            F.expr(block_split_expr("text", n)).alias("blocks"),
+        ).collect()
+        for r in rows:
+            toks = r["text"].split(" ")
+            expect_blocks = max(1, -(-len(toks) // n))
+            assert len(r["blocks"]) == expect_blocks
+            assert " ".join(r["blocks"]) == r["text"]
+            for blk in r["blocks"][:-1]:
+                assert len(blk.split(" ")) == n
+
+    run()

@@ -795,13 +795,17 @@ def test_oov_rate_broadcasts_vocab(spark):
 
 
 def test_line_dedup_rewrite_no_cartesian(spark):
-    # corpus rewrite = linear shuffles only: block-digest window +
-    # doc_id reassembly; any nested-loop/cartesian stage means the dup
-    # test degenerated to all-pairs
+    # corpus rewrite = EXACTLY two linear shuffles (block-digest window,
+    # then doc_id reassembly); any nested-loop/cartesian stage means the
+    # dup test degenerated to all-pairs, a third exchange means the
+    # rewrite re-shuffles the corpus
+    import re
+
     p = plan(spark, "line_dedup_rewrite")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
 
 
 def test_prefix_pairs_is_equijoin_on_block_key(spark):
