@@ -227,3 +227,106 @@ def stream_line_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# constant-size membership state: Bloom-bitmap incremental dedup
+# ---------------------------------------------------------------------------
+# stream_dedup_corpus keeps an EXACT fingerprint store that grows with the
+# accepted corpus; this variant keeps a Bloom bitmap instead — the state is
+# bounded by the bitmap size forever, at the cost of a quantified
+# false-positive rate (a genuinely new document may be wrongly dropped; a
+# true duplicate can NEVER slip through). State layout: (word, m) bit-mask
+# partials appended per batch — bit_or at read time reconstructs the
+# bitmap, and because OR is idempotent a retried batch's duplicate rows
+# change nothing (append-only exactly-once without a transactional store).
+# The hash family is the same cross-engine md5-60 / universal-hash pair
+# the batch bloom_prefilter operator proves bit-for-bit against DuckDB.
+
+
+def stream_dedup_corpus_bloom(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Start the Bloom-state incremental dedup stream (availableNow).
+    Survivors land in ``out_dir/docs``; the bitmap partials (the whole
+    membership state, <= bitmap-words rows per batch) in ``out_dir/bloom``."""
+    from hls_payer_mrf_sparkstreaming_spark.functions import hashing
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _BLOOM_AB,
+        _bloom_pos_sql,
+    )
+
+    docs_dir = os.path.join(out_dir, "docs")
+    bloom_dir = os.path.join(out_dir, "bloom")
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        base = (hashing.md5u60(F.col(text_col)) % hashing.M31).alias("base")
+        w = Window.partitionBy("base").orderBy(id_col)
+        first = (
+            batch.withColumn("base", base)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        melted = None
+        for a, b in _BLOOM_AB:
+            p = first.selectExpr(
+                f"{id_col}", f"{_bloom_pos_sql('base', a, b)} AS p"
+            ).selectExpr(
+                f"{id_col}",
+                "CAST(p div 32 AS INT) AS word",
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)) AS bit",
+            )
+            melted = p if melted is None else melted.unionAll(p)
+        try:
+            bm = (
+                spark.read.parquet(bloom_dir)
+                .groupBy("word")
+                .agg(F.expr("bit_or(m)").alias("m"))
+            )
+            hits = (
+                melted.join(bm, "word")
+                .filter(F.expr("(m & bit) != 0"))
+                .groupBy(id_col)
+                .agg(F.count("*").alias("nbits"))
+                .filter(F.col("nbits") == len(_BLOOM_AB))
+                .select(id_col)
+            )
+            fresh = first.join(hits, id_col, "left_anti")
+        except Exception:  # first batch: empty bitmap, nothing can probe in
+            fresh = first
+        fresh = fresh.persist()
+        fresh.drop("base").write.mode("append").parquet(docs_dir)
+        # bitmap partial for the ACCEPTED docs only (bit_or-idempotent)
+        partial = None
+        for a, b in _BLOOM_AB:
+            p = fresh.selectExpr(f"{_bloom_pos_sql('base', a, b)} AS p")
+            partial = p if partial is None else partial.unionAll(p)
+        (
+            partial.selectExpr(
+                "CAST(p div 32 AS INT) AS word",
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)) AS m",
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(m)").alias("m"))
+            .write.mode("append")
+            .parquet(bloom_dir)
+        )
+        fresh.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -628,3 +628,80 @@ def test_streamed_quantile_partials_equal_batch(spark, sf_dir, tmp_path):
     partials = spark.read.parquet(str(out))
     n_types = events.select("event_type").distinct().count()
     assert partials.count() <= 3 * n_types * 128
+
+
+def test_bloom_dedup_stream_never_misses_members(spark, sf_dir, tmp_path):
+    """Bloom-state incremental dedup: every true duplicate must be dropped
+    (a Bloom filter cannot miss a member), extra drops are bounded by the
+    theoretical false-positive budget, the state stays bounded by the
+    bitmap word count per batch, and a re-run appends nothing new."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _BLOOM_MBITS,
+        _BLOOM_WORDS,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+        dedup_corpus_batch,
+        stream_dedup_corpus_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = [(r["doc_id"], r["text"]) for r in docs.limit(40).collect()]
+    n0 = max(d for d, _ in base) + 1
+    drops = [
+        base,
+        # replays of half of drop 0 plus fresh docs
+        [(n0 + i, t) for i, (_, t) in enumerate(base[:20])]
+        + [(n0 + 100 + i, f"bloom fresh {i}") for i in range(6)],
+        [(n0 + 200, "bloom late dup"), (n0 + 201, "bloom late dup"),
+         (n0 + 202, base[3][1])],
+    ]
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i, rows in enumerate(drops):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "bloom_out"
+    q = stream_dedup_corpus_bloom(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_bloom")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    all_docs = spark.createDataFrame(
+        [r for rows in drops for r in rows], "doc_id: long, text: string"
+    )
+    exact = {
+        r["doc_id"]
+        for r in dedup_corpus_batch(all_docs, "doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out / "docs")).collect()
+    }
+    # no miss: anything the exact dedup drops, bloom drops too
+    assert got <= exact
+    # false-positive budget: k * n * (k*n/m)^k with n keys, k=3 hashes
+    n = len(exact)
+    budget = max(1, int(3 * n * (3 * n / _BLOOM_MBITS) ** 3) + 1)
+    assert len(exact - got) <= budget, (len(exact - got), budget)
+    bloom = spark.read.parquet(str(out / "bloom"))
+    assert bloom.count() <= len(drops) * _BLOOM_WORDS
+    # idempotent replay: re-running over the same inputs appends nothing
+    n_docs = spark.read.parquet(str(out / "docs")).count()
+    q2 = stream_dedup_corpus_bloom(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_bloom")
+    )
+    q2.awaitTermination(180)
+    assert not q2.isActive
+    assert spark.read.parquet(str(out / "docs")).count() == n_docs
