@@ -189,7 +189,6 @@ _DRIVER_PRIORITY = [
     "split_train_test",
     "kmeans_train",
     "text_token_count",
-    "text_quality",
     "quality_filter_pipeline",
     # newly oracled in r6 (was the registry's one no_oracle entry)
     "mrf_bronze",
@@ -219,12 +218,14 @@ _DRIVER_PRIORITY = [
     "winsorize_clip",
     "ann_multiprobe_lsh",
     "embedding_truncate_recall",
+    "mrf_payer_compare",
     # r3-verified ops displaced from the 50-entry window to fit the
     # never-verified r6 additions above (local mini-oracle still covers
     # them every suite run); then backfill with round-4 greens
     "repartition_roundtrip",
     "tfidf_top_terms",
     "text_token_count_bpe",
+    "text_quality",
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",

@@ -492,3 +492,110 @@ def mrf_rate_spread(spark, sf_dir):
         .cast("long")
         .alias("spread_bps"),
     )
+
+
+_B_SEED = 99
+
+
+def fixture_b_path() -> str:
+    """Second synthetic payer: same deterministic billing-code universe
+    (codes derive from the item index, not the seed), independently drawn
+    rates — the cross-payer comparison the CMS mandate exists to enable."""
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_n{_N_ITEMS}_s{_B_SEED}.json")
+    if not os.path.exists(p):
+        write_mrf_file(
+            p, n_in_network=_N_ITEMS, n_provider_refs=40, seed=_B_SEED
+        )
+    return p
+
+
+def _payer_compare_oracle() -> str:
+    def med(path: str) -> str:
+        return f"""(
+            WITH items AS (
+                SELECT unnest(in_network) AS item
+                FROM read_json('{path}')
+            ),
+            rates AS (
+                SELECT item.billing_code AS billing_code,
+                       unnest(item.negotiated_rates) AS r
+                FROM items
+            ),
+            pr AS (
+                SELECT billing_code, unnest(r.negotiated_prices) AS p
+                FROM rates
+            )
+            SELECT billing_code,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (
+                       ORDER BY CAST(round(p.negotiated_rate * 100)
+                                     AS BIGINT)) AS BIGINT) AS med_cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+            GROUP BY 1
+        )"""
+
+    return f"""
+        SELECT a.billing_code AS billing_code,
+               a.med_cents AS payer_a_median_cents,
+               b.med_cents AS payer_b_median_cents,
+               CAST(floor(b.med_cents * 10000.0 / a.med_cents) AS BIGINT)
+                   AS b_over_a_bps
+        FROM {med(fixture_path())} a
+        JOIN {med(fixture_b_path())} b USING (billing_code)
+    """
+
+
+@query(
+    "mrf_payer_compare",
+    oracle=_payer_compare_oracle(),
+    description="cross-payer rate comparison — the consumer question the "
+    "CMS transparency mandate exists to answer (which payer negotiated "
+    "the better rate for the SAME procedure?): median negotiated rate "
+    "per billing_code for two payers' MRF files, joined on billing_code, "
+    "with the B/A ratio in basis points. Runs the full chunker -> "
+    "source -> silver chain on BOTH files (each parsed once via the "
+    "session silver cache) and is oracled by independent DuckDB "
+    "read_json twins. Plan: two medallion lineages reduced to "
+    "per-code medians BEFORE the join, so the join moves one row per "
+    "billing code, not per price — at national scale (thousands of "
+    "payer files) this is the same partial-aggregate-then-join shape",
+)
+def mrf_payer_compare(spark, sf_dir):
+    def med(path):
+        t = build_silver_cached(spark, path, chunktargetbytes=65536)
+        return (
+            t.codes.select("sk_in_network_id", "billing_code")
+            .join(t.prices, "sk_in_network_id")
+            .select(
+                "billing_code",
+                F.round(F.col("negotiated_rate") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("billing_code")
+            .agg(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+                .cast("long")
+                .alias("med_cents")
+            )
+        )
+
+    a = med(fixture_path()).withColumnRenamed(
+        "med_cents", "payer_a_median_cents"
+    )
+    b = med(fixture_b_path()).withColumnRenamed(
+        "med_cents", "payer_b_median_cents"
+    )
+    return a.join(b, "billing_code").select(
+        "billing_code",
+        "payer_a_median_cents",
+        "payer_b_median_cents",
+        F.floor(
+            F.col("payer_b_median_cents")
+            * 10000.0
+            / F.col("payer_a_median_cents")
+        )
+        .cast("long")
+        .alias("b_over_a_bps"),
+    )
