@@ -35,17 +35,29 @@ _SILVER_CACHE: dict[tuple, "object"] = {}
 _SILVER_CACHE_MAX = 4
 
 
+def _unpersist_tables(t) -> None:
+    # a cached entry may outlive its SparkSession (stopped mid-process);
+    # unpersist then raises through py4j — the blocks died with the JVM,
+    # so dropping the reference is the only cleanup left
+    try:
+        t.in_network.unpersist()
+        t.providers_x_payer.unpersist()
+    except Exception:
+        pass
+
+
 def build_silver_cached(spark, path: str, **options):
     app_id = spark.sparkContext.applicationId
+    # entries keyed by another app_id belong to a previous (now replaced)
+    # session in this process — same liveness heuristic as the
+    # operators/dedup.py edge/component caches
     for k in [k for k in _SILVER_CACHE if k[0] != app_id]:
-        _SILVER_CACHE.pop(k)
+        _unpersist_tables(_SILVER_CACHE.pop(k))
     key = (app_id, path, tuple(sorted(options.items())))
     t = _SILVER_CACHE.get(key)
     if t is None:
         while len(_SILVER_CACHE) >= _SILVER_CACHE_MAX:
-            old = _SILVER_CACHE.pop(next(iter(_SILVER_CACHE)))
-            old.in_network.unpersist()
-            old.providers_x_payer.unpersist()
+            _unpersist_tables(_SILVER_CACHE.pop(next(iter(_SILVER_CACHE))))
         t = build_silver(spark, path, **options)
         t.in_network.persist()
         t.providers_x_payer.persist()
@@ -54,11 +66,10 @@ def build_silver_cached(spark, path: str, **options):
 
 
 def clear_silver_cache() -> None:
-    """Unpersist and drop every cached silver parse (test hook)."""
+    """Unpersist and drop every cached silver parse (test/REPL hook,
+    mirroring operators/dedup.py clear_edge_cache/clear_cc_cache)."""
     while _SILVER_CACHE:
-        t = _SILVER_CACHE.popitem()[1]
-        t.in_network.unpersist()
-        t.providers_x_payer.unpersist()
+        _unpersist_tables(_SILVER_CACHE.popitem()[1])
 
 
 def fixture_path() -> str:

@@ -80,11 +80,15 @@ def stream_dedup_corpus(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         fresh = dedup_corpus_batch(batch, id_col, text_col, normalized)
         try:
             seen = spark.read.parquet(fps_dir).select("fp")
             fresh = fresh.join(seen, "fp", "left_anti")
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: no store yet; any OTHER
+            # read failure must propagate and fail the batch — swallowing
+            # it would re-admit every previously accepted document
             pass
         # two actions on the (small) survivor set: materialize once
         fresh = fresh.persist()
@@ -141,23 +145,24 @@ def split_doc_blocks(
 
 def _reassemble(blocks: DataFrame, id_col: str) -> DataFrame:
     """Per-document rewrite from flagged blocks: surviving blocks (keep)
-    re-concatenated in position order."""
-    return blocks.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_blocks"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "block"))
-                    )
-                ),
-                lambda s: s["block"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    re-concatenated in position order. Documents retaining ZERO blocks are
+    dropped entirely (survivor semantics, like stream_dedup_corpus) —
+    which also makes a fully-retried micro-batch a no-op on the docs sink:
+    every fingerprint is already in the store, so nothing reassembles."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        clean_text_col,
+    )
+
+    return (
+        blocks.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            clean_text_col().alias("clean_text"),
+        )
+        .filter(F.col("n_kept") > 0)
     )
 
 
@@ -199,6 +204,8 @@ def stream_line_dedup(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         b = split_doc_blocks(batch, id_col, text_col, n)
         w = Window.partitionBy("fp").orderBy(id_col, "pos")
         b = b.withColumn("_first", F.row_number().over(w) == 1)
@@ -209,7 +216,9 @@ def stream_line_dedup(
                 .withColumn("_seen", F.lit(True))
             )
             b = b.join(seen, "fp", "left")
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: no store yet; any OTHER
+            # read failure must propagate and fail the batch — swallowing
+            # it would admit every duplicate in the batch as fresh
             b = b.withColumn("_seen", F.lit(None).cast("boolean"))
         b = b.withColumn(
             "keep", F.col("_first") & F.col("_seen").isNull()
@@ -267,6 +276,8 @@ def stream_dedup_corpus_bloom(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         base = (hashing.md5u60(F.col(text_col)) % hashing.M31).alias("base")
         w = Window.partitionBy("base").orderBy(id_col)
         first = (
@@ -300,7 +311,9 @@ def stream_dedup_corpus_bloom(
                 .select(id_col)
             )
             fresh = first.join(hits, id_col, "left_anti")
-        except Exception:  # first batch: empty bitmap, nothing can probe in
+        except AnalysisException:  # first batch: empty bitmap, nothing can
+            # probe in; any OTHER read failure must propagate — swallowing
+            # it would accept true duplicates AND whitelist them forever
             fresh = first
         fresh = fresh.persist()
         fresh.drop("base").write.mode("append").parquet(docs_dir)

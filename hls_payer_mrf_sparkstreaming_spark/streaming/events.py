@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -294,12 +296,16 @@ def stream_quantile_partials(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # one partition directory PER BATCH, written with overwrite: a
+        # retried micro-batch replaces its own partial instead of
+        # double-counting it (bin-count addition is not idempotent, so a
+        # plain append would permanently skew the merged quantiles)
         (
             batch.select("event_type", qm_bin(F.col("value")).alias("b"))
             .groupBy("event_type", "b")
             .agg(F.count("*").cast("long").alias("n"))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
     return (

@@ -1387,6 +1387,7 @@ def test_prefix_pairs_recover_all_planted_truncations(spark, sf_dir):
     """Each planted 60%-truncation variant must pair with its own source
     document, and every reported pair must satisfy the prefix property."""
     from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _PFX_CANARY_MIN_TOKENS,
         _PFX_CANARY_MOD,
         _PFX_CANARY_OFFSET,
     )
@@ -1396,11 +1397,14 @@ def test_prefix_pairs_recover_all_planted_truncations(spark, sf_dir):
     )
 
     pairs = all_queries()["dedup_prefix_pairs"].fn(spark, sf_dir).collect()
-    doc_ids = [
+    planted = {
         r["doc_id"]
-        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
-    ]
-    planted = {d for d in doc_ids if d % _PFX_CANARY_MOD == 0}
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r["doc_id"] % _PFX_CANARY_MOD == 0
+        and len(r["text"].split(" ")) >= _PFX_CANARY_MIN_TOKENS
+    }
     recovered = {
         r["doc_short"] - _PFX_CANARY_OFFSET
         for r in pairs

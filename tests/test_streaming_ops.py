@@ -531,6 +531,9 @@ def test_incremental_line_dedup_equals_reference(spark, tmp_path):
             (6, blk(6)),
             (7, f"{blk(6)} {blk(7)}"),
             (8, f"{blk(8)} {half}"),
+            # doc 9: every block already seen -> retains nothing and must
+            # be ABSENT from the output (survivor semantics)
+            (9, f"{blk(0)} {blk(4)}"),
         ],
     ]
     in_dir = tmp_path / "drops"
@@ -575,6 +578,7 @@ def test_incremental_line_dedup_equals_reference(spark, tmp_path):
     assert by_id[5] == (5, 3, 1, blk(5))
     assert by_id[7] == (7, 2, 1, blk(7))
     assert by_id[8] == (8, 2, 2, f"{blk(8)} {half}")
+    assert 9 not in by_id
     # the fp store holds each accepted fingerprint exactly once
     fps = spark.read.parquet(str(out / "fps"))
     assert fps.count() == fps.distinct().count()
