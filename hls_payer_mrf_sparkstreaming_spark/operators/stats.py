@@ -970,3 +970,100 @@ def winsorize_clip(spark, sf_dir):
         .alias("n_clip_high"),
         F.sum(clamped).cast("long").alias("sum_winsorized_cents"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as EXACT nano-scaled
+# integer literals, precomputed once — identical constants are inlined
+# into both the Spark plan and the oracle SQL, so no engine ever
+# evaluates a log at query time (cross-engine transcendental rounding
+# is the classic hash-breaking source)
+_BENFORD_NANO = {
+    1: 301029996,
+    2: 176091259,
+    3: 124938737,
+    4: 96910013,
+    5: 79181246,
+    6: 66946790,
+    7: 57991947,
+    8: 51152522,
+    9: 45757491,
+}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_NANO.items()
+) + " END"
+
+
+@query(
+    "benford_digit_test",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(substr(CAST(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM lineitem
+            WHERE l_extendedprice > 0
+        ),
+        obs AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs,
+                   sum(count(*)) OVER () AS total
+            FROM c GROUP BY digit
+        )
+        SELECT digit,
+               n_obs,
+               CAST(n_obs * 1000000000 // total AS BIGINT) AS obs_nano,
+               CAST({_BENFORD_SQL_CASE} AS BIGINT) AS exp_nano,
+               CAST(abs(n_obs * 1000000000 // total
+                        - {_BENFORD_SQL_CASE}) AS BIGINT) AS dev_nano
+        FROM obs
+    """,
+    description="Benford first-significant-digit conformance test over "
+    "extended prices — the standard forensic screen for fabricated "
+    "numeric data (real multiplicative processes follow "
+    "P(d)=log10(1+1/d); synthetic/tampered ones usually don't). "
+    "Expected probabilities are precomputed nano-integer literals "
+    "shared verbatim by both engines; observed shares use one integer "
+    "division per digit. Plan: the digit extraction is codegen string "
+    "ops on a pruned single-column scan, the groupBy partial-aggregates "
+    "to <=9 rows per partition map-side, and the share window runs over "
+    "9 rows — nothing wide ever exceeds 9 rows at ANY scale",
+)
+def benford_digit_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    digit = (
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .withColumn("total", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    exp_nano = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, p in _BENFORD_NANO.items()
+                for x in (d, p)
+            ]
+        ),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    obs_nano = F.expr("n_obs * 1000000000 div total")
+    return obs.select(
+        "digit",
+        "n_obs",
+        obs_nano.cast("long").alias("obs_nano"),
+        exp_nano.alias("exp_nano"),
+        F.abs(obs_nano - exp_nano).cast("long").alias("dev_nano"),
+    )

@@ -164,34 +164,11 @@ def _parse_bytes_conf(v: str) -> int:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # round-6 window. The r5 verdict: 30 operators' most recent driver row
-    # is round 3 (they sat past the 50-entry window in both r4 and r5) —
-    # they lead this round's window for fresh CORRECTNESS rows.
-    "outer_join_counts",
-    "windowed_agg_events",
-    "sessionize",
-    "distinct_agg",
-    "percentile_summary",
-    "pivot_counts",
-    "asof_join",
-    "range_join",
-    "attribution_join",
-    "scd2_intervals",
-    "dedup_exact",
-    "dedup_survivors",
-    "ngram_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "fuzzy_match_names",
-    "dedup_graph_stats",
-    "sample_stratified",
-    "sample_quota_per_stratum",
-    "split_train_test",
-    "kmeans_train",
-    "text_token_count",
-    "quality_filter_pipeline",
-    # newly oracled in r6 (was the registry's one no_oracle entry)
-    "mrf_bronze",
+    # round-6 window. Never-driver-checked entries outrank everything
+    # (test_driver_priority_names_exist_and_new_ops_in_window enforces
+    # they sit inside the first 50); then mrf_bronze (previous rows were
+    # no_oracle, not green); the rest of the window backfills with the
+    # r5-verdict list of operators whose last green driver row is round 3.
     # new in round 6 — never driver-checked
     "text_bigram_logprob",
     "column_entropy",
@@ -219,9 +196,43 @@ _DRIVER_PRIORITY = [
     "ann_multiprobe_lsh",
     "embedding_truncate_recall",
     "mrf_payer_compare",
-    # r3-verified ops displaced from the 50-entry window to fit the
-    # never-verified r6 additions above (local mini-oracle still covers
-    # them every suite run); then backfill with round-4 greens
+    # added later in round 6 — also never driver-checked
+    "activity_streaks",
+    "twap_user_value",
+    "benford_digit_test",
+    "heavy_hitters_twopass",
+    "shared_ngram_span_pairs",
+    "mrf_network_overlap",
+    # newly oracled in r6 (its prior driver rows were no_oracle, not green)
+    "mrf_bronze",
+    # fill the window to 50 with the r5-verdict round-3-stale list (the
+    # 13 that no longer fit — sample_*, kmeans_train, text_* family,
+    # quality_filter_pipeline, repartition_roundtrip, tfidf_top_terms —
+    # stay covered by the local mini-oracle every suite run)
+    "outer_join_counts",
+    "windowed_agg_events",
+    "sessionize",
+    "distinct_agg",
+    "percentile_summary",
+    "pivot_counts",
+    "asof_join",
+    "range_join",
+    "attribution_join",
+    "scd2_intervals",
+    "dedup_exact",
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_match_names",
+    "dedup_graph_stats",
+    # ---- 50-entry driver window ends here ----
+    "sample_stratified",
+    "sample_quota_per_stratum",
+    "split_train_test",
+    "kmeans_train",
+    "text_token_count",
+    "quality_filter_pipeline",
     "repartition_roundtrip",
     "tfidf_top_terms",
     "text_token_count_bpe",
@@ -229,7 +240,6 @@ _DRIVER_PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",
-    # backfill to 50 with ops whose last driver row is round 4
     "mrf_bronze_elements",
     "mrf_silver_prices",
     "mrf_silver_providers",

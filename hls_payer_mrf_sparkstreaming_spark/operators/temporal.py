@@ -1135,3 +1135,128 @@ def incremental_quantile_merge(spark, sf_dir):
         F.sum("n").cast("long").alias("n")
     )
     return qm_quantiles(merged)
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id,
+                   day - DATE '1970-01-01' AS d,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS rn
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, d - rn AS island,
+                   CAST(count(*) AS BIGINT) AS streak_len
+            FROM numbered GROUP BY user_id, d - rn
+        )
+        SELECT user_id,
+               CAST(max(streak_len) AS BIGINT) AS longest_streak,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM islands GROUP BY user_id
+    """,
+    description="longest consecutive-day activity streak per user — the "
+    "classic gaps-and-islands rewrite (day-number minus row_number is "
+    "constant within a run) instead of a self-join on day+1, which "
+    "degenerates into O(days^2) per user. Plan: one distinct (user, day) "
+    "partial-agg, one shuffle on user_id shared by the window and both "
+    "groupBys — days-per-user is bounded (~365/yr), so per-partition "
+    "windows stay small at ANY event volume; 100 TB of events reduces "
+    "to user x day rows before anything wide runs",
+)
+def activity_streaks(spark, sf_dir):
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.select(
+        "user_id",
+        F.datediff("day", F.lit("1970-01-01")).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = numbered.groupBy(
+        "user_id", (F.col("d") - F.col("rn")).alias("island")
+    ).agg(F.count("*").cast("long").alias("streak_len"))
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS next_us
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, cents,
+                   (next_us - ts_us) // 1000000 AS dur_s
+            FROM ordered WHERE next_us IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(sum(cents * dur_s) AS BIGINT) AS twap_num,
+               CAST(sum(dur_s) AS BIGINT) AS twap_den,
+               CAST(sum(cents * dur_s) // greatest(sum(dur_s), 1)
+                    AS BIGINT) AS twap_cents
+        FROM seg GROUP BY user_id
+    """,
+    description="time-weighted average value per user (TWAP — the "
+    "time-series aggregate where each observation is weighted by how "
+    "long it remained current, not by row count): lead() per user gives "
+    "each segment's duration, weighted sums run in exact integer "
+    "cents x whole seconds with ONE floor-division at the end, so "
+    "parallel summation order can never produce a ULP diff vs DuckDB. "
+    "Ties on ts break on event_id (duplicate timestamps contribute "
+    "0-length segments deterministically). Plan: single shuffle on "
+    "user_id shared by the window sort and the final partial-agg "
+    "groupBy — the 100 TB shape, no re-shuffle between the two",
+)
+def twap_user_value(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    ordered = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ts_us.alias("ts_us"),
+        F.lead(ts_us).over(w).alias("next_us"),
+    )
+    seg = ordered.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "cents",
+        F.expr("(next_us - ts_us) div 1000000").alias("dur_s"),
+    )
+    # integer `div` throughout (matches DuckDB `//` on BIGINTs): double
+    # division near an integer boundary can round across it before the
+    # floor/cast, which would flip the last digit vs the oracle
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias(
+            "twap_num"
+        ),
+        F.sum("dur_s").cast("long").alias("twap_den"),
+        F.expr(
+            "sum(cents * dur_s) div greatest(sum(dur_s), 1)"
+        )
+        .cast("long")
+        .alias("twap_cents"),
+    )

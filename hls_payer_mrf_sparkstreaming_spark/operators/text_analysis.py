@@ -1484,3 +1484,94 @@ def doc_oov_rate(spark, sf_dir):
         .cast("long")
         .alias("oov_ppm"),
     )
+
+
+# -- two-pass exact heavy hitters ------------------------------------------
+# support threshold: a token is a heavy hitter iff freq * _HH_DEN >= N
+# (N = total corpus tokens). The candidate pass keeps _HH_K counters per
+# partition; the Misra-Gries bound (undercount <= N_p / (K+1)) plus a
+# pigeonhole over partitions guarantees every token with global
+# freq > N / (_HH_K + 1) survives SOME partition's summary, and
+# N / (_HH_K + 1) < N / _HH_DEN, so the candidate union is a strict
+# superset of the true answer — the exact recount then makes the output
+# independent of which extra candidates each partition happened to keep.
+_HH_DEN = 500  # heavy hitter = >= 0.2% of all corpus tokens
+_HH_K = 4096  # MG counters per partition (40 KB of state, any scale)
+
+
+def _mg_candidates(batches):
+    """Bounded-memory Misra-Gries sketch over a partition's token stream.
+
+    Consumes the partition's Arrow batches one at a time (never the whole
+    partition), folds each batch's token counts into a dict capped at
+    _HH_K keys using the batched-decrement rule from Agarwal et al.,
+    "Mergeable Summaries" (PODS 2012): when the dict exceeds K keys,
+    subtract the (K+1)-th largest count from every counter and drop the
+    non-positive ones — each decrement hits >= K+1 counters at once, so
+    any key's total undercount is <= N_p/(K+1).
+    """
+    import pandas as pd
+
+    counts: dict = {}
+    for pdf in batches:
+        batch = (
+            pdf["text"].str.split(" ").explode().value_counts()
+        )
+        for tok, n in batch.items():
+            counts[tok] = counts.get(tok, 0) + int(n)
+        if len(counts) > _HH_K:
+            # (K+1)-th largest count; everything <= it gets zeroed
+            cut = sorted(counts.values(), reverse=True)[_HH_K]
+            counts = {
+                t: c - cut for t, c in counts.items() if c > cut
+            }
+    if counts:
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+
+@query(
+    "heavy_hitters_twopass",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM toks, n
+        GROUP BY token, n.total
+        HAVING count(*) * {_HH_DEN} >= n.total
+    """,
+    description="exact corpus-level heavy hitters (tokens with >= 1/"
+    f"{_HH_DEN} of all token mass) via the canonical two-pass sketch: "
+    "pass 1 runs a bounded-memory Misra-Gries summary per partition "
+    f"({_HH_K} counters, mapInPandas over Arrow batches — state never "
+    "exceeds ~40 KB no matter how large the vocabulary) whose union is "
+    "provably a superset of the true answer; pass 2 broadcast-joins the "
+    "tiny candidate set back onto the token stream and recounts exactly, "
+    "filtering on the support threshold in pure integers. At 100 TB with "
+    "a billions-of-distinct-tokens web vocabulary, a naive "
+    "groupBy(token) shuffles every distinct token's partial count; this "
+    "plan shuffles only the <= K-per-partition candidates — the shuffle "
+    "is bounded by the sketch size, not the vocabulary",
+)
+def heavy_hitters_twopass(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("text")
+    candidates = (
+        docs.mapInPandas(_mg_candidates, "token string")
+        .distinct()
+    )
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * _HH_DEN >= F.col("total"))
+        .select("token", "freq")
+    )

@@ -610,3 +610,138 @@ def mrf_payer_compare(spark, sf_dir):
         .cast("long")
         .alias("b_over_a_bps"),
     )
+
+
+# network-overlap fixtures: two independently-seeded payers whose provider
+# groups draw TINs from the SAME 30-TIN pool, so the per-code TIN sets
+# genuinely intersect (with the full ~9e8 TIN space two seeds never
+# collide and every Jaccard is 0 — a degenerate oracle)
+_OVL_TIN_POOL = [f"{20 + i % 70:02d}-{5000000 + i * 37:07d}" for i in range(30)]
+_OVL_SEED_A = 11
+_OVL_SEED_B = 13
+
+
+def fixture_ovl_path(seed: int) -> str:
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_ovl_n{_N_ITEMS}_s{seed}.json")
+    if not os.path.exists(p):
+        write_mrf_file(
+            p,
+            n_in_network=_N_ITEMS,
+            n_provider_refs=40,
+            seed=seed,
+            tin_pool=_OVL_TIN_POOL,
+        )
+    return p
+
+
+def _network_pairs_oracle(path: str) -> str:
+    """DuckDB twin of the per-payer (billing_code, tin) distinct pair set
+    (nested WITH — DuckDB allows a full statement as a CTE body)."""
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item FROM read_json('{path}')
+        ),
+        rr AS (
+            SELECT item.billing_code AS bc,
+                   unnest(item.negotiated_rates) AS r
+            FROM items
+        ),
+        refs AS (
+            SELECT bc, unnest(r.provider_references) AS ref FROM rr
+        ),
+        prs AS (
+            SELECT unnest(provider_references) AS pr
+            FROM read_json('{path}')
+        ),
+        groups AS (
+            SELECT pr.provider_group_id AS gid,
+                   unnest(pr.provider_groups) AS g
+            FROM prs
+        ),
+        tins AS (SELECT gid, g.tin.value AS tin FROM groups)
+        SELECT DISTINCT bc AS billing_code, tin
+        FROM refs JOIN tins ON ref = gid
+    """
+
+
+def _network_overlap_oracle() -> str:
+    return f"""
+        WITH apairs AS ({_network_pairs_oracle(fixture_ovl_path(_OVL_SEED_A))}),
+        bpairs AS ({_network_pairs_oracle(fixture_ovl_path(_OVL_SEED_B))}),
+        merged AS (
+            SELECT coalesce(a.billing_code, b.billing_code) AS billing_code,
+                   CASE WHEN a.tin IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+                   CASE WHEN b.tin IS NOT NULL THEN 1 ELSE 0 END AS in_b
+            FROM apairs a FULL JOIN bpairs b
+              ON a.billing_code = b.billing_code AND a.tin = b.tin
+        )
+        SELECT billing_code,
+               CAST(sum(in_a) AS BIGINT) AS n_tin_a,
+               CAST(sum(in_b) AS BIGINT) AS n_tin_b,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+               CAST(sum(in_a * in_b) * 10000
+                    // count(*) AS BIGINT) AS jaccard_bps
+        FROM merged GROUP BY billing_code
+    """
+
+
+@query(
+    "mrf_network_overlap",
+    oracle=_network_overlap_oracle(),
+    description="provider-network overlap between two payers per billing "
+    "code — the network-adequacy question behind the CMS transparency "
+    "mandate (do these payers negotiate with the SAME provider groups "
+    "for this procedure?): distinct (billing_code, TIN) pairs per payer "
+    "via the full chunker -> source -> silver chain on both files, then "
+    "a full outer join on (code, TIN) reduced to per-code set sizes, "
+    "shared count and exact-integer Jaccard in basis points (count(*) "
+    "of the merged rows IS |union|). Oracled by independent DuckDB "
+    "read_json twins on both fixtures. Plan: each payer's lineage "
+    "reduces to distinct (code, tin) BEFORE the join — the join moves "
+    "one row per network membership, not per negotiated price; at "
+    "national scale (every payer x every code) that is the "
+    "partial-aggregate-then-join shape, keyed on (code, tin) so both "
+    "sides co-locate in one shuffle",
+)
+def mrf_network_overlap(spark, sf_dir):
+    def pairs(path):
+        t = build_silver_cached(spark, path, chunktargetbytes=65536)
+        return (
+            t.codes.select("sk_in_network_id", "billing_code")
+            .join(
+                t.rates.select("sk_in_network_id", "sk_rate_id"),
+                "sk_in_network_id",
+            )
+            .join(t.par_providers, "sk_rate_id")
+            .join(
+                t.providers_x_payer.select(
+                    "provider_group_id",
+                    F.col("tin.value").alias("tin"),
+                ),
+                F.col("provider_reference_id")
+                == F.col("provider_group_id"),
+            )
+            .select("billing_code", "tin")
+            .distinct()
+        )
+    a = pairs(fixture_ovl_path(_OVL_SEED_A))
+    b = pairs(fixture_ovl_path(_OVL_SEED_B))
+    merged = a.withColumn("in_a", F.lit(1)).join(
+        b.withColumn("in_b", F.lit(1)),
+        ["billing_code", "tin"],
+        "full_outer",
+    ).select(
+        "billing_code",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    return merged.groupBy("billing_code").agg(
+        F.sum("in_a").cast("long").alias("n_tin_a"),
+        F.sum("in_b").cast("long").alias("n_tin_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_shared"),
+        F.expr("sum(in_a * in_b) * 10000 div count(*)")
+        .cast("long")
+        .alias("jaccard_bps"),
+    )

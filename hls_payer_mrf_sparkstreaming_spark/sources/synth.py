@@ -15,17 +15,23 @@ import random
 from typing import IO
 
 
-def _provider_group(rng: random.Random) -> dict:
+def _provider_group(rng: random.Random, tin_pool=None) -> dict:
+    # tin_pool: draw the TIN from a caller-fixed pool instead of the full
+    # ~9e8 space — lets two differently-seeded payer files share provider
+    # groups (the network-overlap fixtures); None keeps the historical
+    # draw sequence byte-identical for every existing fixture
     return {
         "npi": [rng.randrange(10**9, 10**10) for _ in range(rng.randint(1, 6))],
         "tin": {
             "type": rng.choice(["ein", "npi"]),
-            "value": f"{rng.randrange(10, 99)}-{rng.randrange(10**6, 10**7)}",
+            "value": rng.choice(tin_pool)
+            if tin_pool
+            else f"{rng.randrange(10, 99)}-{rng.randrange(10**6, 10**7)}",
         },
     }
 
 
-def _provider_reference(rng: random.Random, gid: int) -> dict:
+def _provider_reference(rng: random.Random, gid: int, tin_pool=None) -> dict:
     if rng.random() < 0.1:
         return {
             "provider_group_id": gid,
@@ -33,7 +39,9 @@ def _provider_reference(rng: random.Random, gid: int) -> dict:
         }
     return {
         "provider_group_id": gid,
-        "provider_groups": [_provider_group(rng) for _ in range(rng.randint(1, 3))],
+        "provider_groups": [
+            _provider_group(rng, tin_pool) for _ in range(rng.randint(1, 3))
+        ],
     }
 
 
@@ -56,7 +64,9 @@ def _negotiated_price(rng: random.Random) -> dict:
     return p
 
 
-def _negotiated_rate(rng: random.Random, n_provider_refs: int) -> dict:
+def _negotiated_rate(
+    rng: random.Random, n_provider_refs: int, tin_pool=None
+) -> dict:
     r: dict = {}
     if n_provider_refs and rng.random() < 0.5:
         r["provider_references"] = sorted(
@@ -66,7 +76,7 @@ def _negotiated_rate(rng: random.Random, n_provider_refs: int) -> dict:
         )
     else:
         r["provider_groups"] = [
-            _provider_group(rng) for _ in range(rng.randint(1, 2))
+            _provider_group(rng, tin_pool) for _ in range(rng.randint(1, 2))
         ]
     r["negotiated_prices"] = [
         _negotiated_price(rng) for _ in range(rng.randint(1, 3))
@@ -74,7 +84,9 @@ def _negotiated_rate(rng: random.Random, n_provider_refs: int) -> dict:
     return r
 
 
-def _in_network_item(rng: random.Random, i: int, n_provider_refs: int) -> dict:
+def _in_network_item(
+    rng: random.Random, i: int, n_provider_refs: int, tin_pool=None
+) -> dict:
     code = str(10000 + (i * 7919) % 89999)
     return {
         "negotiation_arrangement": "ffs",
@@ -85,7 +97,7 @@ def _in_network_item(rng: random.Random, i: int, n_provider_refs: int) -> dict:
         "description": f"Synthetic description for billing code {code} "
         + "x" * rng.randint(0, 120),
         "negotiated_rates": [
-            _negotiated_rate(rng, n_provider_refs)
+            _negotiated_rate(rng, n_provider_refs, tin_pool)
             for _ in range(rng.randint(1, 4))
         ],
     }
@@ -98,6 +110,7 @@ def write_mrf(
     seed: int = 42,
     indent: bool = True,
     min_element_bytes: int = 0,
+    tin_pool=None,
 ) -> dict:
     """Stream a synthetic MRF JSON document to ``out``; returns summary counts.
 
@@ -135,12 +148,12 @@ def write_mrf(
     for gid in range(1, n_provider_refs + 1):
         if gid > 1:
             out.write(",")
-        out.write(dump(_provider_reference(rng, gid)))
+        out.write(dump(_provider_reference(rng, gid, tin_pool)))
     out.write('],\n"in_network": [')
     for i in range(n_in_network):
         if i:
             out.write(",")
-        out.write(dump(_in_network_item(rng, i, n_provider_refs)))
+        out.write(dump(_in_network_item(rng, i, n_provider_refs, tin_pool)))
     out.write('],\n"version": "1.0.0"\n}\n')
     return {"in_network": n_in_network, "provider_references": n_provider_refs}
 
@@ -152,8 +165,15 @@ def write_mrf_file(
     seed: int = 42,
     indent: bool = True,
     min_element_bytes: int = 0,
+    tin_pool=None,
 ) -> dict:
     with open(path, "w", encoding="utf-8") as f:
         return write_mrf(
-            f, n_in_network, n_provider_refs, seed, indent, min_element_bytes
+            f,
+            n_in_network,
+            n_provider_refs,
+            seed,
+            indent,
+            min_element_bytes,
+            tin_pool,
         )

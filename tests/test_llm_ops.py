@@ -1474,3 +1474,84 @@ def test_block_split_property_roundtrip(spark):
                 assert len(blk.split(" ")) == n
 
     run()
+
+
+def test_mg_candidates_superset_guarantee():
+    # pure-Python check of the Misra-Gries kernel: for any stream split
+    # into batches, every token with global freq > N/(K+1) must be in the
+    # emitted candidate set (the two-pass exactness proof leans entirely
+    # on this superset property)
+    import pandas as pd
+
+    from hls_payer_mrf_sparkstreaming_spark.operators import text_analysis
+
+    orig_k = text_analysis._HH_K
+    text_analysis._HH_K = 8  # tiny K forces real decrements
+    try:
+        docs = (
+            ["hot " * 40 + "cold" + str(i) for i in range(50)]
+            + ["warm " * 10 + "rare" + str(i) for i in range(50)]
+        )
+        batches = [
+            pd.DataFrame({"text": docs[i : i + 7]})
+            for i in range(0, len(docs), 7)
+        ]
+        out = list(text_analysis._mg_candidates(iter(batches)))
+        cands = set(pd.concat(out)["token"]) if out else set()
+        from collections import Counter
+
+        exact = Counter(
+            tok for d in docs for tok in d.split(" ")
+        )
+        n = sum(exact.values())
+        k = text_analysis._HH_K
+        must_survive = {t for t, c in exact.items() if c > n / (k + 1)}
+        assert must_survive, "degenerate fixture"
+        assert must_survive <= cands, (
+            must_survive - cands,
+            sorted(cands)[:20],
+        )
+    finally:
+        text_analysis._HH_K = orig_k
+
+
+def test_span_pairs_planted_shared_run(spark):
+    # two documents sharing an exact 20-token run (and nothing else
+    # repeated) must surface as one pair whose max_span_tokens equals the
+    # planted run length; an unrelated doc must not appear
+    import os
+    import tempfile
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        shared_ngram_span_pairs,
+    )
+
+    shared = " ".join(f"run{i}" for i in range(20))
+    docs = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "omega " + shared + " psi chi phi"),
+        (3, " ".join(f"solo{i}" for i in range(30))),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [i for i, _ in docs], type=pa.int64()
+                    ),
+                    "text": [t for _, t in docs],
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = {
+            (r.doc_a, r.doc_b): r
+            for r in shared_ngram_span_pairs(spark, d).collect()
+        }
+    assert set(rows) == {(1, 2)}, rows
+    assert rows[(1, 2)].max_span_tokens == 20, rows
+    # every anchor of the run matches exactly once: 20 - 8 + 1 anchors
+    assert rows[(1, 2)].n_anchor_matches == 13, rows

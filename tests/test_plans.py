@@ -834,3 +834,72 @@ def test_quantile_merge_is_partial_rows_only(spark):
     p = plan(spark, "incremental_quantile_merge")
     assert p.count("Scan parquet") == 2, p
     assert p.count("HashAggregate") >= 4, p
+
+
+def test_heavy_hitters_recount_is_broadcast_filtered(spark):
+    # pass 2 must broadcast the tiny MG candidate set into the token
+    # stream (BHJ = scan-speed filter) — a shuffle join here would move
+    # the whole vocabulary, exactly what the sketch exists to avoid; the
+    # only Python boundary is the candidate pass itself
+    p = plan(spark, "heavy_hitters_twopass")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # formatted mode prints each node twice (tree + detail): one
+    # MapInPandas node = the candidate pass, and only that
+    assert 1 <= p.count("MapInPandas") <= 2, p
+
+
+def test_span_pairs_join_carries_digests_not_text(spark):
+    # the anchor self-join and the island window must move only
+    # (digest, doc_id, pos) — document text stays at the scan
+    p = plan(spark, "shared_ngram_span_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert ex, p
+    assert all("text" not in b for b in ex), ex
+
+
+def test_activity_streaks_shares_user_partitioning(spark):
+    import re
+
+    # distinct (user, day) shuffles once; the window and BOTH groupBys
+    # then run on user_id partitioning — one more exchange, no third
+    p = plan(spark, "activity_streaks")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_twap_single_user_shuffle(spark):
+    import re
+
+    # lead() window and the final aggregate share one hash partitioning
+    # on user_id: exactly one exchange in the whole plan
+    p = plan(spark, "twap_user_value")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_benford_stays_tiny_after_first_agg(spark):
+    import re
+
+    # the digit groupBy partial-aggregates map-side to <= 9 rows; the
+    # share window then runs over those 9 rows — one exchange for the
+    # aggregate plus the single-partition window exchange, nothing wider
+    p = plan(spark, "benford_digit_test")
+    assert p.count("HashAggregate") >= 2, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_network_overlap_reduces_before_join(spark):
+    # each payer's lineage must collapse to distinct (code, tin) BEFORE
+    # the cross-payer join: the full-outer join's direct children carry
+    # aggregates, not raw price explodes
+    p = plan(spark, "mrf_network_overlap")
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p
