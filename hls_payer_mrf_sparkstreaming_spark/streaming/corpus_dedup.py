@@ -343,3 +343,112 @@ def stream_dedup_corpus_bloom(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental heavy hitters: Misra-Gries summaries as mergeable stream state
+# ---------------------------------------------------------------------------
+# Streaming twin of operators/text_analysis.py heavy_hitters_twopass: each
+# micro-batch appends a BOUNDED Misra-Gries token summary (<= _HH_K rows
+# per batch, whatever the batch's vocabulary), and the heavy-hitter set is
+# computed at read time by merging the summaries (candidate superset) and
+# recounting the candidates exactly over the accumulated corpus. MG
+# summaries merge by per-token addition (Agarwal et al., "Mergeable
+# Summaries"): each batch's total decrement is <= N_b/(K+1), so a token
+# with corpus frequency above N/(K+1) keeps a positive residue in at
+# least one batch summary — the merged state is a provable superset of
+# every true heavy hitter, and the exact recount makes the final output
+# independent of which extra candidates survived. The parity test pins
+# streamed-state output == the batch operator over the union corpus.
+
+
+def stream_token_mg_partials(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Accumulate per-batch Misra-Gries token summaries into ``out_dir``
+    (availableNow; drains then stops). Each batch writes its own
+    ``batch_id=`` directory with overwrite, so a retried micro-batch
+    replaces its summary instead of double-counting it."""
+    from pyspark.sql.window import Window as W
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _HH_K,
+    )
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("c"))
+        )
+        # batched MG trim: subtract the (K+1)-th largest batch count from
+        # every counter, keep the positive ones — <= K rows survive. The
+        # rank window is single-partition over the BATCH vocabulary only
+        # (micro-batches are bounded by maxFilesPerTrigger); the corpus
+        # vocabulary never passes through one partition.
+        ranked = counts.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("c"), "token"))
+        )
+        cut = ranked.filter(F.col("r") == _HH_K + 1).select(
+            F.col("c").alias("cut")
+        )
+        summary = (
+            ranked.filter(F.col("r") <= _HH_K)
+            .crossJoin(F.broadcast(cut.select(
+                F.coalesce(F.first("cut"), F.lit(0)).alias("cut")
+            )))
+            .select(
+                "token",
+                (F.col("c") - F.col("cut")).cast("long").alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        summary.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_from_partials(
+    spark, partials_dir: str, corpus_dir: str
+) -> DataFrame:
+    """Exact corpus heavy hitters from the accumulated MG state: merge the
+    per-batch summaries into the candidate set (16-byte-ish token rows,
+    <= K x batches of them), broadcast it into the corpus token stream,
+    recount exactly and filter on the same support threshold as the batch
+    operator. Merge cost scales with (K x batches), never raw tokens."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _HH_DEN,
+    )
+
+    candidates = (
+        spark.read.parquet(partials_dir).select("token").distinct()
+    )
+    docs = spark.read.parquet(corpus_dir).select("text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * _HH_DEN >= F.col("total"))
+        .select("token", "freq")
+    )

@@ -709,3 +709,60 @@ def test_bloom_dedup_stream_never_misses_members(spark, sf_dir, tmp_path):
     q2.awaitTermination(180)
     assert not q2.isActive
     assert spark.read.parquet(str(out / "docs")).count() == n_docs
+
+
+def test_heavy_hitters_stream_matches_batch(spark, sf_dir, tmp_path):
+    """MG-summary stream state: merged per-batch summaries + exact recount
+    must equal the batch heavy_hitters_twopass over the union corpus (the
+    mergeable-summaries superset guarantee makes the recount exact no
+    matter how the corpus was batched), and the state stays bounded by
+    K rows per batch."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _HH_K,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+        heavy_hitters_from_partials,
+        stream_token_mg_partials,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i in range(3):
+        staged = str(tmp_path / f"stage{i}")
+        docs.filter((F.col("doc_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "mg_partials"
+    q = stream_token_mg_partials(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_hh")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        tuple(r)
+        for r in heavy_hitters_from_partials(
+            spark, str(out), str(in_dir)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in all_queries()["heavy_hitters_twopass"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and want, (len(got), len(want))
+    # bounded state: <= K summary rows per micro-batch
+    partials = spark.read.parquet(str(out))
+    assert partials.count() <= 3 * _HH_K
