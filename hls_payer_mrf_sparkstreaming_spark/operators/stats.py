@@ -1067,3 +1067,79 @@ def benford_digit_test(spark, sf_dir):
         exp_nano.alias("exp_nano"),
         F.abs(obs_nano - exp_nano).cast("long").alias("dev_nano"),
     )
+
+
+@query(
+    "gini_by_segment",
+    oracle="""
+        WITH v AS (
+            SELECT o_orderpriority AS segment,
+                   CAST(round(o_totalprice) AS BIGINT) AS d,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(round(o_totalprice) AS BIGINT),
+                                o_orderkey
+                   ) AS i
+            FROM orders
+        ),
+        s AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS t,
+                   CAST(sum(i * d) AS BIGINT) AS s
+            FROM v GROUP BY segment
+        )
+        SELECT segment, n, t AS total_dollars,
+               CAST(2 * s - (n + 1) * t AS BIGINT) AS gini_num,
+               CAST(n * t AS BIGINT) AS gini_den,
+               CAST(((2 * s - (n + 1) * t) * 1000) // (n * t) AS BIGINT)
+                   AS gini_permille
+        FROM s
+    """,
+    description="Gini concentration of order value per order priority — "
+    "the inequality measure behind 'is revenue concentrated in a few "
+    "orders?', via the rank-sum identity G = (2*sum(i*x_i) "
+    "- (n+1)*sum(x)) / (n*sum(x)) over ascending ranks: one window for "
+    "the rank, one aggregate for the three sufficient statistics, all "
+    "in exact integer dollars (ties rank arbitrarily but contribute "
+    "identically to sum(i*x), so the result is order-independent). "
+    "gini_permille stays inside int64 through sf0.1 (num <= den ~1e15; "
+    "x1000 < 2^63); at larger scales report num/den and divide in "
+    "decimal. Plan: ONE shuffle on segment shared by the rank window "
+    "and the groupBy — the same single-exchange shape as twap",
+)
+def gini_by_segment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = F.round(F.col("o_totalprice")).cast("long")
+    # alias to `segment` BEFORE the window: ranking over the aliased
+    # attribute lets the downstream groupBy("segment") reuse the window's
+    # hash partitioning (ranking over o_orderpriority and grouping over
+    # its alias are different attributes to Catalyst — that costs a
+    # second exchange)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("segment"),
+        d.alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("d", "o_orderkey")
+    v = base.select(
+        "segment", "d", F.row_number().over(w).alias("i")
+    )
+    s = v.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("t"),
+        F.sum(F.col("i") * F.col("d")).cast("long").alias("s"),
+    )
+    num = F.lit(2) * F.col("s") - (F.col("n") + 1) * F.col("t")
+    den = F.col("n") * F.col("t")
+    return s.select(
+        "segment",
+        "n",
+        F.col("t").alias("total_dollars"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        F.expr("((2 * s - (n + 1) * t) * 1000) div (n * t)")
+        .cast("long")
+        .alias("gini_permille"),
+    )

@@ -203,12 +203,16 @@ _DRIVER_PRIORITY = [
     "heavy_hitters_twopass",
     "shared_ngram_span_pairs",
     "mrf_network_overlap",
+    "trend_slope_per_user",
+    "rolling_median_value",
+    "gini_by_segment",
     # newly oracled in r6 (its prior driver rows were no_oracle, not green)
     "mrf_bronze",
     # fill the window to 50 with the r5-verdict round-3-stale list (the
-    # 13 that no longer fit — sample_*, kmeans_train, text_* family,
-    # quality_filter_pipeline, repartition_roundtrip, tfidf_top_terms —
-    # stay covered by the local mini-oracle every suite run)
+    # ones that no longer fit — fuzzy_match_names, dedup_graph_stats,
+    # sample_*, kmeans_train, the text_* family, quality_filter_pipeline,
+    # repartition_roundtrip, tfidf_top_terms — stay covered by the local
+    # mini-oracle every suite run)
     "outer_join_counts",
     "windowed_agg_events",
     "sessionize",
@@ -224,9 +228,9 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # ---- 50-entry driver window ends here ----
     "fuzzy_match_names",
     "dedup_graph_stats",
-    # ---- 50-entry driver window ends here ----
     "sample_stratified",
     "sample_quota_per_stratum",
     "split_train_test",

@@ -1260,3 +1260,123 @@ def twap_user_value(spark, sf_dir):
         .cast("long")
         .alias("twap_cents"),
     )
+
+
+@query(
+    "trend_slope_per_user",
+    oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   (epoch_us(ts)
+                    - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   // 3600000000 AS t
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(c) AS BIGINT) AS sc,
+                   CAST(sum(t * t) AS BIGINT) AS stt,
+                   CAST(sum(t * c) AS BIGINT) AS stc
+            FROM base GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(n * stc - st * sc AS BIGINT) AS slope_num,
+               CAST(n * stt - st * st AS BIGINT) AS slope_den,
+               CAST(CASE WHEN n * stt - st * st = 0 THEN 0 ELSE
+                    ((n * stc - st * sc) // (n * stt - st * st)) * 1000
+                    + (((n * stc - st * sc) % (n * stt - st * st)) * 1000)
+                      // (n * stt - st * st)
+               END AS BIGINT) AS slope_milli
+        FROM s
+    """,
+    description="per-user OLS trend slope of event value over time (the "
+    "feature-engineering staple 'is this user's spend rising?'), in "
+    "EXACT rational arithmetic: time is rebased to hours since the "
+    "user's first event (keeps every sufficient statistic inside int64 "
+    "— t^2 sums overflow at second granularity), the slope is the "
+    "closed-form (n*Stc - St*Sc) / (n*Stt - St^2) kept as an integer "
+    "num/den pair, and the reported milli-slope uses the two-step "
+    "quotient+remainder expansion so no product ever exceeds int64 and "
+    "no float division can round across a floor boundary. Plan: the "
+    "rebasing min() window and the sufficient-statistic aggregate share "
+    "ONE shuffle on user_id; OLS over any event volume reduces to five "
+    "sums per user — the classic map-side-combinable regression",
+)
+def trend_slope_per_user(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        ts_us.alias("ts_us"),
+    ).select(
+        "user_id",
+        "c",
+        F.expr(
+            "(ts_us - min(ts_us) OVER (PARTITION BY user_id))"
+            " div 3600000000"
+        ).alias("t"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("stc"),
+    )
+    num = F.col("n") * F.col("stc") - F.col("st") * F.col("sc")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    return s.select(
+        "user_id",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "((n * stc - st * sc) div (n * stt - st * st)) * 1000"
+                " + (((n * stc - st * sc) % (n * stt - st * st)) * 1000)"
+                "   div (n * stt - st * st)"
+            )
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )
+
+
+@query(
+    "rolling_median_value",
+    oracle="""
+        SELECT event_id, user_id,
+               median(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 8 PRECEDING AND CURRENT ROW
+               ) AS roll_med_cents
+        FROM events
+    """,
+    description="rolling 9-event median of value per user — the robust "
+    "twin of a moving average (one fat-finger event cannot drag it), the "
+    "denoiser behind per-entity anomaly baselines. Median of integer "
+    "cents interpolates to at-worst .5 halves, which doubles represent "
+    "exactly, so Spark's percentile(.., 0.5) over the frame and DuckDB's "
+    "windowed median are bit-identical. Plan: one shuffle on user_id, "
+    "sort within partitions, and the frame holds <= 9 values per row at "
+    "ANY event volume — bounded per-row state, no per-user collect",
+)
+def rolling_median_value(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us, "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)")
+        .over(w)
+        .alias("roll_med_cents"),
+    )

@@ -903,3 +903,33 @@ def test_network_overlap_reduces_before_join(spark):
     p = plan(spark, "mrf_network_overlap")
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_trend_slope_single_user_shuffle(spark):
+    import re
+
+    # the rebasing min() window, the sufficient-statistic aggregate and
+    # the final projection all run on one user_id partitioning
+    p = plan(spark, "trend_slope_per_user")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_rolling_median_single_shuffle_bounded_frame(spark):
+    import re
+
+    # one exchange on user_id; the frame spec must be the bounded
+    # 9-row window, not an unbounded running aggregate
+    p = plan(spark, "rolling_median_value")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # formatted mode prints the frame as specifiedwindowframe(RowFrame,
+    # -8, currentrow$())
+    assert "RowFrame, -8" in p, p
+
+
+def test_gini_single_segment_shuffle(spark):
+    import re
+
+    # rank window and three-sum aggregate share one segment shuffle
+    p = plan(spark, "gini_by_segment")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
