@@ -19,6 +19,12 @@ Prints ONE JSON line. Not part of the per-round bench: generation plus
 ingest is minutes of wall clock by design. Run manually:
 
     python bench_pipeline.py [--files 16] [--items 60000]
+
+Disk budget: the silver CTAS sorts spill roughly 4-5x the corpus size to
+local disk on top of the corpus and the written tables — a 17 GB
+/ 128-file corpus needs ~90 GB free or the spill dies with
+SPILL_OUT_OF_MEMORY/No-space-left (observed on this machine's ~94 GB
+effective volume; 64 files / 8.9 GB is the largest point that fits).
 """
 
 from __future__ import annotations

@@ -227,8 +227,8 @@ _DRIVER_PRIORITY = [
     "dedup_survivors",
     "ngram_jaccard_pairs",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # ---- 50-entry driver window ends here ----
+    "dedup_simhash",
     "fuzzy_match_names",
     "dedup_graph_stats",
     "sample_stratified",

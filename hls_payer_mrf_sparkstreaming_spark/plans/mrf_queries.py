@@ -622,9 +622,17 @@ _OVL_SEED_B = 13
 
 
 def fixture_ovl_path(seed: int) -> str:
+    import hashlib
+
     d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
     os.makedirs(d, exist_ok=True)
-    p = os.path.join(d, f"mrf_ovl_n{_N_ITEMS}_s{seed}.json")
+    # the filename fingerprints every generation parameter (the big
+    # fixture encodes m{bytes} the same way): editing _OVL_TIN_POOL later
+    # must regenerate, not silently reuse a stale per-machine file
+    pool_fp = hashlib.md5("|".join(_OVL_TIN_POOL).encode()).hexdigest()[:8]
+    p = os.path.join(
+        d, f"mrf_ovl_n{_N_ITEMS}_s{seed}_r40_p{pool_fp}.json"
+    )
     if not os.path.exists(p):
         write_mrf_file(
             p,

@@ -387,6 +387,10 @@ def stream_token_mg_partials(
             .groupBy("token")
             .agg(F.count("*").alias("c"))
         )
+        # both the summary branch and the broadcast cut branch consume
+        # counts: without persist each branch re-tokenizes and
+        # re-aggregates the micro-batch — the most expensive stage, twice
+        counts = counts.persist()
         # batched MG trim: subtract the (K+1)-th largest batch count from
         # every counter, keep the positive ones — <= K rows survive. The
         # rank window is single-partition over the BATCH vocabulary only
@@ -412,6 +416,7 @@ def stream_token_mg_partials(
         summary.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
+        counts.unpersist()
 
     return (
         spark.readStream.schema(schema)
