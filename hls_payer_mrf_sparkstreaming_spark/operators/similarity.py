@@ -1264,3 +1264,106 @@ def embedding_truncate_recall(spark, sf_dir):
             ),
         )
     )
+
+
+_LND_MOD = 20  # audit sample: every 20th vector (deterministic 5%)
+_LND_K = 5
+
+
+@query(
+    "knn_label_disagreement",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, {_EMB_D} AS ev FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS p_id, label AS p_label, ev AS pv FROM e
+            WHERE vec_id % {_LND_MOD} = 0
+        ),
+        scored AS (
+            SELECT p.p_id, p.p_label, e.vec_id, e.label,
+                   round({V.cosine_sql('e.ev', 'p.pv')}, 6) AS sim
+            FROM e CROSS JOIN probes p WHERE e.vec_id <> p.p_id
+        ),
+        top AS (
+            SELECT p_id, p_label, label FROM (
+                SELECT p_id, p_label, label, sim,
+                       row_number() OVER (
+                           PARTITION BY p_id ORDER BY sim DESC, vec_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn <= {_LND_K}
+        ),
+        voted AS (
+            SELECT p_id, p_label, label AS knn_label,
+                   CAST(count(*) AS BIGINT) AS n_votes,
+                   row_number() OVER (
+                       PARTITION BY p_id
+                       ORDER BY count(*) DESC, label
+                   ) AS rn
+            FROM top GROUP BY p_id, p_label, label
+        )
+        SELECT p_id AS vec_id, p_label AS own_label, knn_label, n_votes,
+               CAST(CASE WHEN knn_label = p_label THEN 1 ELSE 0 END
+                    AS BIGINT) AS agree
+        FROM voted WHERE rn = 1
+    """,
+    description="label-noise audit via k-NN disagreement (the confident-"
+    "learning screen: a point whose neighbors vote for a different label "
+    f"is a mislabeling candidate): every {_LND_MOD}th vector is audited "
+    f"against its {_LND_K} nearest OTHER vectors by cosine; majority "
+    "label with (votes desc, label) tie-break, plus an agree flag. "
+    "Plan: the probe set is a deterministic 1/"
+    f"{_LND_MOD} sample, broadcast whole — the corpus scans ONCE and "
+    "never shuffles for scoring; per-probe state is bounded by the "
+    "corpus stream x top-k window, and the vote is a second window over "
+    f"<= {_LND_K} rows. The audit-a-sample shape is the honest 100 TB "
+    "form of this operator: full-corpus all-pairs disagreement is "
+    "O(n^2) no matter the engine, so production label-noise screens "
+    "audit a rotating sample exactly like this",
+)
+def knn_label_disagreement(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    probes = emb.filter(F.col("vec_id") % _LND_MOD == 0).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("ev").alias("pv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "p_label",
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("ev"), F.col("pv")), 6).alias("sim"),
+        )
+    )
+    wtop = Window.partitionBy("p_id").orderBy(F.col("sim").desc(), "vec_id")
+    top = scored.withColumn("rn", F.row_number().over(wtop)).filter(
+        F.col("rn") <= _LND_K
+    )
+    wpick = Window.partitionBy("p_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        top.groupBy("p_id", "p_label", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_id").alias("vec_id"),
+            F.col("p_label").alias("own_label"),
+            F.col("label").alias("knn_label"),
+            "n_votes",
+            F.when(F.col("label") == F.col("p_label"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("agree"),
+        )
+    )
