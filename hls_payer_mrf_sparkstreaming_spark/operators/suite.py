@@ -164,70 +164,18 @@ def _parse_bytes_conf(v: str) -> int:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # round-6 window. Never-driver-checked entries outrank everything
+    # round-7 window. Never-driver-checked entries outrank everything
     # (test_driver_priority_names_exist_and_new_ops_in_window enforces
-    # they sit inside the first 50); then mrf_bronze (previous rows were
-    # no_oracle, not green); the rest of the window backfills with the
-    # r5-verdict list of operators whose last green driver row is round 3.
-    # new in round 6 — never driver-checked
-    "text_bigram_logprob",
-    "column_entropy",
-    "quantile_normalize_scores",
-    "vocab_coverage_curve",
-    "dedup_normalized_exact",
-    "mrf_rate_percentiles",
-    "pq_adc_topk",
-    "interpolate_missing",
-    "token_entropy_per_doc",
-    "pq_recall_eval",
-    "target_encoding_loo",
-    "copurchase_pairs",
-    "incremental_agg_merge",
-    "session_path_topk",
-    "dedup_cluster_survivors",
-    "doc_oov_rate",
-    "line_dedup_rewrite",
-    "dedup_prefix_pairs",
-    "mrf_rate_spread",
-    "ann_filtered_topk",
-    "incremental_quantile_merge",
-    "stratified_kfold",
-    "winsorize_clip",
-    "ann_multiprobe_lsh",
-    "embedding_truncate_recall",
-    "mrf_payer_compare",
-    # added later in round 6 — also never driver-checked
-    "activity_streaks",
-    "twap_user_value",
-    "benford_digit_test",
-    "heavy_hitters_twopass",
-    "shared_ngram_span_pairs",
-    "mrf_network_overlap",
-    "trend_slope_per_user",
-    "rolling_median_value",
-    "gini_by_segment",
-    # newly oracled in r6 (its prior driver rows were no_oracle, not green)
-    "mrf_bronze",
-    # fill the window to 50 with the r5-verdict round-3-stale list (the
-    # ones that no longer fit — fuzzy_match_names, dedup_graph_stats,
-    # sample_*, kmeans_train, the text_* family, quality_filter_pipeline,
-    # repartition_roundtrip, tfidf_top_terms — stay covered by the local
-    # mini-oracle every suite run)
-    "outer_join_counts",
-    "windowed_agg_events",
-    "sessionize",
-    "distinct_agg",
-    "percentile_summary",
-    "pivot_counts",
-    "asof_join",
-    "range_join",
-    "attribution_join",
-    "scd2_intervals",
-    "dedup_exact",
-    "dedup_survivors",
-    "ngram_jaccard_pairs",
-    "dedup_minhash_lsh",
-    # ---- 50-entry driver window ends here ----
+    # they sit inside the first 50). knn_label_disagreement landed after
+    # the r6 window froze and is the one registry entry the driver has
+    # never seen; new round-7 operators are prepended here as they land;
+    # then the 16 operators whose last green driver row is round 3
+    # (r6-verdict rotation list); the window backfills with the oldest
+    # r4-green rows.
+    # never driver-checked (added post-window in round 6)
+    "knn_label_disagreement",
+    # (new round-7 operators are prepended here as they land)
+    # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",
     "dedup_graph_stats",
@@ -236,22 +184,53 @@ _DRIVER_PRIORITY = [
     "split_train_test",
     "kmeans_train",
     "text_token_count",
-    "quality_filter_pipeline",
-    "repartition_roundtrip",
-    "tfidf_top_terms",
     "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",
+    "tfidf_top_terms",
+    "quality_filter_pipeline",
+    "repartition_roundtrip",
+    # backfill to 50 with the oldest r4-green rows (never re-checked
+    # since round 4)
     "mrf_bronze_elements",
     "mrf_silver_prices",
     "mrf_silver_providers",
     "mrf_variant_codes",
     "mrf_gold_shoppable",
-    "dedup_cluster",
     "dedup_containment",
     "graph_triangles",
+    "filter_eq",
+    "project_substr",
+    "anomaly_mad",
+    "profile_columns",
+    "corr_stats",
+    "drift_ks",
+    "histogram_prices",
+    "approx_distinct_users",
+    "bm25_search",
+    "cdc_apply_changelog",
+    "approx_percentile_summary",
+    "class_weights",
+    # ---- 50-entry driver window ends here ----
+    # r5 greens (next rotation candidates)
+    "surrogate_keys",
+    "explode_tokens",
+    "nested_extract",
+    "cross_join",
+    "param_filter",
+    "limit_topk",
+    "array_index",
+    "rollup_counts",
+    "semi_anti_join",
+    "star_join_revenue",
+    "semantic_dedup",
+    "minhash_error_eval",
+    "bloom_prefilter",
+    "graph_pagerank",
+    "pca_power_iteration",
+    "dedup_cluster",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
