@@ -1503,28 +1503,37 @@ def _mg_candidates(batches):
     """Bounded-memory Misra-Gries sketch over a partition's token stream.
 
     Consumes the partition's Arrow batches one at a time (never the whole
-    partition), folds each batch's token counts into a dict capped at
-    _HH_K keys using the batched-decrement rule from Agarwal et al.,
-    "Mergeable Summaries" (PODS 2012): when the dict exceeds K keys,
-    subtract the (K+1)-th largest count from every counter and drop the
-    non-positive ones — each decrement hits >= K+1 counters at once, so
-    any key's total undercount is <= N_p/(K+1).
+    partition), folds each batch's token counts into a dict trimmed back
+    to _HH_K keys WHILE folding — the moment the dict exceeds 2*_HH_K it
+    applies the batched-decrement rule from Agarwal et al., "Mergeable
+    Summaries" (PODS 2012): subtract the (K+1)-th largest count from
+    every counter and drop the non-positive ones. Each decrement removes
+    >= (K+1)*cut of total count mass, and only N_p mass ever enters, so
+    the sum of cuts — any key's total undercount — is <= N_p/(K+1)
+    regardless of how often the trim fires. Peak state is therefore
+    2*_HH_K counters plus ONE Arrow batch's value_counts (Arrow batches
+    are bounded by spark.sql.execution.arrow.maxRecordsPerBatch), never
+    the partition's vocabulary.
     """
     import pandas as pd
 
     counts: dict = {}
+
+    def trim():
+        # (K+1)-th largest count; everything <= it gets zeroed
+        cut = sorted(counts.values(), reverse=True)[_HH_K]
+        return {t: c - cut for t, c in counts.items() if c > cut}
+
     for pdf in batches:
         batch = (
             pdf["text"].str.split(" ").explode().value_counts()
         )
         for tok, n in batch.items():
             counts[tok] = counts.get(tok, 0) + int(n)
-        if len(counts) > _HH_K:
-            # (K+1)-th largest count; everything <= it gets zeroed
-            cut = sorted(counts.values(), reverse=True)[_HH_K]
-            counts = {
-                t: c - cut for t, c in counts.items() if c > cut
-            }
+            if len(counts) > 2 * _HH_K:
+                counts = trim()
+    if len(counts) > _HH_K:
+        counts = trim()
     if counts:
         yield pd.DataFrame({"token": list(counts.keys())})
 
@@ -1545,8 +1554,9 @@ def _mg_candidates(batches):
     description="exact corpus-level heavy hitters (tokens with >= 1/"
     f"{_HH_DEN} of all token mass) via the canonical two-pass sketch: "
     "pass 1 runs a bounded-memory Misra-Gries summary per partition "
-    f"({_HH_K} counters, mapInPandas over Arrow batches — state never "
-    "exceeds ~40 KB no matter how large the vocabulary) whose union is "
+    f"(trimmed in-fold to {_HH_K} counters; peak state is 2K counters "
+    "plus one Arrow batch's distinct tokens, never the vocabulary) "
+    "whose union is "
     "provably a superset of the true answer; pass 2 broadcast-joins the "
     "tiny candidate set back onto the token stream and recounts exactly, "
     "filtering on the support threshold in pure integers. At 100 TB with "

@@ -13,25 +13,50 @@ Per micro-batch (all digest-width shuffles — text never shuffles):
 2. within-batch survivorship: keep the min-id row per fp (one window over
    the batch, partitioned by fp);
 3. cross-batch: left-anti join the batch against the accumulated fp store;
-4. append survivors to ``out/docs`` and their fps to ``out/fps``.
+4. write survivors to ``out/docs/batch_id=<ck>_N`` and their fps to
+   ``out/fps/batch_id=<ck>_N`` — each with OVERWRITE into the
+   micro-batch's own hive-partition directory (keyed by checkpoint
+   digest + batch id, see ``_batch_dir``), so a retried or restarted
+   micro-batch of the SAME query REPLACES its outputs instead of
+   appending them twice, while a rerun against a fresh checkpoint writes
+   disjoint directories. Exactly-once on plain parquet, no transactional
+   store needed; readers of ``out/docs`` just see an extra ``batch_id``
+   lineage column.
 
 Scale notes. The store side of the anti-join carries 16-byte digests, not
 text, and Spark hash-partitions both sides on fp — at 100 TB you would
 bucket ``out/fps`` by fp (functions/bucketing.py) so the anti-join stops
-shuffling the store, and use a transactional table (Delta MERGE) instead
-of parquet appends for exactly-once batch retries; with plain parquet a
-retried partially-written batch is at-least-once. The semantics here are
-arrival-order-dependent by design (first arrival wins) — tests/\
-test_streaming_ops.py pins delivery order and proves streamed survivors
-== the batch min-id dedup of the same corpus.
+shuffling the store. The semantics here are arrival-order-dependent by
+design (first arrival wins) — tests/test_streaming_ops.py pins delivery
+order and proves streamed survivors == the batch min-id dedup of the same
+corpus.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _batch_dir(out_dir: str, checkpoint_dir: str, batch_id: int) -> str:
+    """Per-micro-batch output directory, namespaced by checkpoint lineage.
+
+    ``batch_id`` is only unique WITHIN one checkpoint lineage: a rerun of
+    the same input against a fresh checkpoint restarts at 0, and a bare
+    ``batch_id=0`` overwrite would clobber the first run's output. Keying
+    the partition value by a digest of the checkpoint path makes the
+    overwrite idempotent exactly where Structured Streaming's own
+    exactly-once contract applies (retries and restarts of the SAME
+    query/checkpoint) while a different checkpoint writes disjoint
+    directories and can never destroy earlier output.
+    """
+    tok = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+    return os.path.join(out_dir, f"batch_id={tok}_{batch_id}")
 
 
 def dedup_corpus_batch(
@@ -90,10 +115,18 @@ def stream_dedup_corpus(
             # read failure must propagate and fail the batch — swallowing
             # it would re-admit every previously accepted document
             pass
-        # two actions on the (small) survivor set: materialize once
+        # two actions on the (small) survivor set: materialize once.
+        # Per-batch OVERWRITE directories (batch_id is stable across
+        # foreachBatch retries) make a retried batch replace rather than
+        # re-append — a failure between the two writes is repaired, not
+        # duplicated, on retry.
         fresh = fresh.persist()
-        fresh.drop("fp").write.mode("append").parquet(docs_dir)
-        fresh.select("fp").write.mode("append").parquet(fps_dir)
+        fresh.drop("fp").write.mode("overwrite").parquet(
+            _batch_dir(docs_dir, checkpoint_dir, batch_id)
+        )
+        fresh.select("fp").write.mode("overwrite").parquet(
+            _batch_dir(fps_dir, checkpoint_dir, batch_id)
+        )
         fresh.unpersist()
 
     return (
@@ -146,9 +179,9 @@ def split_doc_blocks(
 def _reassemble(blocks: DataFrame, id_col: str) -> DataFrame:
     """Per-document rewrite from flagged blocks: surviving blocks (keep)
     re-concatenated in position order. Documents retaining ZERO blocks are
-    dropped entirely (survivor semantics, like stream_dedup_corpus) —
-    which also makes a fully-retried micro-batch a no-op on the docs sink:
-    every fingerprint is already in the store, so nothing reassembles."""
+    dropped entirely (survivor semantics, like stream_dedup_corpus).
+    Retry safety comes from the per-batch overwrite directories in the
+    callers, not from this function."""
     from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
         clean_text_col,
     )
@@ -223,8 +256,15 @@ def stream_line_dedup(
         b = b.withColumn(
             "keep", F.col("_first") & F.col("_seen").isNull()
         ).persist()
-        _reassemble(b, id_col).write.mode("append").parquet(docs_dir)
-        b.filter("keep").select("fp").write.mode("append").parquet(fps_dir)
+        # per-batch OVERWRITE directories: a retried micro-batch replaces
+        # both its docs and its fp shard, so a failure between the two
+        # writes cannot double-append rewritten documents on retry
+        _reassemble(b, id_col).write.mode("overwrite").parquet(
+            _batch_dir(docs_dir, checkpoint_dir, batch_id)
+        )
+        b.filter("keep").select("fp").write.mode("overwrite").parquet(
+            _batch_dir(fps_dir, checkpoint_dir, batch_id)
+        )
         b.unpersist()
 
     return (
@@ -246,9 +286,9 @@ def stream_line_dedup(
 # bounded by the bitmap size forever, at the cost of a quantified
 # false-positive rate (a genuinely new document may be wrongly dropped; a
 # true duplicate can NEVER slip through). State layout: (word, m) bit-mask
-# partials appended per batch — bit_or at read time reconstructs the
-# bitmap, and because OR is idempotent a retried batch's duplicate rows
-# change nothing (append-only exactly-once without a transactional store).
+# partials, one batch_id=N overwrite directory per batch — bit_or at read
+# time reconstructs the bitmap; overwrite (plus OR-idempotence) makes a
+# retried batch exactly-once without a transactional store.
 # The hash family is the same cross-engine md5-60 / universal-hash pair
 # the batch bloom_prefilter operator proves bit-for-bit against DuckDB.
 
@@ -316,7 +356,12 @@ def stream_dedup_corpus_bloom(
             # it would accept true duplicates AND whitelist them forever
             fresh = first
         fresh = fresh.persist()
-        fresh.drop("base").write.mode("append").parquet(docs_dir)
+        # per-batch OVERWRITE directory — retry replaces, never re-appends
+        # (the bitmap partial below is bit_or-idempotent anyway, but the
+        # docs sink needs the same guarantee)
+        fresh.drop("base").write.mode("overwrite").parquet(
+            _batch_dir(docs_dir, checkpoint_dir, batch_id)
+        )
         # bitmap partial for the ACCEPTED docs only (bit_or-idempotent)
         partial = None
         for a, b in _BLOOM_AB:
@@ -329,8 +374,8 @@ def stream_dedup_corpus_bloom(
             )
             .groupBy("word")
             .agg(F.expr("bit_or(m)").alias("m"))
-            .write.mode("append")
-            .parquet(bloom_dir)
+            .write.mode("overwrite")
+            .parquet(_batch_dir(bloom_dir, checkpoint_dir, batch_id))
         )
         fresh.unpersist()
 
@@ -371,8 +416,10 @@ def stream_token_mg_partials(
 ):
     """Accumulate per-batch Misra-Gries token summaries into ``out_dir``
     (availableNow; drains then stops). Each batch writes its own
-    ``batch_id=`` directory with overwrite, so a retried micro-batch
-    replaces its summary instead of double-counting it."""
+    checkpoint-namespaced ``batch_id=`` directory with overwrite
+    (``_batch_dir``), so a retried micro-batch replaces its summary
+    instead of double-counting it and a fresh-checkpoint rerun cannot
+    clobber an earlier run's partials."""
     from pyspark.sql.window import Window as W
 
     from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
@@ -414,7 +461,7 @@ def stream_token_mg_partials(
             .filter(F.col("n") > 0)
         )
         summary.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
+            _batch_dir(out_dir, checkpoint_dir, batch_id)
         )
         counts.unpersist()
 

@@ -296,16 +296,22 @@ def stream_quantile_partials(
     schema = spark.read.parquet(input_dir).schema
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        # one partition directory PER BATCH, written with overwrite: a
-        # retried micro-batch replaces its own partial instead of
-        # double-counting it (bin-count addition is not idempotent, so a
-        # plain append would permanently skew the merged quantiles)
+        # one checkpoint-namespaced partition directory PER BATCH, written
+        # with overwrite: a retried micro-batch replaces its own partial
+        # instead of double-counting it (bin-count addition is not
+        # idempotent, so a plain append would permanently skew the merged
+        # quantiles), and a fresh-checkpoint rerun writes disjoint
+        # directories instead of clobbering the first run's partials
+        from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+            _batch_dir,
+        )
+
         (
             batch.select("event_type", qm_bin(F.col("value")).alias("b"))
             .groupBy("event_type", "b")
             .agg(F.count("*").cast("long").alias("n"))
             .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+            .parquet(_batch_dir(out_dir, checkpoint_dir, batch_id))
         )
 
     return (
