@@ -656,26 +656,51 @@ def distinct_agg(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
     """,
     description="exact discrete percentiles (median / p95) per group — "
-    "percentile_disc picks actual input values (no interpolation), computed "
-    "on integer cents so Spark and the oracle agree bit-for-bit; "
-    "single-shuffle sort-based aggregate",
+    "percentile_disc semantics (smallest value whose cumulative relative "
+    "frequency reaches p, no interpolation) computed on integer cents so "
+    "Spark and the oracle agree bit-for-bit. Plan: the fact compresses to "
+    "a (group, cents) histogram with a map-side partial count FIRST, so "
+    "the shuffle and the one ordered window carry distinct values + "
+    "counts, never raw rows — unlike percentile_disc's ObjectHashAggregate "
+    "buffer, which holds every group value in memory, this survives "
+    "groups with billions of rows; both percentiles come from the same "
+    "cumulative sum in exact integer arithmetic (cum*2 >= n, "
+    "cum*100 >= 95*n)",
 )
 def percentile_summary(spark, sf_dir):
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem").withColumn(
         "price_cents", _cents(F.col("l_extendedprice"))
     )
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_items"),
+    hist = li.groupBy("l_returnflag", "price_cents").agg(
+        F.count("*").alias("c"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("l_returnflag")
+    h = hist.withColumn("cum", F.sum("c").over(run)).withColumn(
+        "n", F.sum("c").over(whole)
+    )
+    return h.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_items"),
         (
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price_cents)")
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("price_cents")))
             / 100.0
         ).alias("median_price"),
         (
-            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price_cents)")
+            F.min(
+                F.when(F.col("cum") * 100 >= 95 * F.col("n"), F.col("price_cents"))
+            )
             / 100.0
         ).alias("p95_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
     )
 
 
