@@ -183,6 +183,31 @@ def test_operator_catalog_is_current():
         )
 
 
+def test_readme_operator_index_is_current():
+    # the README family-grouped index is generated from the registry (and
+    # bench_details.json medians); fail if an operator lands without it
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.docs import (
+        _INDEX_BEGIN,
+        _INDEX_END,
+        render_readme_index,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "README.md")) as f:
+        readme = f.read()
+    got = readme.split(_INDEX_BEGIN, 1)[1].split(_INDEX_END, 1)[0]
+    want = render_readme_index(
+        bench_path=os.path.join(root, "bench_details.json")
+    )
+    want = want.split(_INDEX_BEGIN, 1)[1].split(_INDEX_END, 1)[0]
+    assert got == want, (
+        "README operator index is stale — regenerate with "
+        "`python -m hls_payer_mrf_sparkstreaming_spark.docs`"
+    )
+
+
 def test_rank_fusion_topk_not_global_sort(spark):
     # both rankers must reduce via TakeOrderedAndProject; a global Sort
     # before the fusion join means the corpus is sorted at scale
