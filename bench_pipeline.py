@@ -84,6 +84,18 @@ def main() -> None:
     ap.add_argument(
         "--dir", default="/tmp/payer_mrf_bench/pipeline_corpus"
     )
+    ap.add_argument(
+        "--stage",
+        choices=["silver", "bronze"],
+        default="silver",
+        help=(
+            "silver = full bronze->silver CTAS (spills ~4-5x corpus to "
+            "disk; 64 files is this machine's ceiling). bronze = "
+            "discovery + splitter + bronze parquet write only — the "
+            "stage the reference's 5-7 GB/min figure measures — no "
+            "sort spill, so 128+ files / 16+ GB fits."
+        ),
+    )
     a = ap.parse_args()
 
     t0 = time.time()
@@ -97,6 +109,41 @@ def main() -> None:
     from hls_payer_mrf_sparkstreaming_spark.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]")
+
+    if a.stage == "bronze":
+        import shutil
+
+        from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+            read_payer_mrf,
+        )
+
+        out = a.dir.rstrip("/") + "_bronze_parquet"
+        shutil.rmtree(out, ignore_errors=True)
+        t1 = time.time()
+        read_payer_mrf(spark, a.dir, includeoffsets="true").write.parquet(
+            out
+        )
+        bronze_sec = time.time() - t1
+        n = spark.read.parquet(out).count()
+        assert n > 0
+        print(
+            json.dumps(
+                {
+                    "metric": "bronze_ingest_gb_per_min",
+                    "value": round(gb / bronze_sec * 60, 2),
+                    "unit": "GB/min",
+                    "input_gb": round(gb, 2),
+                    "files": a.files,
+                    "gen_sec": round(gen_sec, 1),
+                    "bronze_sec": round(bronze_sec, 1),
+                    "bronze_rows": n,
+                    "cpus": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     db = "mrf_scale_proof"
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     # the default in-memory catalog forgets tables across sessions but the

@@ -1143,3 +1143,313 @@ def gini_by_segment(spark, sf_dir):
         .cast("long")
         .alias("gini_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical association: chi-squared independence + Cramér's V
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        rr AS (
+            SELECT lang, CAST(sum(o) AS BIGINT) AS r
+            FROM cells GROUP BY lang
+        ),
+        cc AS (
+            SELECT source, CAST(sum(o) AS BIGINT) AS c
+            FROM cells GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        dims AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM rr) AS nr,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cc) AS nc
+        ),
+        terms AS (
+            SELECT CAST(floor(
+                       (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                       * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                       / (CAST(n AS DOUBLE) * r * c) * {_NANO}
+                   ) AS BIGINT) AS term_nano
+            FROM cells
+            JOIN rr USING (lang) JOIN cc USING (source) CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT CAST(sum(term_nano) AS BIGINT) AS chi2_nano FROM terms
+        )
+        SELECT n,
+               (nr - 1) * (nc - 1) AS dof,
+               chi2_nano,
+               CAST(floor(sqrt(
+                   CAST(chi2_nano AS DOUBLE) / {_NANO}
+                   / (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))
+               ) * {_NANO}) AS BIGINT) AS cramers_v_nano
+        FROM agg CROSS JOIN tot CROSS JOIN dims
+    """,
+    description="Chi-squared test of independence between two categorical "
+    "columns (documents.lang x documents.source) plus Cramér's V effect "
+    "size. Observed/expected counts come from exact integer group-bys; "
+    "each cell's (o*n - r*c)^2/(n*r*c) contribution is floored to nano "
+    "units BEFORE the final sum, so the aggregate is an order-insensitive "
+    "long sum — parallel reduction order cannot shift the statistic. "
+    "Plan: one partial-agg shuffle over the (lang, source) contingency "
+    "cells, then broadcast joins of the tiny marginal tables back onto "
+    "them; raw rows are touched exactly once regardless of scale",
+)
+def chi_square_independence(spark, sf_dir):
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rr = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cc = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = rr.agg(F.count("*").cast("long").alias("nr")).crossJoin(
+        cc.agg(F.count("*").cast("long").alias("nc"))
+    )
+    terms = (
+        cells.join(F.broadcast(rr), "lang")
+        .join(F.broadcast(cc), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("o").cast("double") * F.col("n")
+                 - F.col("r").cast("double") * F.col("c"))
+                * (F.col("o").cast("double") * F.col("n")
+                   - F.col("r").cast("double") * F.col("c"))
+                / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+                * _NANO
+            )
+            .cast("long")
+            .alias("term_nano")
+        )
+    )
+    agg = terms.agg(F.sum("term_nano").cast("long").alias("chi2_nano"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            "chi2_nano",
+            F.floor(
+                F.sqrt(
+                    F.col("chi2_nano").cast("double") / _NANO
+                    / (F.col("n").cast("double")
+                       * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                )
+                * _NANO
+            )
+            .cast("long")
+            .alias("cramers_v_nano"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-test from deterministic hash assignment
+# ---------------------------------------------------------------------------
+
+# the z-statistic as ONE expression over four exact longs — the identical
+# text is parsed by both Spark SQL and DuckDB, so the double arithmetic
+# (and its floor) is bit-identical
+_ZTEST_EXPR = f"""CASE
+    WHEN n_a = 0 OR n_b = 0
+         OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+    THEN NULL
+    ELSE CAST(floor(
+        (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        / sqrt(
+            (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 / n_a + 1.0 / n_b)
+        ) * {_NANO}) AS BIGINT)
+    END"""
+
+
+@query(
+    "ab_test_ztest",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id % 2 AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_a,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_b
+            FROM u
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CASE WHEN n_a = 0 THEN NULL ELSE
+                   CAST(floor(CAST(conv_a AS DOUBLE) / n_a * {_NANO})
+                        AS BIGINT) END AS p_a_nano,
+               CASE WHEN n_b = 0 THEN NULL ELSE
+                   CAST(floor(CAST(conv_b AS DOUBLE) / n_b * {_NANO})
+                        AS BIGINT) END AS p_b_nano,
+               {_ZTEST_EXPR} AS z_nano
+        FROM a
+    """,
+    description="Two-proportion z-test between deterministic experiment "
+    "arms (user_id parity) on purchase conversion. Per-user conversion is "
+    "a max-flag aggregate (one shuffle on user_id, map-side combinable); "
+    "arm totals collapse to FOUR exact longs, and the z statistic is one "
+    "shared expression over them — the same text DuckDB parses, so even "
+    "the floating-point step hash-matches. The per-user shuffle is the "
+    "only data-sized stage at any scale",
+)
+def ab_test_ztest(spark, sf_dir):
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 2).alias("arm"), "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return a.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(
+            f"CASE WHEN n_a = 0 THEN NULL ELSE "
+            f"CAST(floor(CAST(conv_a AS DOUBLE) / n_a * {_NANO}) "
+            f"AS BIGINT) END"
+        ).alias("p_a_nano"),
+        F.expr(
+            f"CASE WHEN n_b = 0 THEN NULL ELSE "
+            f"CAST(floor(CAST(conv_b AS DOUBLE) / n_b * {_NANO}) "
+            f"AS BIGINT) END"
+        ).alias("p_b_nano"),
+        F.expr(_ZTEST_EXPR).alias("z_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group multiple regression: 2 features + intercept via normal equations
+# ---------------------------------------------------------------------------
+
+
+def _det3(m: list[str]) -> str:
+    """Expansion-by-first-row determinant of a 3x3 of column names, every
+    entry promoted to DOUBLE — one fixed expression tree, identical text
+    for Spark SQL and DuckDB."""
+    c = [f"CAST({x} AS DOUBLE)" for x in m]
+    return (
+        f"({c[0]} * ({c[4]} * {c[8]} - {c[5]} * {c[7]})"
+        f" - {c[1]} * ({c[3]} * {c[8]} - {c[5]} * {c[6]})"
+        f" + {c[2]} * ({c[3]} * {c[7]} - {c[4]} * {c[6]}))"
+    )
+
+
+# A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], v = [sy,s1y,s2y]; Cramer's rule
+_OLS_DET = _det3(["n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22"])
+_OLS_D0 = _det3(["sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22"])
+_OLS_D1 = _det3(["n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22"])
+_OLS_D2 = _det3(["n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"])
+
+
+@query(
+    "ols_two_feature",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS y,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS x1,
+                   (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS x2
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1,
+                   CAST(sum(x2) AS BIGINT) AS s2,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                   CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                   CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                   CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                   CAST(sum(x2 * y) AS BIGINT) AS s2y
+            FROM e GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(floor({_OLS_D0} / {_OLS_DET} * {_NANO}) AS BIGINT)
+                   AS b0_nano,
+               CAST(floor({_OLS_D1} / {_OLS_DET} * {_NANO}) AS BIGINT)
+                   AS b1_nano,
+               CAST(floor({_OLS_D2} / {_OLS_DET} * {_NANO}) AS BIGINT)
+                   AS b2_nano
+        FROM m
+    """,
+    description="Per-group multiple linear regression (cents ~ numeric "
+    "prop + hour-of-day + intercept) solved in closed form: nine exact "
+    "integer moments per group from ONE map-side-combinable groupBy, then "
+    "Cramér's-rule 3x3 determinants as a fixed double expression shared "
+    "textually with the oracle. No iteration, no driver-side math, no "
+    "matrix library — the entire fit is a single aggregate at any scale. "
+    "At 100 TB the moments would widen to DECIMAL(38,0); the plan (one "
+    "partial agg, 10 longs per group) is unchanged",
+)
+def ols_two_feature(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("x1"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
+        ).alias("x2"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"CAST(floor({_OLS_D0} / {_OLS_DET} * {_NANO}) AS BIGINT)"
+        ).alias("b0_nano"),
+        F.expr(
+            f"CAST(floor({_OLS_D1} / {_OLS_DET} * {_NANO}) AS BIGINT)"
+        ).alias("b1_nano"),
+        F.expr(
+            f"CAST(floor({_OLS_D2} / {_OLS_DET} * {_NANO}) AS BIGINT)"
+        ).alias("b2_nano"),
+    )

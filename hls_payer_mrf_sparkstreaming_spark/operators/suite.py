@@ -174,7 +174,14 @@ _DRIVER_PRIORITY = [
     # r4-green rows.
     # never driver-checked (added post-window in round 6)
     "knn_label_disagreement",
-    # (new round-7 operators are prepended here as they land)
+    # never driver-checked (new in round 7)
+    "simhash_hamming_pairs",
+    "chi_square_independence",
+    "ab_test_ztest",
+    "ols_two_feature",
+    "m4_downsample",
+    "kaplan_meier_curve",
+    "zipf_slope",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",
@@ -213,7 +220,7 @@ _DRIVER_PRIORITY = [
     "cdc_apply_changelog",
     "approx_percentile_summary",
     "class_weights",
-    # ---- 50-entry driver window ends here ----
+    # ---- the 50-entry driver window ends inside the list below ----
     # r5 greens (next rotation candidates)
     "surrogate_keys",
     "explode_tokens",

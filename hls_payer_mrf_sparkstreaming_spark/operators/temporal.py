@@ -1380,3 +1380,213 @@ def rolling_median_value(spark, sf_dir):
         .over(w)
         .alias("roll_med_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling: min/max/first/last per pixel bucket
+# ---------------------------------------------------------------------------
+
+_M4_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour pixel columns
+
+
+@query(
+    "m4_downsample",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // {_M4_BUCKET_US} AS bucket,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   lpad(CAST(CAST(epoch_us(ts) AS BIGINT) AS VARCHAR),
+                        20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+            FROM events
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               arg_min(cents, ord_key) AS first_cents,
+               arg_max(cents, ord_key) AS last_cents
+        FROM e GROUP BY event_type, bucket
+    """,
+    description="M4 downsampling (Jugel et al., VLDB 2014): per series and "
+    "fixed time bucket keep exactly the four value-bearing extremes — "
+    "min, max, first, last — the lossless reduction for line-chart "
+    "rendering and the standard pre-aggregation for dashboard serving. "
+    "first/last are min_by/max_by over a zero-padded (epoch_us, event_id) "
+    "string key, so ties are broken identically in any engine. ONE "
+    "map-side-combinable groupBy; output is 5 longs per (series, pixel) "
+    "regardless of input volume — the 100 TB chart renders from KB",
+)
+def m4_downsample(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord_key = F.concat(
+        F.lpad(ts_us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_M4_BUCKET_US}"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ord_key.alias("ord_key"),
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.min_by("cents", F.col("ord_key")).alias("first_cents"),
+        F.max_by("cents", F.col("ord_key")).alias("last_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over per-user activity spans
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_US = 7 * 24 * 3600 * 1_000_000  # silent >= 7 days at cutoff = churn
+_NANO = 1_000_000_000
+
+
+@query(
+    "kaplan_meier_curve",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST((max(epoch_us(ts)) - min(epoch_us(ts)))
+                        // 3600000000 AS BIGINT) AS dur_h,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY user_id
+        ),
+        g AS (SELECT CAST(max(last_us) AS BIGINT) AS gmax FROM u),
+        lab AS (
+            SELECT dur_h,
+                   CASE WHEN last_us < gmax - {_KM_CHURN_US}
+                        THEN 1 ELSE 0 END AS churn
+            FROM u CROSS JOIN g
+        ),
+        d AS (
+            SELECT dur_h,
+                   CAST(count(*) AS BIGINT) AS leaving,
+                   CAST(sum(churn) AS BIGINT) AS churned
+            FROM lab GROUP BY dur_h
+        ),
+        k AS (
+            SELECT dur_h, churned,
+                   CAST(sum(leaving) OVER () - sum(leaving) OVER (
+                       ORDER BY dur_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) + leaving AS BIGINT) AS at_risk
+            FROM d
+        ),
+        t AS (
+            SELECT dur_h, churned, at_risk,
+                   CASE WHEN churned = 0 OR churned >= at_risk THEN 0
+                        ELSE CAST(floor(ln(
+                            CAST(at_risk - churned AS DOUBLE) / at_risk
+                        ) * {_NANO}) AS BIGINT) END AS logt_nano,
+                   CASE WHEN churned >= at_risk THEN 1 ELSE 0 END AS dead
+            FROM k
+        )
+        SELECT dur_h, at_risk, churned,
+               CASE WHEN max(dead) OVER (
+                        ORDER BY dur_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) = 1 THEN 0
+                    ELSE CAST(floor(exp(CAST(sum(logt_nano) OVER (
+                        ORDER BY dur_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS DOUBLE) / {_NANO}) * {_NANO}) AS BIGINT)
+               END AS survival_nano
+        FROM t
+    """,
+    description="Kaplan-Meier survival estimator over per-user activity "
+    "spans (event = churned before the corpus cutoff, censored "
+    "otherwise): S(t) = prod(1 - d_i/n_i) over event times <= t. The "
+    "at-risk counts come from an exact cumulative long sum; each factor's "
+    "ln is floored to nano units so the running product is an "
+    "order-insensitive integer cumsum, exponentiated once per output "
+    "row. The unpartitioned windows run AFTER aggregation to one row per "
+    "distinct duration — bounded state at any input scale (the raw-data "
+    "stages are ordinary per-user shuffles)",
+)
+def kaplan_meier_curve(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((max(unix_micros(CAST(ts AS TIMESTAMP)))"
+                " - min(unix_micros(CAST(ts AS TIMESTAMP))))"
+                " div 3600000000 AS BIGINT)"
+            ).alias("dur_h"),
+            F.max(ts_us).cast("long").alias("last_us"),
+        )
+    )
+    g = u.agg(F.max("last_us").cast("long").alias("gmax"))
+    lab = u.crossJoin(F.broadcast(g)).select(
+        "dur_h",
+        F.when(
+            F.col("last_us") < F.col("gmax") - _KM_CHURN_US, 1
+        ).otherwise(0).alias("churn"),
+    )
+    d = lab.groupBy("dur_h").agg(
+        F.count("*").cast("long").alias("leaving"),
+        F.sum("churn").cast("long").alias("churned"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = d.select(
+        "dur_h",
+        "churned",
+        (
+            F.sum("leaving").over(wall)
+            - F.sum("leaving").over(wcum)
+            + F.col("leaving")
+        )
+        .cast("long")
+        .alias("at_risk"),
+    )
+    t = k.select(
+        "dur_h",
+        "churned",
+        "at_risk",
+        F.when(
+            (F.col("churned") == 0) | (F.col("churned") >= F.col("at_risk")),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.log(
+                    (F.col("at_risk") - F.col("churned")).cast("double")
+                    / F.col("at_risk")
+                )
+                * _NANO
+            ).cast("long")
+        )
+        .alias("logt_nano"),
+        F.when(F.col("churned") >= F.col("at_risk"), 1)
+        .otherwise(0)
+        .alias("dead"),
+    )
+    return t.select(
+        "dur_h",
+        "at_risk",
+        "churned",
+        F.when(F.max("dead").over(wcum) == 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.exp(
+                    F.sum("logt_nano").over(wcum).cast("double") / _NANO
+                )
+                * _NANO
+            ).cast("long")
+        )
+        .alias("survival_nano"),
+    )

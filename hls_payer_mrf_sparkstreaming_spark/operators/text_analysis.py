@@ -1585,3 +1585,114 @@ def heavy_hitters_twopass(spark, sf_dir):
         .filter(F.col("freq") * _HH_DEN >= F.col("total"))
         .select("token", "freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the corpus frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200  # fit over the head of the spectrum, where Zipf holds
+_MICRO = 1_000_000  # log values in micro units keep the moment products
+# within int64: |lx|,|ly| <= ~2e7 micro, so sum(lx*ly) over 200 terms
+# stays < 1e17 << 2^63
+
+# slope/intercept of ln(freq) ~ ln(rank) as ONE expression over five exact
+# longs — identical text for Spark SQL and DuckDB
+_ZIPF_SLOPE = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+)
+
+
+@query(
+    "zipf_slope",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        f AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM tok GROUP BY token
+        ),
+        rk AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, token) AS rnk
+            FROM f
+        ),
+        l AS (
+            SELECT
+                CAST(floor(ln(CAST(rnk AS DOUBLE)) * {_MICRO}) AS BIGINT)
+                    AS lx,
+                CAST(floor(ln(CAST(freq AS DOUBLE)) * {_MICRO}) AS BIGINT)
+                    AS ly
+            FROM rk WHERE rnk <= {_ZIPF_TOP}
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(lx) AS BIGINT) AS sx,
+                   CAST(sum(ly) AS BIGINT) AS sy,
+                   CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                   CAST(sum(lx * lx) AS BIGINT) AS sxx
+            FROM l
+        )
+        SELECT n AS n_terms,
+               CAST(floor({_ZIPF_SLOPE} * {_NANO}) AS BIGINT) AS slope_nano,
+               CAST(floor((CAST(sy AS DOUBLE) - {_ZIPF_SLOPE} * sx) / n
+                          * 1000) AS BIGINT) AS intercept_nano
+        FROM m
+    """,
+    description="Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) "
+    "over the top-200 corpus tokens — natural text sits near -1; a "
+    "slope far off flags boilerplate-heavy or synthetic corpora (a "
+    "standard pretraining-data health check). Token counting is one "
+    "map-side-combinable groupBy; the head is taken with "
+    "orderBy().limit() (TakeOrderedAndProject — no global sort of the "
+    "vocabulary) with a deterministic (freq desc, token) tiebreak; each "
+    "term's logs are floored to micro units so the five OLS moments are "
+    "exact long sums, engine-independent at any parallelism",
+)
+def zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    # TakeOrderedAndProject keeps top-K per partition then merges K rows —
+    # the vocabulary is never globally sorted
+    head = f.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_TOP)
+    rk = head.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rnk"),
+    )
+    l = rk.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * _MICRO)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("freq").cast("double")) * _MICRO)
+        .cast("long")
+        .alias("ly"),
+    )
+    m = l.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            f"CAST(floor({_ZIPF_SLOPE} * {_NANO}) AS BIGINT)"
+        ).alias("slope_nano"),
+        F.expr(
+            f"CAST(floor((CAST(sy AS DOUBLE) - {_ZIPF_SLOPE} * sx) / n"
+            f" * 1000) AS BIGINT)"
+        ).alias("intercept_nano"),
+    )
