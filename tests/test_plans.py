@@ -958,3 +958,64 @@ def test_gini_single_segment_shuffle(spark):
     # rank window and three-sum aggregate share one segment shuffle
     p = plan(spark, "gini_by_segment")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_simhash_hamming_joins_on_band_key(spark):
+    # pigeonhole band blocking: the self-join must ride an equi-join on
+    # (band, band_value) — never a cartesian / nested-loop over docs —
+    # and the joined rows carry fingerprints, not text
+    p = plan(spark, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_chi_square_broadcasts_marginals(spark):
+    # contingency cells reduce first (partial agg); the marginal and
+    # grand-total tables join back as broadcasts, raw rows scanned once
+    p = plan(spark, "chi_square_independence")
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ab_test_single_user_shuffle(spark):
+    import re
+
+    # per-user conversion is the only data-sized exchange; the arm
+    # totals collapse to one row without further shuffles
+    p = plan(spark, "ab_test_ztest")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_ols_two_feature_partial_aggregation(spark):
+    # the nine moments must come from a map-side-combinable two-phase
+    # aggregate; the determinant math is projection-only on top
+    p = plan(spark, "ols_two_feature")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_m4_downsample_single_aggregate(spark):
+    import re
+
+    # ONE groupBy produces all four extremes — no joins, no windows,
+    # one exchange on the (series, bucket) keys
+    p = plan(spark, "m4_downsample")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Join" not in p and "Window" not in p, p
+
+
+def test_kaplan_meier_windows_after_aggregation(spark):
+    # the unpartitioned cumulative windows may only see the per-duration
+    # aggregate (bounded rows), never raw events: every Window sits
+    # above at least one completed HashAggregate pair
+    p = plan(spark, "kaplan_meier_curve")
+    assert "Window" in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_zipf_head_is_take_ordered(spark):
+    # the frequency head must come from TakeOrderedAndProject, never a
+    # global sort of the vocabulary
+    p = plan(spark, "zipf_slope")
+    assert "TakeOrderedAndProject" in p, p
