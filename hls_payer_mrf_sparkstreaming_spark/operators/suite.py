@@ -62,7 +62,19 @@ def _usec_copy(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
+    # a "table" may be a directory of part files (any real deployment);
+    # the schema probe reads one part, the conversion reads the dataset
+    schema_path = path
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        )
+        if not parts:
+            return path
+        schema_path = parts[0]
+    schema = pq.read_schema(schema_path)
     if not any(
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
     ):
@@ -182,6 +194,9 @@ _DRIVER_PRIORITY = [
     "m4_downsample",
     "kaplan_meier_curve",
     "zipf_slope",
+    "linear_count_distinct",
+    "funnel_time_percentiles",
+    "seasonal_anomaly_residual",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

@@ -1590,3 +1590,194 @@ def kaplan_meier_curve(spark, sf_dir):
         )
         .alias("survival_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: time-to-convert percentiles (exact, discrete)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_percentiles",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS v_us
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   CAST(min(epoch_us(e.ts)) AS BIGINT) AS p_us
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+            GROUP BY e.user_id
+        ),
+        d AS (
+            SELECT p.user_id,
+                   CAST((p.p_us - v.v_us) // 1000000 AS BIGINT) AS dt_sec
+            FROM p JOIN v USING (user_id)
+        ),
+        r AS (
+            SELECT dt_sec,
+                   row_number() OVER (ORDER BY dt_sec, user_id) AS rnk,
+                   CAST(count(*) OVER () AS BIGINT) AS n,
+                   CAST(sum(dt_sec) OVER () AS BIGINT) AS s
+            FROM d
+        )
+        SELECT n AS n_converted,
+               max(CASE WHEN rnk = (n + 1) // 2 THEN dt_sec END)
+                   AS p50_sec,
+               max(CASE WHEN rnk = (9 * n + 9) // 10 THEN dt_sec END)
+                   AS p90_sec,
+               CAST(floor(CAST(s AS DOUBLE) / n * {_NANO}) AS BIGINT)
+                   AS mean_sec_nano
+        FROM r GROUP BY n, s
+    """,
+    description="Time-to-convert distribution for the view -> purchase "
+    "funnel: per user, seconds from first view to first later purchase; "
+    "output is exact DISCRETE p50/p90 picked by integer rank arithmetic "
+    "(ceil(p*n) = (p*num + den-1) div den) over a (dt, user_id)-ordered "
+    "row_number — no engine-specific percentile interpolation anywhere. "
+    "The raw stages are per-user shuffles; the global window runs on the "
+    "converted-users relation (one row per user), bounded far below raw "
+    "event volume. The latency twin of event_funnel's count metrics",
+)
+def funnel_time_percentiles(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).cast("long").alias("v_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(ts_us > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min(ts_us).cast("long").alias("p_us"))
+    )
+    d = p.join(v, "user_id").select(
+        "user_id",
+        F.expr("(p_us - v_us) div 1000000").cast("long").alias("dt_sec"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = d.select(
+        "dt_sec",
+        F.row_number()
+        .over(Window.orderBy("dt_sec", "user_id"))
+        .alias("rnk"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("dt_sec").over(wall).cast("long").alias("s"),
+    )
+    return r.groupBy("n", "s").agg(
+        F.max(
+            F.when(
+                F.col("rnk") == F.expr("(n + 1) div 2"), F.col("dt_sec")
+            )
+        ).alias("p50_sec"),
+        F.max(
+            F.when(
+                F.col("rnk") == F.expr("(9 * n + 9) div 10"),
+                F.col("dt_sec"),
+            )
+        ).alias("p90_sec"),
+        F.expr(
+            f"CAST(floor(CAST(s AS DOUBLE) / n * {_NANO}) AS BIGINT)"
+        ).alias("mean_sec_nano"),
+    ).select(
+        F.col("n").alias("n_converted"), "p50_sec", "p90_sec",
+        "mean_sec_nano",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly residuals: z-scores against the (series, hour) baseline
+# ---------------------------------------------------------------------------
+
+_SAR_TOPK = 20
+
+
+@query(
+    "seasonal_anomaly_residual",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   CAST((epoch_us(ts) % 86400000000) // 3600000000
+                        AS BIGINT) AS hour,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (
+            SELECT event_type, hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(sum(cents * cents) AS BIGINT) AS ss
+            FROM e GROUP BY event_type, hour
+        ),
+        z AS (
+            SELECT e.event_id, e.event_type, e.hour, e.cents,
+                   CAST(floor(
+                       (CAST(e.cents AS DOUBLE) * n - s)
+                       / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE)
+                               * s) / n) * {_NANO}
+                   ) AS BIGINT) AS z_nano
+            FROM e JOIN b USING (event_type, hour)
+            WHERE n > 1 AND CAST(n AS DOUBLE) * ss
+                            - CAST(s AS DOUBLE) * s > 0
+        )
+        SELECT event_id, event_type, hour, cents, z_nano
+        FROM z
+        ORDER BY greatest(z_nano, -z_nano) DESC, event_id
+        LIMIT {_SAR_TOPK}
+    """,
+    description="Top-{k} seasonal anomalies: each event's value is "
+    "z-scored against its own (series, hour-of-day) baseline — the "
+    "seasonal_profile heatmap turned into a residual detector, catching "
+    "'normal for 3am, wild for 3pm' cases a global MAD misses. Baseline "
+    "moments are exact integer sums per cell; the at-most "
+    "series*24-row baseline broadcasts back onto the fact scan (no "
+    "second fact shuffle), and the top-k is TakeOrderedAndProject with "
+    "a deterministic (|z|, event_id) order".replace("{k}", str(_SAR_TOPK)),
+)
+def seasonal_anomaly_residual(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000)"
+            " div 3600000000 AS BIGINT)"
+        ).alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = e.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    nd, sd, ssd = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+    )
+    z = (
+        e.join(F.broadcast(b), ["event_type", "hour"])
+        .where((F.col("n") > 1) & (nd * F.col("ss") - sd * F.col("s") > 0))
+        .select(
+            "event_id",
+            "event_type",
+            "hour",
+            "cents",
+            F.floor(
+                (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+                / F.sqrt((nd * F.col("ss") - sd * F.col("s")) / F.col("n"))
+                * _NANO
+            )
+            .cast("long")
+            .alias("z_nano"),
+        )
+    )
+    return z.orderBy(
+        F.greatest(F.col("z_nano"), -F.col("z_nano")).desc(), "event_id"
+    ).limit(_SAR_TOPK)

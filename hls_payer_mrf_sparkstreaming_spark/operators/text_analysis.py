@@ -1696,3 +1696,82 @@ def zipf_slope(spark, sf_dir):
             f" * 1000) AS BIGINT)"
         ).alias("intercept_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-counting distinct sketch — mergeable AND bit-exactly oracle-checked
+# ---------------------------------------------------------------------------
+
+_LC_M = 4096  # sketch bitmap size; stderr ~ sqrt(m*(exp(t)-t-1))/n at load t
+
+from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (  # noqa: E402
+    md5u60_sql,
+)
+
+
+@query(
+    "linear_count_distinct",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT source,
+                   {md5u60_sql('token')} % {_LC_M} AS bucket,
+                   token
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+        ),
+        m AS (
+            SELECT source,
+                   CAST(count(DISTINCT bucket) AS BIGINT) AS occupied,
+                   CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+            FROM b GROUP BY source
+        )
+        SELECT source, occupied, exact_distinct,
+               CASE WHEN occupied >= {_LC_M} THEN NULL ELSE
+                   CAST(floor(-{_LC_M}.0
+                        * ln(CAST({_LC_M} - occupied AS DOUBLE) / {_LC_M})
+                        * 1000000000) AS BIGINT) END AS est_nano
+        FROM m
+    """,
+    description="Linear-counting cardinality sketch (Whang et al. 1990) "
+    "per source: tokens hash into a {m}-bucket bitmap and the distinct "
+    "estimate is -m*ln(empty/m). Unlike HyperLogLog the sketch value "
+    "itself is ORACLE-CHECKED bit-exactly, because the bucket function "
+    "is the shared md5-60 family — DuckDB computes the identical bitmap. "
+    "The bitmap is mergeable (bitwise OR across shards/streams), and the "
+    "shuffle carries at most m=4096 distinct bucket ids per group key, "
+    "never the vocabulary. exact_distinct is the verification twin "
+    "(paid for here on purpose, like approx_distinct_users)".replace(
+        "{m}", str(_LC_M)
+    ),
+)
+def linear_count_distinct(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.functions.hashing import md5u60
+
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    m = toks.groupBy("source").agg(
+        F.countDistinct(F.pmod(md5u60(F.col("token")), _LC_M))
+        .cast("long")
+        .alias("occupied"),
+        F.countDistinct("token").cast("long").alias("exact_distinct"),
+    )
+    return m.select(
+        "source",
+        "occupied",
+        "exact_distinct",
+        F.when(F.col("occupied") >= _LC_M, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                -float(_LC_M)
+                * F.log(
+                    (F.lit(_LC_M) - F.col("occupied")).cast("double")
+                    / _LC_M
+                )
+                * 1_000_000_000
+            ).cast("long")
+        )
+        .alias("est_nano"),
+    )

@@ -1019,3 +1019,28 @@ def test_zipf_head_is_take_ordered(spark):
     # global sort of the vocabulary
     p = plan(spark, "zipf_slope")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_linear_count_sketch_two_phase_distinct(spark):
+    # both distinct aggregates must run as expand + two-phase partial
+    # aggregation; no raw-token shuffle beyond the (source, bucket/token)
+    # distinct keys, and no Python evaluation anywhere
+    p = plan(spark, "linear_count_distinct")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_funnel_time_windows_after_per_user_reduction(spark):
+    # the unpartitioned rank window may only see one row per converted
+    # user (two per-user aggregations run first)
+    p = plan(spark, "funnel_time_percentiles")
+    assert "Window" in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_seasonal_anomaly_broadcasts_baseline_topk(spark):
+    # the per-(series,hour) baseline joins back as a broadcast (the fact
+    # table is never re-shuffled) and the top-k is TakeOrderedAndProject
+    p = plan(spark, "seasonal_anomaly_residual")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
