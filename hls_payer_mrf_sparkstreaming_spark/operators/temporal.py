@@ -1389,6 +1389,26 @@ def rolling_median_value(spark, sf_dir):
 _M4_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour pixel columns
 
 
+def m4_project(events):
+    """(series, bucket, cents, ord_key) projection shared by the batch
+    operator and the streaming partial accumulator
+    (streaming/events.py:stream_m4_partials) — the two MUST bucket and
+    order identically for the merge-equals-batch property to hold."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord_key = F.concat(
+        F.lpad(ts_us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return events.select(
+        "event_type",
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_M4_BUCKET_US}"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ord_key.alias("ord_key"),
+    )
+
+
 @query(
     "m4_downsample",
     oracle=f"""
@@ -1419,19 +1439,7 @@ _M4_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour pixel columns
     "regardless of input volume — the 100 TB chart renders from KB",
 )
 def m4_downsample(spark, sf_dir):
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    ord_key = F.concat(
-        F.lpad(ts_us.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr(
-            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_M4_BUCKET_US}"
-        ).alias("bucket"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        ord_key.alias("ord_key"),
-    )
+    e = m4_project(load(spark, sf_dir, "events"))
     return e.groupBy("event_type", "bucket").agg(
         F.count("*").cast("long").alias("n"),
         F.min("cents").alias("min_cents"),

@@ -338,3 +338,75 @@ def quantiles_from_partials(spark, out_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n"))
     )
     return qm_quantiles(merged)
+
+
+def stream_m4_partials(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Accumulate per-batch M4 downsampling partials (min/max/first/last
+    per (series, bucket)) into ``out_dir`` (availableNow; drains then
+    stops).
+
+    M4 state is mergeable exactly: each partial carries its extremes PLUS
+    the zero-padded (epoch_us, event_id) ordering keys of its first/last
+    values, so merging is min/max over values and min_by/max_by over the
+    keys — associative, commutative, and idempotent per batch directory
+    (overwrite-per-batch, same retry discipline as
+    stream_quantile_partials)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.temporal import (
+        m4_project,
+    )
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+            _batch_dir,
+        )
+
+        (
+            m4_project(batch)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+                F.min("ord_key").alias("first_key"),
+                F.min_by("cents", F.col("ord_key")).alias("first_cents"),
+                F.max("ord_key").alias("last_key"),
+                F.max_by("cents", F.col("ord_key")).alias("last_cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(_batch_dir(out_dir, checkpoint_dir, batch_id))
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def m4_from_partials(spark, out_dir: str) -> DataFrame:
+    """Merge accumulated M4 partials into the final downsampled series —
+    identical to the batch m4_downsample output over the same events.
+    Merge cost is (series x buckets x batches) rows, never raw events."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.min_by("first_cents", F.col("first_key")).alias("first_cents"),
+            F.max_by("last_cents", F.col("last_key")).alias("last_cents"),
+        )
+    )
