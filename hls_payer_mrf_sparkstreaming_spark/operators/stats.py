@@ -1453,3 +1453,75 @@ def ols_two_feature(spark, sf_dir):
             f"CAST(floor({_OLS_D2} / {_OLS_DET} * {_NANO}) AS BIGINT)"
         ).alias("b2_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement: Cohen's kappa between two rule annotators
+# ---------------------------------------------------------------------------
+
+# kappa as ONE expression over the four exact agreement counts — shared
+# textually with the oracle so the double math is bit-identical
+_KAPPA_EXPR = f"""CASE
+    WHEN (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         = (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+    THEN NULL
+    ELSE CAST(floor(
+        (CAST(n11 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+         - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+            + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+        / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+           * (n11 + n10 + n01 + n00)
+           - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+        * {_NANO}) AS BIGINT)
+    END"""
+
+
+@query(
+    "cohens_kappa",
+    oracle=f"""
+        WITH lab AS (
+            SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+                   CASE WHEN len(string_split(text, ' ')) >= 50
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT
+                CAST(sum(a * b) AS BIGINT) AS n11,
+                CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM lab
+        )
+        SELECT n11, n10, n01, n00, {_KAPPA_EXPR} AS kappa_nano
+        FROM c
+    """,
+    description="Cohen's kappa agreement between two deterministic "
+    "labeling rules (char-length gate vs token-count gate) — the "
+    "chance-corrected agreement metric behind every annotation-quality "
+    "and silver-label audit. The 2x2 agreement table is four exact long "
+    "sums from ONE map-side-combinable aggregate over a single corpus "
+    "scan; kappa = (po - pe)/(1 - pe) is algebraically cleared of "
+    "divisions into one shared numerator/denominator expression over "
+    "those longs. Swap either rule for a model's labels and the plan is "
+    "unchanged at any scale",
+)
+def cohens_kappa(spark, sf_dir):
+    lab = load(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 50, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = lab.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+    )
+    return c.select(
+        "n11", "n10", "n01", "n00", F.expr(_KAPPA_EXPR).alias("kappa_nano")
+    )

@@ -197,6 +197,9 @@ _DRIVER_PRIORITY = [
     "linear_count_distinct",
     "funnel_time_percentiles",
     "seasonal_anomaly_residual",
+    "winnowing_fingerprints",
+    "cohens_kappa",
+    "cusum_changepoint",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

@@ -1789,3 +1789,95 @@ def seasonal_anomaly_residual(spark, sf_dir):
     return z.orderBy(
         F.greatest(F.col("z_nano"), -F.col("z_nano")).desc(), "event_id"
     ).limit(_SAR_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over the daily event-count series (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY day
+        ),
+        t AS (
+            SELECT day, x,
+                   CAST(count(*) OVER () AS BIGINT) AS nd,
+                   CAST(sum(x) OVER () AS BIGINT) AS total,
+                   CAST(sum(x) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM d
+        ),
+        s AS (
+            SELECT day, nd AS n_days, total,
+                   cum * nd - CAST(sum(CAST(1 AS BIGINT)) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) * total AS s_scaled
+            FROM t
+        )
+        SELECT day AS changepoint_day, s_scaled, n_days, total
+        FROM s
+        ORDER BY greatest(s_scaled, -s_scaled) DESC, day
+        LIMIT 1
+    """,
+    description="CUSUM changepoint on the daily event-count series: the "
+    "day k maximizing |sum_{d<=k}(x_d - mean)| — the classic level-shift "
+    "detector for volume regressions and pipeline incidents. The running "
+    "deviation is kept EXACT by scaling through the day count "
+    "(S_k*D = D*cum_k - k*total: integers only, no mean division), so "
+    "the argmax is engine-independent with a deterministic (|S|, day) "
+    "tiebreak via TakeOrderedAndProject. Raw rows reduce to one row per "
+    "day in a single partial agg; the unpartitioned windows only ever "
+    "see the day-level series",
+)
+def cusum_changepoint(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+                " div 86400000000 AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = d.select(
+        "day",
+        F.count("*").over(wall).cast("long").alias("nd"),
+        F.sum("x").over(wall).cast("long").alias("total"),
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+    )
+    s = t.select(
+        "day",
+        F.col("nd").alias("n_days"),
+        "total",
+        (F.col("cum") * F.col("nd") - F.col("k") * F.col("total")).alias(
+            "s_scaled"
+        ),
+    )
+    return (
+        s.orderBy(
+            F.greatest(F.col("s_scaled"), -F.col("s_scaled")).desc(), "day"
+        )
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            "s_scaled",
+            "n_days",
+            "total",
+        )
+    )

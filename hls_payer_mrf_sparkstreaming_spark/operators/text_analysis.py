@@ -1775,3 +1775,77 @@ def linear_count_distinct(spark, sf_dir):
         )
         .alias("est_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # shingle width (tokens)
+_WIN_W = 5  # winnowing window (shingles)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(n - {_WIN_K - 1}),
+                       i -> CAST('0x' || substring(md5(array_to_string(
+                                list_slice(toks, i + 1, i + {_WIN_K}), ' '
+                            )), 1, 15) AS BIGINT)
+                   ) AS hs
+            FROM t WHERE n >= {_WIN_K + _WIN_W - 1}
+        )
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(len(hs) - {_WIN_W - 1}),
+                   j -> list_min(list_slice(hs, j + 1, j + {_WIN_W}))
+               )) AS fp
+        FROM g
+    """,
+    description="Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "
+    "SIGMOD 2003 — the MOSS algorithm): hash every {k}-token shingle, "
+    "slide a {w}-shingle window, keep each window's minimum — guarantees "
+    "any shared run of >= {k}+{w}-1 tokens between two documents shares "
+    "a fingerprint, at ~2/(w+1) the storage of full shingling. The "
+    "entire selection runs INSIDE array expressions (transform / slice / "
+    "array_min) on the JVM — one projection, no explode shuffle until "
+    "the final distinct; fingerprints join/aggregate downstream for "
+    "plagiarism, contamination and containment detection. Documents "
+    "shorter than {k}+{w}-1 tokens have no full window and are skipped, "
+    "matching the oracle".replace("{k}", str(_WIN_K)).replace(
+        "{w}", str(_WIN_W)
+    ),
+)
+def winnowing_fingerprints(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.functions.hashing import md5u60
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    docs = docs.withColumn("n", F.size("toks")).filter(
+        F.col("n") >= _WIN_K + _WIN_W - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(0), F.col("n") - _WIN_K),
+        lambda i: md5u60(
+            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, _WIN_K))
+        ),
+    )
+    docs = docs.select("doc_id", hs.alias("hs"))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - _WIN_W),
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1, _WIN_W)),
+        )
+    )
+    return docs.select(
+        "doc_id", F.explode(mins).alias("fp")
+    ).distinct()

@@ -1044,3 +1044,32 @@ def test_seasonal_anomaly_broadcasts_baseline_topk(spark):
     p = plan(spark, "seasonal_anomaly_residual")
     assert "BroadcastHashJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_winnowing_selection_is_array_expression(spark):
+    # shingle hashing and window-min selection must run inside array
+    # expressions in ONE projection — no Python eval, and the only
+    # exchange is the final distinct on (doc_id, fp)
+    import re
+
+    p = plan(spark, "winnowing_fingerprints")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_cohens_kappa_single_scan_partial_agg(spark):
+    # one corpus scan, two-phase aggregate to four longs, kappa math
+    # projection-only (formatted mode prints nodes twice: count detail
+    # headers, like test_class_weights_scans_corpus_once)
+    import re
+
+    p = plan(spark, "cohens_kappa")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_cusum_topk_not_global_sort(spark):
+    # the argmax day must come from TakeOrderedAndProject over the
+    # day-level series, never a global sort
+    p = plan(spark, "cusum_changepoint")
+    assert "TakeOrderedAndProject" in p, p
