@@ -16,12 +16,14 @@ Replication rules (why this is a fair 10x):
   * every surrogate/foreign key gets the SAME +r*OFFSET shift, so joins
     land on exactly 10 disjoint copies of the original key space —
     join fan-out per key is unchanged, total volume is 10x.
-  * documents.text gets a per-replica suffix for r>0: each replica keeps
-    sf0.1's internal duplicate structure, but replicas don't collide, so
-    true near-dup pairs grow 10x (linear), not 100x (quadratic). A plain
-    10x copy would make every LSH bucket 10x deeper and quadratically
-    explode candidate pairs for EVERY implementation — that would test
-    the dataset, not the operator.
+  * documents.text is token-salted per replica for r>0 (every token gets
+    a _r suffix): each replica keeps sf0.1's internal duplicate structure
+    exactly, but replica shingle spaces are DISJOINT, so true near-dup
+    pairs grow 10x (linear), not ~50x (quadratic). A plain copy — or a
+    whole-document suffix, which leaves Jaccard ~1 — would put ~10
+    near-identical copies of EVERY doc in the corpus and quadratically
+    explode candidate pairs for any implementation; that would test the
+    dataset, not the operator.
   * embeddings get seeded Gaussian jitter for r>0 (same reason: identical
     vectors would put 10 exact copies in every ANN bucket).
 
@@ -108,7 +110,14 @@ def make_scaled(out: str) -> None:
                     cols[name] = pa.array(arr, type=col.type)
                 elif t == "documents" and name == "text" and r > 0:
                     txt = col.to_pandas()
-                    cols[name] = pa.array(txt + f" v{r}")
+                    salt = f"_{r}"
+                    cols[name] = pa.array(
+                        txt.map(
+                            lambda s: " ".join(
+                                w + salt for w in s.split(" ")
+                            )
+                        )
+                    )
                 elif t == "embeddings" and name == "embedding" and r > 0:
                     mat = np.stack(col.to_pandas().to_numpy())
                     rng = np.random.default_rng(r)
