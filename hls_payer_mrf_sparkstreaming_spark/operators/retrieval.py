@@ -521,3 +521,100 @@ def text_bigram_logprob(spark, sf_dir):
         .cast("long")
         .alias("avg_logprob_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking quality: NDCG@k of the BM25 ranking against a graded relevance
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 20
+
+# per-rank discounted gain, identical text both engines: graded gain
+# (2^rel - 1) over the standard log2(rank+1) discount, floored to nano so
+# the DCG sums are exact longs
+_DCG_TERM = (
+    f"CAST(floor((pow(2, rel) - 1) / (ln(rnk + 1) / ln(2)) * {_NANO})"
+    f" AS BIGINT)"
+)
+
+
+@query(
+    "ndcg_eval",
+    oracle=f"""
+        WITH {_sql_tf_cte()},
+        s AS (
+            SELECT doc_id, {_sql_bm25_nano()} AS score_nano,
+                   CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rel
+            FROM tf CROSS JOIN g
+        ),
+        top AS (
+            SELECT rel, row_number() OVER (
+                       ORDER BY score_nano DESC, doc_id) AS rnk
+            FROM s ORDER BY score_nano DESC, doc_id LIMIT {_NDCG_K}
+        ),
+        ideal AS (
+            SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                       AS rnk
+            FROM s ORDER BY rel DESC, doc_id LIMIT {_NDCG_K}
+        ),
+        dcg AS (SELECT CAST(sum({_DCG_TERM}) AS BIGINT) AS dcg_nano
+                FROM top),
+        idcg AS (SELECT CAST(sum({_DCG_TERM}) AS BIGINT) AS idcg_nano
+                 FROM ideal)
+        SELECT {_NDCG_K} AS k, dcg_nano, idcg_nano,
+               CASE WHEN idcg_nano = 0 THEN NULL ELSE
+                   CAST(floor(CAST(dcg_nano AS DOUBLE) / idcg_nano
+                              * {_NANO}) AS BIGINT) END AS ndcg_nano
+        FROM dcg CROSS JOIN idcg
+    """,
+    description="NDCG@{k} of the BM25 ranking against a graded relevance "
+    "proxy (count of query terms present, 0-3) — the standard "
+    "ranking-quality gate for retrieval pipelines and RAG index "
+    "regression tests. Both the system top-{k} and the ideal ordering "
+    "come from TakeOrderedAndProject with deterministic (key, doc_id) "
+    "tiebreaks; each rank's discounted gain is floored to nano units so "
+    "DCG/IDCG are exact long sums, and the corpus is scanned once "
+    "(shared _term_stats scan with bm25_search). Swap the proxy for "
+    "human judgments or click models and the plan is unchanged".replace(
+        "{k}", str(_NDCG_K)
+    ),
+)
+def ndcg_eval(spark, sf_dir):
+    tf, g = _term_stats(spark, sf_dir)
+    rel = sum(
+        (F.col(f"tf{i}") > 0).cast("long") for i in range(len(_TERMS))
+    )
+    s = tf.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        _bm25_nano().alias("score_nano"),
+        rel.alias("rel"),
+    )
+    from pyspark.sql import Window
+
+    def dcg_sum(ranked, order_cols):
+        top = ranked.orderBy(*order_cols).limit(_NDCG_K)
+        rnk = top.select(
+            "rel",
+            F.row_number().over(Window.orderBy(*order_cols)).alias("rnk"),
+        )
+        return rnk.agg(
+            F.sum(F.expr(_DCG_TERM)).cast("long")
+        )
+
+    dcg = dcg_sum(s, [F.desc("score_nano"), F.asc("doc_id")]).toDF(
+        "dcg_nano"
+    )
+    idcg = dcg_sum(s, [F.desc("rel"), F.asc("doc_id")]).toDF("idcg_nano")
+    return dcg.crossJoin(idcg).select(
+        F.lit(_NDCG_K).alias("k"),
+        "dcg_nano",
+        "idcg_nano",
+        F.expr(
+            f"CASE WHEN idcg_nano = 0 THEN NULL ELSE "
+            f"CAST(floor(CAST(dcg_nano AS DOUBLE) / idcg_nano * {_NANO})"
+            f" AS BIGINT) END"
+        ).alias("ndcg_nano"),
+    )

@@ -200,6 +200,7 @@ _DRIVER_PRIORITY = [
     "winnowing_fingerprints",
     "cohens_kappa",
     "cusum_changepoint",
+    "ndcg_eval",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

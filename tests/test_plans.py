@@ -1073,3 +1073,12 @@ def test_cusum_topk_not_global_sort(spark):
     # day-level series, never a global sort
     p = plan(spark, "cusum_changepoint")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_ndcg_rankings_are_take_ordered(spark):
+    # both the system top-k and the ideal ordering must be
+    # TakeOrderedAndProject over the scored relation — never a global
+    # sort of the corpus
+    p = plan(spark, "ndcg_eval")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
