@@ -210,8 +210,17 @@ def bench_ingest(spark) -> tuple[float, float]:
 
 def _unpersist_all(spark) -> None:
     """Drop leftover persisted RDDs (lazy localCheckpoints from self-join
-    queries) so storage from one query can't distort the next one's time."""
+    queries) so storage from one query can't distort the next one's time.
+
+    clearCache() FIRST: it removes DataFrame cache entries from the
+    CacheManager, so a re-persist by a session cache (e.g. dedup.py's
+    neardup_edges) actually re-registers. Unpersisting only the raw RDDs
+    leaves the CacheManager entry in place reporting a live storage level
+    while its blocks are gone — every later access then recomputes the
+    full lineage WITHOUT re-caching (measured: 5x pipeline re-execution
+    inside graph_triangles at sf1)."""
     try:
+        spark.catalog.clearCache()
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jmap.values()):
             jrdd.unpersist(False)
