@@ -1525,3 +1525,221 @@ def cohens_kappa(spark, sf_dir):
     return c.select(
         "n11", "n10", "n01", "n00", F.expr(_KAPPA_EXPR).alias("kappa_nano")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric two-sample test: Mann-Whitney U (rank-sum), aggregated form
+# ---------------------------------------------------------------------------
+
+# z-statistic with tie-corrected variance as ONE expression over exact
+# longs (u2 = 2*U to keep half-ranks integral; tie term sum(t^3 - t))
+_MWU_Z = f"""CASE
+    WHEN n_a = 0 OR n_b = 0 OR CAST(n_a + n_b AS DOUBLE) *
+         ((CAST(n_a AS DOUBLE) * n_b / 12)
+          * ((n_a + n_b + 1)
+             - CAST(tie3 AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1))))
+         = 0
+    THEN NULL
+    ELSE CAST(floor(
+        (CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+               * ((n_a + n_b + 1)
+                  - CAST(tie3 AS DOUBLE)
+                    / ((n_a + n_b) * (n_a + n_b - 1))))
+        * {_NANO}) AS BIGINT)
+    END"""
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY cents
+        ),
+        r AS (
+            SELECT cents, na, nb, na + nb AS t,
+                   CAST(sum(na + nb) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM v
+        ),
+        m AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(na * (2 * cum - t + 1)) AS BIGINT) AS r2_a,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+            FROM r
+        )
+        SELECT n_a, n_b,
+               r2_a - n_a * (n_a + 1) AS u2,
+               tie3,
+               {_MWU_Z} AS z_nano
+        FROM m
+    """,
+    description="Mann-Whitney U rank-sum test (purchase vs click event "
+    "values) in the AGGREGATED formulation: raw rows reduce to one row "
+    "per distinct integer-cents value (bounded by the value range, not "
+    "volume), average ranks come from a cumulative count window over "
+    "those rows, and doubled rank sums keep tie half-ranks integral — "
+    "U, the tie correction and the z statistic are all exact longs "
+    "until one shared final expression. The nonparametric complement to "
+    "drift_ks for distribution-shift gates: no normality assumption, "
+    "robust to outliers that sink a t-test",
+)
+def mann_whitney_u(spark, sf_dir):
+    from pyspark.sql import Window
+
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = v.select(
+        "cents",
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        F.sum(F.col("na") + F.col("nb")).over(wcum).cast("long").alias("cum"),
+    )
+    m = r.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("cum") - F.col("t") + 1))
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2"),
+        "tie3",
+        F.expr(_MWU_Z).alias("z_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between two groups, from exact integer moments
+# ---------------------------------------------------------------------------
+
+_WELCH_T = f"""CASE
+    WHEN n_a < 2 OR n_b < 2 OR
+         ((CAST(ss_a AS DOUBLE) * n_a - CAST(s_a AS DOUBLE) * s_a)
+          / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+          + (CAST(ss_b AS DOUBLE) * n_b - CAST(s_b AS DOUBLE) * s_b)
+            / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))) <= 0
+    THEN NULL
+    ELSE CAST(floor(
+        (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+        / sqrt((CAST(ss_a AS DOUBLE) * n_a - CAST(s_a AS DOUBLE) * s_a)
+               / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+               + (CAST(ss_b AS DOUBLE) * n_b - CAST(s_b AS DOUBLE) * s_b)
+                 / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+        * {_NANO}) AS BIGINT)
+    END"""
+
+
+@query(
+    "welch_ttest",
+    oracle=f"""
+        WITH m AS (
+            SELECT
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s_a,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS ss_a,
+                CAST(sum(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s_b,
+                CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS ss_b
+            FROM events WHERE event_type IN ('purchase', 'click')
+        )
+        SELECT n_a, s_a, n_b, s_b, {_WELCH_T} AS t_nano
+        FROM m
+    """,
+    description="Welch's unequal-variance t-test (purchase vs click event "
+    "values): six exact integer moments from ONE map-side-combinable "
+    "aggregate over a single scan, then the t statistic as one shared "
+    "double expression — the parametric fast path next to "
+    "mann_whitney_u's rank-based robustness. The standard significance "
+    "gate for A/B value metrics where conversion z-tests (ab_test_ztest) "
+    "cover rates",
+)
+def welch_ttest(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", cents * cents
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ss_a"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(
+                F.when(F.col("event_type") == "click", cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click", cents * cents
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ss_b"),
+        )
+    )
+    return m.select("n_a", "s_a", "n_b", "s_b", F.expr(_WELCH_T).alias("t_nano"))

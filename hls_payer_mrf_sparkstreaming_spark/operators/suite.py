@@ -201,6 +201,8 @@ _DRIVER_PRIORITY = [
     "cohens_kappa",
     "cusum_changepoint",
     "ndcg_eval",
+    "mann_whitney_u",
+    "welch_ttest",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

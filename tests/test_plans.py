@@ -184,8 +184,11 @@ def test_operator_catalog_is_current():
 
 
 def test_readme_operator_index_is_current():
-    # the README family-grouped index is generated from the registry (and
-    # bench_details.json medians); fail if an operator lands without it
+    # the README family-grouped index is generated from the registry plus
+    # the COMMITTED bench_medians.json snapshot (NOT the live
+    # bench_details.json, which the driver harness rewrites every round —
+    # comparing against live medians would turn this red the moment a
+    # median moved); fail if an operator lands without a regen
     import os
 
     from hls_payer_mrf_sparkstreaming_spark.docs import (
@@ -199,7 +202,7 @@ def test_readme_operator_index_is_current():
         readme = f.read()
     got = readme.split(_INDEX_BEGIN, 1)[1].split(_INDEX_END, 1)[0]
     want = render_readme_index(
-        bench_path=os.path.join(root, "bench_details.json")
+        bench_path=os.path.join(root, "bench_medians.json")
     )
     want = want.split(_INDEX_BEGIN, 1)[1].split(_INDEX_END, 1)[0]
     assert got == want, (
@@ -1082,3 +1085,19 @@ def test_ndcg_rankings_are_take_ordered(spark):
     p = plan(spark, "ndcg_eval")
     assert p.count("TakeOrderedAndProject") >= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_mann_whitney_aggregates_before_rank_window(spark):
+    # raw rows reduce to one row per distinct cents value (partial agg)
+    # BEFORE the cumulative-rank window — the window never sees raw events
+    p = plan(spark, "mann_whitney_u")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" in p, p
+
+
+def test_welch_ttest_single_scan_partial_agg(spark):
+    import re
+
+    p = plan(spark, "welch_ttest")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert p.count("HashAggregate") >= 2, p
