@@ -203,6 +203,8 @@ _DRIVER_PRIORITY = [
     "ndcg_eval",
     "mann_whitney_u",
     "welch_ttest",
+    "asof_join_forward",
+    "record_linkage_scores",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

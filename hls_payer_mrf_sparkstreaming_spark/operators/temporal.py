@@ -1881,3 +1881,113 @@ def cusum_changepoint(spark, sf_dir):
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: nearest FOLLOWING right row per key
+# ---------------------------------------------------------------------------
+
+
+def asof_join_frames_forward(left, right, on, ts_col="ts_us", right_cols=()):
+    """Mirror of asof_join_frames: for each left row, attach the EARLIEST
+    right row with ``right.ts_col >= left.ts_col`` per ``on`` key — the
+    time-to-next-event direction (next purchase after a click, next error
+    after a deploy). Same union + running-window rewrite, with a
+    first-ignoring-nulls over the FOLLOWING frame."""
+    lcols = [c for c in left.columns if c not in (on, ts_col)]
+    l_tagged = left.select(
+        on,
+        ts_col,
+        *lcols,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right_cols
+        ],
+        F.lit(0).alias("_side"),
+    )
+    r_tagged = right.select(
+        on,
+        ts_col,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *right_cols,
+        F.lit(1).alias("_side"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # left rows sort before right rows at equal ts (_side 0 < 1), so the
+    # first following right row includes an equal-ts one — inclusive
+    # (left.ts <= right.ts), matching DuckDB's forward ASOF
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.withColumn(
+        "_r_ts",
+        F.first(
+            F.when(F.col("_side") == 1, F.col(ts_col)), ignorenulls=True
+        ).over(w),
+    )
+    for c in right_cols:
+        carried = carried.withColumn(
+            c,
+            F.first(
+                F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True
+            ).over(w),
+        )
+    return carried.filter(F.col("_side") == 0).select(
+        on,
+        ts_col,
+        *lcols,
+        F.col("_r_ts").alias("matched_ts_us"),
+        *right_cols,
+    )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+        WITH pur AS (
+            SELECT user_id, ts, max(value) AS purchase_value FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ),
+        clk AS (
+            SELECT event_id, user_id, ts, value AS click_value FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT c.user_id,
+               epoch_us(c.ts) AS ts_us,
+               c.event_id,
+               c.click_value,
+               epoch_us(p.ts) AS matched_ts_us,
+               p.purchase_value
+        FROM clk c ASOF LEFT JOIN pur p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    description="forward as-of join: each click matched to the user's "
+    "NEXT purchase at-or-after it — the time-to-conversion direction "
+    "asof_join's backward match cannot express. Same union + running "
+    "window rewrite (one shuffle on user_id, no inequality-join blowup), "
+    "with a first-ignoring-nulls over the following frame; oracle is "
+    "DuckDB's native forward ASOF LEFT JOIN (ON c.ts <= p.ts)",
+)
+def asof_join_forward(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_us,
+        "event_id",
+        F.col("value").alias("click_value"),
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select("user_id", ts_us, "purchase_value")
+    )
+    return asof_join_frames_forward(
+        clk, pur, on="user_id", right_cols=("purchase_value",)
+    )

@@ -1101,3 +1101,22 @@ def test_welch_ttest_single_scan_partial_agg(spark):
     p = plan(spark, "welch_ttest")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_asof_forward_single_key_shuffle(spark):
+    import re
+
+    # the union + following-frame window rewrite: one hash partitioning
+    # on user_id, never an inequality join
+    p = plan(spark, "asof_join_forward")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) >= 1, p
+
+
+def test_record_linkage_joins_on_block_key(spark):
+    # candidates come from an equi-join on the id-tail block key; the
+    # weight arithmetic is projection-only on top
+    p = plan(spark, "record_linkage_scores")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
