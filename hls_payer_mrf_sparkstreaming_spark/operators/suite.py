@@ -205,6 +205,7 @@ _DRIVER_PRIORITY = [
     "welch_ttest",
     "asof_join_forward",
     "record_linkage_scores",
+    "acf_lags",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

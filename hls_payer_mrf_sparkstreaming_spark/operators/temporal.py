@@ -1991,3 +1991,100 @@ def asof_join_forward(spark, sf_dir):
     return asof_join_frames_forward(
         clk, pur, on="user_id", right_cols=("purchase_value",)
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the per-series value sequence at small lags
+# ---------------------------------------------------------------------------
+
+_ACF_CORR = f"""CASE
+    WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) <= 0
+    THEN NULL
+    ELSE CAST(floor(
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        * {_NANO}) AS BIGINT)
+    END"""
+
+
+@query(
+    "acf_lags",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+                   lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+                   lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS l3
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id)
+        ),
+        p AS (
+            SELECT event_type, CAST(1 AS BIGINT) AS k, x, l1 AS y
+            FROM e WHERE l1 IS NOT NULL
+            UNION ALL
+            SELECT event_type, CAST(2 AS BIGINT), x, l2
+            FROM e WHERE l2 IS NOT NULL
+            UNION ALL
+            SELECT event_type, CAST(3 AS BIGINT), x, l3
+            FROM e WHERE l3 IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type, k,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM p GROUP BY event_type, k
+        )
+        SELECT event_type, k, n, {_ACF_CORR} AS acf_nano
+        FROM m
+    """,
+    description="Autocorrelation of the per-series event-value sequence "
+    "at lags 1-3 (Pearson between the series and its own lag over the "
+    "overlap) — the memory/periodicity diagnostic behind forecasting and "
+    "anomaly baselines. ONE window pass per series (ordered by ts with "
+    "an event_id tiebreak) produces all three lag columns, stack() "
+    "pivots them into (lag, pair) rows without a second shuffle, and "
+    "six exact integer moments per (series, lag) feed the same shared "
+    "correlation expression as corr_stats. The window partitions by "
+    "series — no global ordering anywhere",
+)
+def acf_lags(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        cents.alias("x"),
+        F.lag(cents, 1).over(w).alias("l1"),
+        F.lag(cents, 2).over(w).alias("l2"),
+        F.lag(cents, 3).over(w).alias("l3"),
+    )
+    p = e.select(
+        "event_type",
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), l1, CAST(2 AS BIGINT), l2,"
+            " CAST(3 AS BIGINT), l3)"
+        ).alias("k", "y"),
+        "x",
+    ).filter(F.col("y").isNotNull())
+    m = p.groupBy("event_type", "k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "event_type", "k", "n", F.expr(_ACF_CORR).alias("acf_nano")
+    )

@@ -410,3 +410,93 @@ def m4_from_partials(spark, out_dir: str) -> DataFrame:
             F.max_by("last_cents", F.col("last_key")).alias("last_cents"),
         )
     )
+
+
+def stream_cusum_partials(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Accumulate per-batch daily event-count partials into ``out_dir``
+    (availableNow; drains then stops). Counts are the canonical mergeable
+    state: sum per day across batches equals the batch groupBy, so the
+    CUSUM changepoint recomputed from the merged store is EXACTLY the
+    batch operator's answer. Same per-batch overwrite-directory retry
+    discipline as stream_quantile_partials."""
+    schema = spark.read.parquet(input_dir).schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_dedup import (
+            _batch_dir,
+        )
+
+        (
+            batch.groupBy(
+                F.expr(
+                    "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+                    " div 86400000000 AS BIGINT)"
+                ).alias("day")
+            )
+            .agg(F.count("*").cast("long").alias("x"))
+            .write.mode("overwrite")
+            .parquet(_batch_dir(out_dir, checkpoint_dir, batch_id))
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cusum_from_partials(spark, out_dir: str) -> DataFrame:
+    """Merge accumulated daily-count partials and locate the CUSUM
+    changepoint — identical to the batch cusum_changepoint output over
+    the same events. Merge cost is (days x batches) rows, never raw
+    events."""
+    from pyspark.sql import Window
+
+    d = (
+        spark.read.parquet(out_dir)
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = d.select(
+        "day",
+        F.count("*").over(wall).cast("long").alias("nd"),
+        F.sum("x").over(wall).cast("long").alias("total"),
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+    )
+    s = t.select(
+        "day",
+        F.col("nd").alias("n_days"),
+        "total",
+        (F.col("cum") * F.col("nd") - F.col("k") * F.col("total")).alias(
+            "s_scaled"
+        ),
+    )
+    return (
+        s.orderBy(
+            F.greatest(F.col("s_scaled"), -F.col("s_scaled")).desc(), "day"
+        )
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            "s_scaled",
+            "n_days",
+            "total",
+        )
+    )

@@ -1120,3 +1120,12 @@ def test_record_linkage_joins_on_block_key(spark):
     p = plan(spark, "record_linkage_scores")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_acf_single_series_window_partial_agg(spark):
+    # one window pass partitioned by series, stack() pivot without a
+    # second shuffle, then a map-side-combinable moment aggregate
+    p = plan(spark, "acf_lags")
+    assert "Window" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

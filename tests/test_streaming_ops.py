@@ -806,3 +806,42 @@ def test_streamed_m4_partials_equal_batch(spark, sf_dir, tmp_path):
         for r in all_queries()["m4_downsample"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streamed_cusum_partials_equal_batch(spark, sf_dir, tmp_path):
+    """Daily-count partials accumulated per micro-batch, then merged, must
+    locate EXACTLY the batch cusum_changepoint's answer."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+    from hls_payer_mrf_sparkstreaming_spark.streaming.events import (
+        cusum_from_partials,
+        stream_cusum_partials,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i in range(3):
+        staged = str(tmp_path / f"stage{i}")
+        events.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "partials"
+    q = stream_cusum_partials(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_cusum")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = [tuple(r) for r in cusum_from_partials(spark, str(out)).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["cusum_changepoint"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
