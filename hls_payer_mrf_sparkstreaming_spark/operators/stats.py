@@ -1743,3 +1743,341 @@ def welch_ttest(spark, sf_dir):
         )
     )
     return m.select("n_a", "s_a", "n_b", "s_b", F.expr(_WELCH_T).alias("t_nano"))
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index per segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hhi_concentration",
+    oracle=f"""
+        WITH s AS (
+            SELECT c_mktsegment AS segment, o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cust_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_custkey
+        ),
+        m AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cust_cents) AS BIGINT) AS total_cents,
+                   CAST(sum(cust_cents * cust_cents) AS BIGINT) AS sumsq
+            FROM s GROUP BY segment
+        )
+        SELECT segment, n_customers, total_cents,
+               CASE WHEN total_cents = 0 THEN NULL ELSE
+                   CAST(floor(CAST(sumsq AS DOUBLE)
+                        / (CAST(total_cents AS DOUBLE) * total_cents)
+                        * {_NANO}) AS BIGINT) END AS hhi_nano
+        FROM m
+    """,
+    description="Herfindahl-Hirschman concentration of order revenue "
+    "across customers, per market segment: HHI = sum(share^2) = "
+    "sum(x^2)/(sum(x))^2, so the whole index reduces to TWO exact "
+    "integer sums per segment over the per-customer rollup — no "
+    "per-entity share division anywhere. The dominance/concentration "
+    "gate for corpus sources (is one domain eating the training mix?) "
+    "as much as for revenue. Two map-side-combinable aggregates, one "
+    "broadcast-joined dim",
+)
+def hhi_concentration(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    s = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("segment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cust_cents")
+        )
+    )
+    m = s.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cust_cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cust_cents") * F.col("cust_cents"))
+        .cast("long")
+        .alias("sumsq"),
+    )
+    return m.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        F.when(F.col("total_cents") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.col("sumsq").cast("double")
+                / (F.col("total_cents").cast("double") * F.col("total_cents"))
+                * _NANO
+            ).cast("long")
+        )
+        .alias("hhi_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife variance of the mean: leave-one-block-out from exact totals
+# ---------------------------------------------------------------------------
+
+_JK_BLOCKS = 32
+
+# per-block squared deviation of the leave-one-out mean, as ONE expression
+# over exact longs (dkk = kk*theta_nano - S is an exact integer; the final
+# square is the only double step and is shared textually). Units:
+# nano-cents^2 / NANO = nano * cents^2
+_JK_DEV2 = """CAST(floor(
+    (CAST(dkk AS DOUBLE) / kk) * (CAST(dkk AS DOUBLE) / kk)
+    / 1000000000) AS BIGINT)"""
+
+
+@query(
+    "jackknife_variance",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(event_id % {_JK_BLOCKS} AS BIGINT) AS blk
+            FROM events
+        ),
+        b AS (
+            SELECT blk, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(cents) AS BIGINT) AS s_b
+            FROM r GROUP BY blk
+        ),
+        tot AS (
+            SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(s_b) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS kk
+            FROM b
+        ),
+        th AS (
+            SELECT ((s - s_b) * 1000000000) // (n - n_b) AS theta_nano,
+                   kk, n, s
+            FROM b CROSS JOIN tot
+        ),
+        st AS (
+            SELECT kk, n, s,
+                   CAST(sum(theta_nano) AS BIGINT) AS sum_theta
+            FROM th GROUP BY kk, n, s
+        ),
+        d AS (
+            SELECT th.kk, th.n, th.s,
+                   th.kk * theta_nano - st.sum_theta AS dkk
+            FROM th JOIN st ON th.kk = st.kk
+        ),
+        agg AS (
+            SELECT kk, n, s,
+                   CAST(sum({_JK_DEV2}) AS BIGINT) AS dev2
+            FROM d GROUP BY kk, n, s
+        )
+        SELECT n, kk AS n_blocks,
+               (s * 1000000000) // n AS mean_cents_nano,
+               ((kk - 1) * dev2) // kk AS jk_var_nano
+        FROM agg
+    """,
+    description="Delete-a-block jackknife variance of the mean event "
+    "value: rows hash into {k} blocks, each leave-one-out mean comes "
+    "from EXACT global-minus-block integer totals (no second data pass "
+    "per replicate — the classic distributed jackknife). Every "
+    "intermediate is an exact long (integer-division thetas, integer "
+    "deviations kk*theta - sum_theta); the single double step is one "
+    "shared per-block square, floored before the final exact sum. The "
+    "uncertainty estimate any metric pipeline ships next to its point "
+    "estimate, for one map-side-combinable aggregate plus arithmetic on "
+    "{k} rows".replace("{k}", str(_JK_BLOCKS)),
+)
+def jackknife_variance(spark, sf_dir):
+    r = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % _JK_BLOCKS).cast("long").alias("blk"),
+    )
+    b = r.groupBy("blk").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("cents").cast("long").alias("s_b"),
+    )
+    # every global quantity comes from unpartitioned windows over the
+    # K-row block relation — ONE lineage, so raw rows are scanned once
+    # (a separate agg + crossJoin would re-derive the block relation per
+    # reference: 4 parquet scans, caught by the plan test)
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    th = b.select(
+        "n_b",
+        "s_b",
+        F.sum("n_b").over(wall).cast("long").alias("n"),
+        F.sum("s_b").over(wall).cast("long").alias("s"),
+        F.count("*").over(wall).cast("long").alias("kk"),
+    ).select(
+        "kk",
+        "n",
+        "s",
+        F.expr("((s - s_b) * 1000000000) div (n - n_b)").alias(
+            "theta_nano"
+        ),
+    )
+    d = th.select(
+        "kk",
+        "n",
+        "s",
+        (
+            F.col("kk") * F.col("theta_nano")
+            - F.sum("theta_nano").over(wall).cast("long")
+        ).alias("dkk"),
+    )
+    agg = d.groupBy("kk", "n", "s").agg(
+        F.sum(F.expr(_JK_DEV2)).cast("long").alias("dev2")
+    )
+    return agg.select(
+        "n",
+        F.col("kk").alias("n_blocks"),
+        F.expr("(s * 1000000000) div n").alias("mean_cents_nano"),
+        F.expr("((kk - 1) * dev2) div kk").alias("jk_var_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI of the mean — deterministic hash-derived resamples
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # resamples; weights ~ Binomial(4, 1/4), mean 1 (Poisson approx)
+
+from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (  # noqa: E402
+    md5u60_sql,
+)
+
+
+def _boot_w_sql(h: str) -> str:
+    """Resample multiplicity from one 60-bit hash: four 2-bit trials,
+    each a success with p=1/4 — identical text for Spark SQL and DuckDB."""
+    return " + ".join(
+        f"(CASE WHEN (({h} >> {2 * t}) & 3) = 0 THEN 1 ELSE 0 END)"
+        for t in range(4)
+    )
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        w AS (
+            SELECT r.b, cents,
+                   {_boot_w_sql(
+                       md5u60_sql(
+                           "CAST(event_id AS VARCHAR) || '-' || "
+                           "CAST(r.b AS VARCHAR)"
+                       )
+                   )} AS m
+            FROM x, range({_BOOT_B}) r(b)
+        ),
+        t AS (
+            SELECT b, CAST(sum(m) AS BIGINT) AS n_b,
+                   CAST(sum(m * cents) AS BIGINT) AS s_b
+            FROM w GROUP BY b
+        ),
+        th AS (
+            SELECT (s_b * 1000000000) // n_b AS theta_nano,
+                   row_number() OVER (
+                       ORDER BY (s_b * 1000000000) // n_b, b) AS rnk
+            FROM t WHERE n_b > 0
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS bb,
+                   CAST(sum(theta_nano) AS BIGINT) AS st
+            FROM th
+        )
+        SELECT bb AS n_resamples,
+               st // bb AS boot_mean_nano,
+               (SELECT max(CASE WHEN rnk = (5 * bb + 99) // 100
+                           THEN theta_nano END) FROM th) AS lo_nano,
+               (SELECT max(CASE WHEN rnk = (95 * bb + 99) // 100
+                           THEN theta_nano END) FROM th) AS hi_nano
+        FROM g
+    """,
+    description="Poisson bootstrap 90% CI of the mean event value "
+    "(Chamandy et al., the bootstrap that works on data too big to "
+    "resample by index): each row's multiplicity in resample b is a "
+    "Binomial(4, 1/4) draw derived from the shared md5-60 hash of "
+    "(event_id, b) — fully deterministic, so even the CI endpoints "
+    "hash-match the oracle. One scan fans out x{b} via an array "
+    "explode, reduces map-side to {b} (weight-sum, weighted-sum) "
+    "pairs, and the discrete p5/p95 come from exact integer rank "
+    "arithmetic over {b} rows".replace("{b}", str(_BOOT_B)),
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from hls_payer_mrf_sparkstreaming_spark.functions.hashing import md5u60
+
+    x = load(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = x.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            _boot_w_sql(
+                "("
+                + "CAST(conv(substring(md5(CAST(event_id AS STRING) || '-' "
+                "|| CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+                + ")"
+            )
+        ).alias("m"),
+    )
+    t = w.groupBy("b").agg(
+        F.sum("m").cast("long").alias("n_b"),
+        F.sum(F.col("m") * F.col("cents")).cast("long").alias("s_b"),
+    )
+    th = (
+        t.filter(F.col("n_b") > 0)
+        .select(
+            F.expr("(s_b * 1000000000) div n_b").alias("theta_nano"), "b"
+        )
+        .select(
+            "theta_nano",
+            F.row_number()
+            .over(Window.orderBy("theta_nano", "b"))
+            .alias("rnk"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = th.select(
+        "theta_nano",
+        "rnk",
+        F.count("*").over(wall).cast("long").alias("bb"),
+        F.sum("theta_nano").over(wall).cast("long").alias("st"),
+    )
+    return r.groupBy("bb", "st").agg(
+        F.max(
+            F.when(
+                F.col("rnk") == F.expr("(5 * bb + 99) div 100"),
+                F.col("theta_nano"),
+            )
+        ).alias("lo_nano"),
+        F.max(
+            F.when(
+                F.col("rnk") == F.expr("(95 * bb + 99) div 100"),
+                F.col("theta_nano"),
+            )
+        ).alias("hi_nano"),
+    ).select(
+        F.col("bb").alias("n_resamples"),
+        F.expr("st div bb").alias("boot_mean_nano"),
+        "lo_nano",
+        "hi_nano",
+    )

@@ -206,6 +206,9 @@ _DRIVER_PRIORITY = [
     "asof_join_forward",
     "record_linkage_scores",
     "acf_lags",
+    "hhi_concentration",
+    "jackknife_variance",
+    "poisson_bootstrap_ci",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

@@ -1129,3 +1129,30 @@ def test_acf_single_series_window_partial_agg(spark):
     assert "Window" in p, p
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_hhi_reduces_to_two_sums(spark):
+    # per-customer rollup then two exact sums per segment; the customer
+    # dim joins broadcast
+    p = plan(spark, "hhi_concentration")
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_jackknife_single_data_pass(spark):
+    import re
+
+    # raw rows cross exactly one exchange (the 32-block partial agg);
+    # every replicate mean is arithmetic on the 32-row block relation
+    p = plan(spark, "jackknife_variance")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_bootstrap_reduces_before_rank_window(spark):
+    # the x32 fan-out reduces map-side to 32 (weight-sum, weighted-sum)
+    # rows; the rank window sees only those
+    p = plan(spark, "poisson_bootstrap_ci")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
