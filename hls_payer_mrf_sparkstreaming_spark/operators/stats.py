@@ -2081,3 +2081,117 @@ def poisson_bootstrap_ci(spark, sf_dir):
         "lo_nano",
         "hi_nano",
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between two time halves
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_LO = 0  # event value cents range at any SF
+_PSI_HI = 10000
+
+# per-bin PSI contribution over exact counts, shared textually; the
+# +1 smoothing keeps empty bins finite, identically on both engines
+_PSI_TERM = f"""CAST(floor(
+    ((CAST(a + 1 AS DOUBLE) / (na + {_PSI_BINS}))
+     - (CAST(e + 1 AS DOUBLE) / (ne + {_PSI_BINS})))
+    * ln((CAST(a + 1 AS DOUBLE) / (na + {_PSI_BINS}))
+         / (CAST(e + 1 AS DOUBLE) / (ne + {_PSI_BINS})))
+    * {_NANO}) AS BIGINT)"""
+
+
+@query(
+    "psi_stability_index",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(epoch_us(ts) AS BIGINT) AS us
+            FROM events
+        ),
+        g AS (SELECT CAST(min(us) AS BIGINT) AS lo_us,
+                     CAST(max(us) AS BIGINT) AS hi_us FROM r),
+        lab AS (
+            SELECT least(greatest((cents - {_PSI_LO}) * {_PSI_BINS}
+                       // ({_PSI_HI} - {_PSI_LO}), 0), {_PSI_BINS - 1})
+                       AS bin,
+                   CASE WHEN us * 2 < lo_us + hi_us THEN 0 ELSE 1 END
+                       AS half
+            FROM r CROSS JOIN g
+        ),
+        c AS (
+            SELECT bin,
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS e,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a
+            FROM lab GROUP BY bin
+        ),
+        t AS (
+            SELECT bin, e, a,
+                   CAST(sum(e) OVER () AS BIGINT) AS ne,
+                   CAST(sum(a) OVER () AS BIGINT) AS na
+            FROM c
+        )
+        SELECT CAST(sum({_PSI_TERM}) AS BIGINT) AS psi_nano,
+               max(ne) AS n_expected, max(na) AS n_actual
+        FROM t
+    """,
+    description="Population Stability Index of the event-value "
+    "distribution, first time-half (expected) vs second (actual) — THE "
+    "model-monitoring drift gate (<0.1 stable, >0.25 shifted) "
+    "complementing drift_ks's supremum and mann_whitney_u's rank test. "
+    "Fixed integer bins, Laplace-smoothed exact counts, each bin's "
+    "(a%-e%)ln(a%/e%) floored to nano BEFORE the final order-insensitive "
+    "long sum. One partial agg to {b} bins; the windows see bins only"
+    .replace("{b}", str(_PSI_BINS)),
+)
+def psi_stability_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    r = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = r.agg(
+        F.min("us").cast("long").alias("lo_us"),
+        F.max("us").cast("long").alias("hi_us"),
+    )
+    lab = r.crossJoin(F.broadcast(g)).select(
+        F.least(
+            F.greatest(
+                F.expr(
+                    f"(cents - {_PSI_LO}) * {_PSI_BINS}"
+                    f" div ({_PSI_HI} - {_PSI_LO})"
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        F.when(
+            F.col("us") * 2 < F.col("lo_us") + F.col("hi_us"), 0
+        ).otherwise(1).alias("half"),
+    )
+    c = lab.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = c.select(
+        "bin",
+        "e",
+        "a",
+        F.sum("e").over(wall).cast("long").alias("ne"),
+        F.sum("a").over(wall).cast("long").alias("na"),
+    )
+    return t.agg(
+        F.sum(F.expr(_PSI_TERM)).cast("long").alias("psi_nano"),
+        F.max("ne").alias("n_expected"),
+        F.max("na").alias("n_actual"),
+    )

@@ -209,6 +209,8 @@ _DRIVER_PRIORITY = [
     "hhi_concentration",
     "jackknife_variance",
     "poisson_bootstrap_ci",
+    "psi_stability_index",
+    "nearest_score_match",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

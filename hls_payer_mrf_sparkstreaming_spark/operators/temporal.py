@@ -2088,3 +2088,136 @@ def acf_lags(spark, sf_dir):
     return m.select(
         "event_type", "k", "n", F.expr(_ACF_CORR).alias("acf_nano")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-score matching (caliper matching on a 1-D score)
+# ---------------------------------------------------------------------------
+
+_MATCH_CALIPER = 500  # cents
+
+
+@query(
+    "nearest_score_match",
+    oracle=f"""
+        WITH trt AS (
+            SELECT user_id, event_id AS trt_event_id,
+                   CAST(round(value * 100) AS BIGINT) AS trt_cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ctl AS (
+            SELECT user_id, CAST(round(value * 100) AS BIGINT) AS ctl_cents,
+                   CAST(min(event_id) AS BIGINT) AS ctl_event_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, CAST(round(value * 100) AS BIGINT)
+        ),
+        back AS (
+            SELECT t.trt_event_id, c.ctl_event_id AS b_id,
+                   c.ctl_cents AS b_cents
+            FROM trt t ASOF LEFT JOIN ctl c
+              ON t.user_id = c.user_id AND t.trt_cents >= c.ctl_cents
+        ),
+        fwd AS (
+            SELECT t.trt_event_id, c.ctl_event_id AS f_id,
+                   c.ctl_cents AS f_cents
+            FROM trt t ASOF LEFT JOIN ctl c
+              ON t.user_id = c.user_id AND t.trt_cents <= c.ctl_cents
+        ),
+        best AS (
+            SELECT t.user_id, t.trt_event_id, t.trt_cents,
+                   CASE
+                       WHEN b_cents IS NULL THEN f_id
+                       WHEN f_cents IS NULL THEN b_id
+                       WHEN t.trt_cents - b_cents <= f_cents - t.trt_cents
+                       THEN b_id ELSE f_id END AS ctl_event_id,
+                   CASE
+                       WHEN b_cents IS NULL THEN f_cents
+                       WHEN f_cents IS NULL THEN b_cents
+                       WHEN t.trt_cents - b_cents <= f_cents - t.trt_cents
+                       THEN b_cents ELSE f_cents END AS ctl_cents
+            FROM trt t
+            JOIN back USING (trt_event_id) JOIN fwd USING (trt_event_id)
+        )
+        SELECT user_id, trt_event_id, trt_cents, ctl_event_id, ctl_cents,
+               greatest(trt_cents - ctl_cents, ctl_cents - trt_cents)
+                   AS dist
+        FROM best
+        WHERE ctl_cents IS NOT NULL
+          AND greatest(trt_cents - ctl_cents, ctl_cents - trt_cents)
+              <= {_MATCH_CALIPER}
+    """,
+    description="Caliper matching on a 1-D score: each treatment row "
+    "(purchase) matched to the user's nearest control (click) by value, "
+    "within {c} cents — the workhorse of observational causal inference "
+    "and of hard-negative mining. Composed from the two as-of join "
+    "directions (backward + forward union-window rewrites, one user_id "
+    "shuffle each, no inequality join), then a closest-of-two pick with "
+    "a deterministic ties-go-low rule. Controls are deduplicated per "
+    "(user, score) first so the match is unique at any parallelism"
+    .replace("{c}", str(_MATCH_CALIPER)),
+)
+def nearest_score_match(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    trt = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("trt_event_id"),
+        cents.alias("score"),
+    )
+    ctl = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", cents.alias("score"))
+        .agg(F.min("event_id").cast("long").alias("ctl_event_id"))
+    )
+    back = asof_join_frames(
+        trt, ctl, on="user_id", ts_col="score",
+        right_cols=("ctl_event_id",),
+    ).select(
+        "trt_event_id",
+        F.col("ctl_event_id").alias("b_id"),
+        F.col("matched_ts_us").alias("b_cents"),
+    )
+    fwd = asof_join_frames_forward(
+        trt, ctl, on="user_id", ts_col="score",
+        right_cols=("ctl_event_id",),
+    ).select(
+        "trt_event_id",
+        F.col("ctl_event_id").alias("f_id"),
+        F.col("matched_ts_us").alias("f_cents"),
+    )
+    nearer_back = (F.col("score") - F.col("b_cents")) <= (
+        F.col("f_cents") - F.col("score")
+    )
+    best = (
+        trt.join(back, "trt_event_id")
+        .join(fwd, "trt_event_id")
+        .select(
+            "user_id",
+            "trt_event_id",
+            F.col("score").alias("trt_cents"),
+            F.when(F.col("b_cents").isNull(), F.col("f_id"))
+            .when(F.col("f_cents").isNull(), F.col("b_id"))
+            .when(nearer_back, F.col("b_id"))
+            .otherwise(F.col("f_id"))
+            .alias("ctl_event_id"),
+            F.when(F.col("b_cents").isNull(), F.col("f_cents"))
+            .when(F.col("f_cents").isNull(), F.col("b_cents"))
+            .when(nearer_back, F.col("b_cents"))
+            .otherwise(F.col("f_cents"))
+            .alias("ctl_cents"),
+        )
+    )
+    dist = F.greatest(
+        F.col("trt_cents") - F.col("ctl_cents"),
+        F.col("ctl_cents") - F.col("trt_cents"),
+    )
+    return best.filter(
+        F.col("ctl_cents").isNotNull() & (dist <= _MATCH_CALIPER)
+    ).select(
+        "user_id",
+        "trt_event_id",
+        "trt_cents",
+        "ctl_event_id",
+        F.col("ctl_cents").cast("long").alias("ctl_cents"),
+        dist.cast("long").alias("dist"),
+    )

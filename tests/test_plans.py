@@ -1156,3 +1156,20 @@ def test_bootstrap_reduces_before_rank_window(spark):
     assert p.count("HashAggregate") >= 2, p
     assert "Window" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_psi_bins_before_windows(spark):
+    # raw rows reduce to 10 bin rows in a partial agg before the
+    # unpartitioned total windows
+    p = plan(spark, "psi_stability_index")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" in p, p
+
+
+def test_nearest_match_no_inequality_join(spark):
+    # both directions are union + window rewrites; the closest-of-two
+    # pick joins skinny per-treatment rows — never a cartesian /
+    # nested-loop over the event table
+    p = plan(spark, "nearest_score_match")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
