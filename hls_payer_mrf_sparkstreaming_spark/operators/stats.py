@@ -2195,3 +2195,210 @@ def psi_stability_index(spark, sf_dir):
         F.max("ne").alias("n_expected"),
         F.max("na").alias("n_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval per series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conformal_interval",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(user_id % 2 AS BIGINT) AS half
+            FROM events
+        ),
+        fit AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_fit,
+                   CAST(sum(cents) AS BIGINT) AS s_fit
+            FROM e WHERE half = 0 GROUP BY event_type
+        ),
+        res AS (
+            SELECT e.event_type,
+                   greatest(cents * n_fit - s_fit, s_fit - cents * n_fit)
+                       AS r_scaled,
+                   n_fit, s_fit
+            FROM e JOIN fit ON e.event_type = fit.event_type
+            WHERE half = 1
+        ),
+        rk AS (
+            SELECT event_type, r_scaled, n_fit, s_fit,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY r_scaled, s_fit) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_cal
+            FROM res
+        )
+        SELECT event_type, n_cal,
+               (s_fit * 1000000000) // n_fit AS pred_nano,
+               CAST(max(CASE WHEN rnk = (9 * (n_cal + 1) + 9) // 10
+                        THEN (r_scaled * 1000000000) // n_fit END)
+                    AS BIGINT) AS qhat_nano
+        FROM rk GROUP BY event_type, n_cal, s_fit, n_fit
+    """,
+    description="Split-conformal 90% prediction interval per series: fit "
+    "half (user parity 0) supplies the point prediction (the series "
+    "mean), calibration half supplies q_hat = the ceil(0.9(n+1))-th "
+    "smallest absolute residual — distribution-free finite-sample "
+    "coverage (Vovk; Angelopoulos-Bates). Residuals stay EXACT by "
+    "comparing cents*n_fit against s_fit (no mean division until the "
+    "final nano projection), and the quantile is discrete integer rank "
+    "arithmetic, not interpolation. One scan, one join of a broadcast "
+    "per-series fit table, one per-series rank window over calibration "
+    "rows",
+)
+def conformal_interval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2).cast("long").alias("half"),
+    )
+    fit = (
+        e.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_fit"),
+            F.sum("cents").cast("long").alias("s_fit"),
+        )
+    )
+    res = (
+        e.filter(F.col("half") == 1)
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            F.greatest(
+                F.col("cents") * F.col("n_fit") - F.col("s_fit"),
+                F.col("s_fit") - F.col("cents") * F.col("n_fit"),
+            ).alias("r_scaled"),
+            "n_fit",
+            "s_fit",
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    rk = res.select(
+        "event_type",
+        "r_scaled",
+        "n_fit",
+        "s_fit",
+        F.row_number()
+        .over(wp.orderBy("r_scaled", "s_fit"))
+        .alias("rnk"),
+        F.count("*")
+        .over(wp.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+        .cast("long")
+        .alias("n_cal"),
+    )
+    return rk.groupBy("event_type", "n_cal", "s_fit", "n_fit").agg(
+        F.max(
+            F.when(
+                F.col("rnk") == F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                F.expr("(r_scaled * 1000000000) div n_fit"),
+            )
+        )
+        .cast("long")
+        .alias("qhat_nano")
+    ).select(
+        "event_type",
+        "n_cal",
+        F.expr("(s_fit * 1000000000) div n_fit").alias("pred_nano"),
+        "qhat_nano",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the distribution tail index
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100  # top-k order statistics used for the tail fit
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 0
+        ),
+        top AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents DESC) AS rnk
+            FROM v ORDER BY cents DESC LIMIT {_HILL_K + 1}
+        ),
+        xk AS (
+            SELECT CAST(max(CASE WHEN rnk = {_HILL_K + 1}
+                        THEN cents END) AS BIGINT) AS x_k
+            FROM top
+        ),
+        terms AS (
+            SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / x_k)
+                        * {_NANO}) AS BIGINT) AS t
+            FROM top CROSS JOIN xk WHERE rnk <= {_HILL_K}
+        )
+        SELECT CAST({_HILL_K} AS BIGINT) AS k,
+               (SELECT x_k FROM xk) AS x_k_cents,
+               CAST(sum(t) AS BIGINT) // {_HILL_K} AS hill_gamma_nano
+        FROM terms
+    """,
+    description="Hill estimator of the tail index over the top-{k} order "
+    "statistics of order totals: gamma = mean ln(x_i/x_k) — the standard "
+    "heavy-tail diagnostic (gamma near 1 means Zipf-like, variance may "
+    "not exist; small gamma means thin tails), guiding whether "
+    "mean-based metrics are even meaningful. The order statistics come "
+    "from TakeOrderedAndProject (never a global sort); each log term is "
+    "floored to nano so the average is exact integer arithmetic"
+    .replace("{k}", str(_HILL_K)),
+)
+def hill_tail_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    v = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    top = (
+        v.orderBy(F.desc("cents"))
+        .limit(_HILL_K + 1)
+        .select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cents")))
+            .alias("rnk"),
+        )
+    )
+    xk = top.agg(
+        F.max(
+            F.when(F.col("rnk") == _HILL_K + 1, F.col("cents"))
+        )
+        .cast("long")
+        .alias("x_k")
+    )
+    terms = (
+        top.filter(F.col("rnk") <= _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.floor(
+                F.log(F.col("cents").cast("double") / F.col("x_k")) * _NANO
+            )
+            .cast("long")
+            .alias("t"),
+            "x_k",
+        )
+    )
+    return terms.groupBy("x_k").agg(
+        F.sum("t").cast("long").alias("sum_t")
+    ).select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("x_k").alias("x_k_cents"),
+        F.expr(f"sum_t div {_HILL_K}").alias("hill_gamma_nano"),
+    )

@@ -211,6 +211,9 @@ _DRIVER_PRIORITY = [
     "poisson_bootstrap_ci",
     "psi_stability_index",
     "nearest_score_match",
+    "conformal_interval",
+    "session_path_likelihood",
+    "hill_tail_index",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

@@ -2221,3 +2221,88 @@ def nearest_score_match(spark, sf_dir):
         F.col("ctl_cents").cast("long").alias("ctl_cents"),
         dist.cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path log-likelihood under the corpus transition model
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_path_likelihood",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events
+        ),
+        steps AS (
+            SELECT user_id, event_type AS src, nxt AS dst
+            FROM s WHERE nxt IS NOT NULL
+        ),
+        tm AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER (PARTITION BY src)
+                        AS BIGINT) AS tot
+            FROM steps GROUP BY src, dst
+        ),
+        scored AS (
+            SELECT user_id,
+                   CAST(floor(ln(CAST(c AS DOUBLE) / tot) * {_NANO})
+                        AS BIGINT) AS step_ll
+            FROM steps JOIN tm USING (src, dst)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_steps,
+               CAST(sum(step_ll) AS BIGINT) AS loglik_nano
+        FROM scored GROUP BY user_id
+    """,
+    description="Per-user session log-likelihood under the corpus-level "
+    "first-order Markov transition model — the sequence-anomaly score "
+    "behind bot/fraud detection (an improbable path gets a very "
+    "negative score) and the behavioral twin of unigram_logprob_score. "
+    "Transition probabilities come from exact counts (a windowed sum "
+    "per source state, no division until the shared ln step, floored "
+    "per step so the per-user sum is an exact long). Two shuffles total: "
+    "the per-user lead() window and the transition-count aggregate, "
+    "which re-joins as a broadcast (state-space-sized, 25 rows)",
+)
+def session_path_likelihood(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    s = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    steps = s.filter(F.col("dst").isNotNull())
+    tm = (
+        steps.groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            "src",
+            "dst",
+            "c",
+            F.sum("c")
+            .over(Window.partitionBy("src"))
+            .cast("long")
+            .alias("tot"),
+        )
+    )
+    scored = steps.join(F.broadcast(tm), ["src", "dst"]).select(
+        "user_id",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("tot")) * _NANO
+        )
+        .cast("long")
+        .alias("step_ll"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum("step_ll").cast("long").alias("loglik_nano"),
+    )

@@ -1173,3 +1173,26 @@ def test_nearest_match_no_inequality_join(spark):
     p = plan(spark, "nearest_score_match")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_conformal_broadcasts_fit_table(spark):
+    # the per-series fit table joins back broadcast; calibration rows
+    # rank inside a per-series window
+    p = plan(spark, "conformal_interval")
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
+
+
+def test_session_likelihood_broadcasts_transitions(spark):
+    # the transition model (state-space-sized) re-joins broadcast onto
+    # the step stream; no second full-data shuffle for scoring
+    p = plan(spark, "session_path_likelihood")
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_hill_order_stats_take_ordered(spark):
+    # the top-(k+1) order statistics must come from
+    # TakeOrderedAndProject, never a global sort of the fact table
+    p = plan(spark, "hill_tail_index")
+    assert "TakeOrderedAndProject" in p, p
