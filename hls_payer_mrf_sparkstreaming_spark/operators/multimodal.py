@@ -344,3 +344,105 @@ def multimodal_audio_energy(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return windowed_energy(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Tile statistics: per-region reduction over binary payloads
+# ---------------------------------------------------------------------------
+
+TILE_BYTES = 256  # one "tile" = 256 payload bytes (stand-in for a 16x16 patch)
+
+TILES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tile_idx", LongType()),
+        StructField("n", LongType()),
+        StructField("mean_milli", LongType()),
+        StructField("max_byte", LongType()),
+    ]
+)
+
+
+def tile_stats(blobs: DataFrame, tile_bytes: int = TILE_BYTES) -> DataFrame:
+    """Per-tile byte statistics via an Arrow-batched numpy kernel — the
+    plumbing shape of real patch/tile feature extractors (ViT patch
+    embeddings, CLIP tiles): blob in, one row per region out, all stats
+    exact integers. Swap the byte-mean for a model forward pass and the
+    contract is unchanged."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tiles, ns, means, maxs = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(blob, dtype=np.uint8)
+                for t in range(0, len(a), tile_bytes):
+                    seg = a[t : t + tile_bytes]
+                    ids.append(doc_id)
+                    tiles.append(t // tile_bytes)
+                    ns.append(len(seg))
+                    means.append(
+                        int(seg.sum(dtype=np.int64)) * 1000 // len(seg)
+                    )
+                    maxs.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "tile_idx": tiles,
+                    "n": ns,
+                    "mean_milli": means,
+                    "max_byte": maxs,
+                }
+            )
+
+    return blobs.mapInPandas(kernel, TILES_SCHEMA)
+
+
+@query(
+    "multimodal_tile_stats",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, encode(text) AS blob,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        ti AS (
+            SELECT doc_id, blob, nb,
+                   unnest(range(CAST(ceil(CAST(nb AS DOUBLE)
+                                / {TILE_BYTES}) AS BIGINT))) AS tile_idx
+            FROM b
+        ),
+        t AS (
+            SELECT doc_id, tile_idx,
+                   least(nb - tile_idx * {TILE_BYTES}, {TILE_BYTES})
+                       AS n,
+                   list_transform(
+                       range(1, least(nb - tile_idx * {TILE_BYTES},
+                                      {TILE_BYTES}) + 1),
+                       j -> CAST(unicode(substring(
+                                CAST(blob AS VARCHAR),
+                                tile_idx * {TILE_BYTES} + j, 1))
+                            AS BIGINT)) AS bytes_list
+            FROM ti
+        )
+        SELECT doc_id, CAST(tile_idx AS BIGINT) AS tile_idx,
+               CAST(n AS BIGINT) AS n,
+               CAST(list_sum(bytes_list) * 1000 // n AS BIGINT)
+                   AS mean_milli,
+               CAST(list_max(bytes_list) AS BIGINT) AS max_byte
+        FROM t
+    """,
+    description="Per-tile byte statistics over binary payloads via an "
+    "Arrow-batched numpy mapInPandas kernel — one row per {b}-byte "
+    "region, exact integer mean/max — the plumbing shape of patch/tile "
+    "feature extraction (ViT patches, CLIP tiles): swap the byte-mean "
+    "for a model forward pass, same contract. The oracle replays the "
+    "kernel in DuckDB over code points (ASCII corpus: byte == code "
+    "point), so the whole distributed Python boundary is hash-checked"
+    .replace("{b}", str(TILE_BYTES)),
+)
+def multimodal_tile_stats(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return tile_stats(blobs)

@@ -214,6 +214,7 @@ _DRIVER_PRIORITY = [
     "conformal_interval",
     "session_path_likelihood",
     "hill_tail_index",
+    "multimodal_tile_stats",
     # last green driver row is round 3 (r6-verdict rotation list)
     "dedup_simhash",
     "fuzzy_match_names",

@@ -1196,3 +1196,13 @@ def test_hill_order_stats_take_ordered(spark):
     # TakeOrderedAndProject, never a global sort of the fact table
     p = plan(spark, "hill_tail_index")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_tile_stats_is_single_arrow_stage(spark):
+    import re
+
+    # the numpy kernel is ONE Arrow-batched python stage over the scan —
+    # no shuffle before or after (per-tile rows emerge locally)
+    p = plan(spark, "multimodal_tile_stats")
+    assert "MapInPandas" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
