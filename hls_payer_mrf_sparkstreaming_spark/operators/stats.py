@@ -1756,21 +1756,22 @@ def welch_ttest(spark, sf_dir):
         WITH s AS (
             SELECT c_mktsegment AS segment, o_custkey,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS cust_cents
+                        // 100 AS BIGINT) AS cust_dollars
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment, o_custkey
         ),
         m AS (
             SELECT segment,
                    CAST(count(*) AS BIGINT) AS n_customers,
-                   CAST(sum(cust_cents) AS BIGINT) AS total_cents,
-                   CAST(sum(cust_cents * cust_cents) AS BIGINT) AS sumsq
+                   CAST(sum(cust_dollars) AS BIGINT) AS total_dollars,
+                   CAST(sum(cust_dollars * cust_dollars) AS BIGINT)
+                       AS sumsq
             FROM s GROUP BY segment
         )
-        SELECT segment, n_customers, total_cents,
-               CASE WHEN total_cents = 0 THEN NULL ELSE
+        SELECT segment, n_customers, total_dollars,
+               CASE WHEN total_dollars = 0 THEN NULL ELSE
                    CAST(floor(CAST(sumsq AS DOUBLE)
-                        / (CAST(total_cents AS DOUBLE) * total_cents)
+                        / (CAST(total_dollars AS DOUBLE) * total_dollars)
                         * {_NANO}) AS BIGINT) END AS hhi_nano
         FROM m
     """,
@@ -1778,10 +1779,13 @@ def welch_ttest(spark, sf_dir):
     "across customers, per market segment: HHI = sum(share^2) = "
     "sum(x^2)/(sum(x))^2, so the whole index reduces to TWO exact "
     "integer sums per segment over the per-customer rollup — no "
-    "per-entity share division anywhere. The dominance/concentration "
-    "gate for corpus sources (is one domain eating the training mix?) "
-    "as much as for revenue. Two map-side-combinable aggregates, one "
-    "broadcast-joined dim",
+    "per-entity share division anywhere. Per-customer spend is rounded "
+    "to whole dollars BEFORE squaring so sum(x^2) stays inside int64 at "
+    "bench scale (cents-squared overflowed at sf0.1; beyond ~1e6 "
+    "entities per group the moments widen to DECIMAL(38,0), plan "
+    "unchanged). The dominance/concentration gate for corpus sources "
+    "(is one domain eating the training mix?) as much as for revenue. "
+    "Two map-side-combinable aggregates, one broadcast-joined dim",
 )
 def hhi_concentration(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select(
@@ -1792,27 +1796,31 @@ def hhi_concentration(spark, sf_dir):
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("segment", "o_custkey")
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cust_cents")
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("cust_dollars")
         )
     )
     m = s.groupBy("segment").agg(
         F.count("*").cast("long").alias("n_customers"),
-        F.sum("cust_cents").cast("long").alias("total_cents"),
-        F.sum(F.col("cust_cents") * F.col("cust_cents"))
+        F.sum("cust_dollars").cast("long").alias("total_dollars"),
+        F.sum(F.col("cust_dollars") * F.col("cust_dollars"))
         .cast("long")
         .alias("sumsq"),
     )
     return m.select(
         "segment",
         "n_customers",
-        "total_cents",
-        F.when(F.col("total_cents") == 0, F.lit(None).cast("long"))
+        "total_dollars",
+        F.when(F.col("total_dollars") == 0, F.lit(None).cast("long"))
         .otherwise(
             F.floor(
                 F.col("sumsq").cast("double")
-                / (F.col("total_cents").cast("double") * F.col("total_cents"))
+                / (
+                    F.col("total_dollars").cast("double")
+                    * F.col("total_dollars")
+                )
                 * _NANO
             ).cast("long")
         )
