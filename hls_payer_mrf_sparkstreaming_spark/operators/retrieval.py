@@ -618,3 +618,126 @@ def ndcg_eval(spark, sf_dir):
             f" AS BIGINT) END"
         ).alias("ndcg_nano"),
     )
+
+
+_PRK_K = 20
+
+# AP@K per-rank term: precision-at-i at each relevant rank, floored to
+# nano so the <=K-term sum is an exact long (identical text both engines)
+_AP_TERM = (
+    "CASE WHEN rel = 1 THEN CAST(floor(CAST(cum_rel AS DOUBLE) / rnk "
+    "* 1000000000) AS BIGINT) ELSE 0 END"
+)
+
+
+@query(
+    "precision_recall_at_k",
+    oracle=f"""
+        WITH {_sql_tf_cte()},
+        s AS (
+            SELECT doc_id, {_sql_bm25_nano()} AS score_nano,
+                   CASE WHEN tf0 > 0 AND tf1 > 0 AND tf2 > 0
+                        THEN 1 ELSE 0 END AS rel
+            FROM tf CROSS JOIN g
+        ),
+        r AS (SELECT CAST(sum(rel) AS BIGINT) AS n_relevant FROM s),
+        top AS (
+            SELECT rel, row_number() OVER (
+                       ORDER BY score_nano DESC, doc_id) AS rnk
+            FROM s ORDER BY score_nano DESC, doc_id LIMIT {_PRK_K}
+        ),
+        cum AS (
+            SELECT rel, rnk,
+                   CAST(sum(rel) OVER (ORDER BY rnk) AS BIGINT) AS cum_rel
+            FROM top
+        ),
+        a AS (
+            SELECT CAST(sum(rel) AS BIGINT) AS hits,
+                   CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+                       AS first_rel,
+                   CAST(sum({_AP_TERM}) AS BIGINT) AS ap_terms
+            FROM cum
+        )
+        SELECT {_PRK_K} AS k, n_relevant, hits,
+               CAST(floor(CAST(hits AS DOUBLE) / {_PRK_K} * 1000000000)
+                    AS BIGINT) AS precision_nano,
+               CASE WHEN n_relevant = 0 THEN NULL ELSE
+                   CAST(floor(CAST(hits AS DOUBLE) / n_relevant
+                              * 1000000000) AS BIGINT) END AS recall_nano,
+               CASE WHEN first_rel IS NULL THEN 0 ELSE
+                   CAST(floor(1000000000.0 / first_rel) AS BIGINT) END
+                   AS mrr_nano,
+               CASE WHEN n_relevant = 0 THEN NULL ELSE
+                   CAST(floor(CAST(ap_terms AS DOUBLE)
+                              / least(n_relevant, {_PRK_K})) AS BIGINT)
+                   END AS ap_nano
+        FROM a CROSS JOIN r
+    """,
+    description=f"precision@{_PRK_K} / recall@{_PRK_K} / MRR / AP@{_PRK_K} "
+    "of the BM25 ranking against binary relevance (doc contains all query "
+    "terms) — the set-retrieval quality gates that complete ndcg_eval's "
+    "graded view; the regression suite every RAG index change runs. The "
+    "ranked list is TakeOrderedAndProject top-K with deterministic "
+    "(score, doc_id) tiebreaks (never a global sort); per-rank "
+    "precision terms are floored to nano so the AP sum is an exact long; "
+    "the relevant-total is one map-side-combinable scan sharing "
+    "_term_stats with bm25_search. Window functions touch only the "
+    f"{_PRK_K}-row top list",
+)
+def precision_recall_at_k(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tf, g = _term_stats(spark, sf_dir)
+    rel = (
+        (F.col("tf0") > 0) & (F.col("tf1") > 0) & (F.col("tf2") > 0)
+    ).cast("int")
+    # persisted: both the relevant-total and the top-K branch read the
+    # scored relation, so the corpus is scanned once, not twice per branch
+    s = (
+        tf.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id", _bm25_nano().alias("score_nano"), rel.alias("rel")
+        )
+        .persist()
+    )
+    r = s.agg(F.sum("rel").cast("long").alias("n_relevant"))
+    order = [F.desc("score_nano"), F.asc("doc_id")]
+    top = s.orderBy(*order).limit(_PRK_K)
+    cum = top.select(
+        "rel",
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+    ).select(
+        "rel",
+        "rnk",
+        F.sum("rel").over(Window.orderBy("rnk")).cast("long").alias("cum_rel"),
+    )
+    a = cum.agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+        .cast("long")
+        .alias("first_rel"),
+        F.sum(F.expr(_AP_TERM)).cast("long").alias("ap_terms"),
+    )
+    return a.crossJoin(F.broadcast(r)).select(
+        F.lit(_PRK_K).alias("k"),
+        "n_relevant",
+        "hits",
+        F.expr(
+            f"CAST(floor(CAST(hits AS DOUBLE) / {_PRK_K} * 1000000000)"
+            " AS BIGINT)"
+        ).alias("precision_nano"),
+        F.expr(
+            "CASE WHEN n_relevant = 0 THEN NULL ELSE "
+            "CAST(floor(CAST(hits AS DOUBLE) / n_relevant * 1000000000)"
+            " AS BIGINT) END"
+        ).alias("recall_nano"),
+        F.expr(
+            "CASE WHEN first_rel IS NULL THEN 0 ELSE "
+            "CAST(floor(1000000000.0 / first_rel) AS BIGINT) END"
+        ).alias("mrr_nano"),
+        F.expr(
+            "CASE WHEN n_relevant = 0 THEN NULL ELSE "
+            "CAST(floor(CAST(ap_terms AS DOUBLE)"
+            f" / least(n_relevant, {_PRK_K})) AS BIGINT) END"
+        ).alias("ap_nano"),
+    )

@@ -2410,3 +2410,243 @@ def hill_tail_index(spark, sf_dir):
         F.col("x_k").alias("x_k_cents"),
         F.expr(f"sum_t div {_HILL_K}").alias("hill_gamma_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: the robust twin of corr_stats — Pearson on
+# average ranks, immune to monotone transforms and outliers. The classic
+# screening stat for "is this quality score actually monotone in that
+# heuristic?" across corpus-curation signals.
+# ---------------------------------------------------------------------------
+
+# doubled average rank: 2*rank() + (# ties at this value) - 1 is an exact
+# integer equal to twice the tie-averaged rank, so the rank moments stay
+# integers (the /2 scale factor cancels inside the correlation ratio).
+# The tie count comes from a peers-only RANGE frame over the SAME sort as
+# rank(), so each axis costs one exchange+sort, not two.
+_SPEAR_RANK = (
+    "2 * rank() OVER (PARTITION BY event_type ORDER BY {v}) "
+    "+ count(*) OVER (PARTITION BY event_type ORDER BY {v} "
+    "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1"
+)
+
+
+@query(
+    "spearman_corr",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
+            FROM events
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST({_SPEAR_RANK.format(v='x')} AS BIGINT) AS rx,
+                   CAST({_SPEAR_RANK.format(v='y')} AS BIGINT) AS ry
+            FROM e
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS sx,
+                   CAST(sum(ry) AS BIGINT) AS sy,
+                   CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                   CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                   CAST(sum(ry * ry) AS BIGINT) AS syy
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(floor((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / sqrt((CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)
+                                 * (CAST(n AS DOUBLE) * syy
+                                    - CAST(sy AS DOUBLE) * sy))
+                          * {_NANO}) AS BIGINT) AS spearman_nano
+        FROM m
+    """,
+    description="Spearman rank correlation of (event value in cents) vs "
+    "(numeric prop) per event_type — Pearson on tie-averaged ranks, the "
+    "robust monotone-association twin of corr_stats. Doubled average "
+    "ranks (2*rank + ties - 1) are exact integers, so all six rank "
+    "moments sum exactly under any parallelism; the tie count rides a "
+    "peers-only RANGE frame on the SAME sort as rank(), so each axis "
+    "costs exactly one exchange+sort of (group, value) pairs — two "
+    "total — then one map-side-combinable moment groupBy. Rank moments "
+    "reach ~4n^3 per group, inside int64 up to ~10^6 rows per group; "
+    "beyond that the moments widen to DECIMAL(38,0), plan unchanged",
+)
+def spearman_corr(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("y"),
+    )
+    r = e.select(
+        "event_type",
+        F.expr(_SPEAR_RANK.format(v="x")).cast("long").alias("rx"),
+        F.expr(_SPEAR_RANK.format(v="y")).cast("long").alias("ry"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    var_x = n * F.col("sxx") - sx * F.col("sx")
+    var_y = n * F.col("syy") - sy * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(num / F.sqrt(var_x * var_y) * _NANO)
+        .cast("long")
+        .alias("spearman_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical column pairs: the dependence
+# screening stat that chi-square significance doesn't give (MI is the
+# effect size in nats) — "does source determine lang?" for corpus mixes,
+# "is priority redundant given status?" for schema pruning. Normalized
+# MI (MI / sqrt(H(X) H(Y))) lands in [0, 1] for cross-pair comparison.
+# ---------------------------------------------------------------------------
+
+# shared per-cell expression text (Spark SQL and DuckDB parse identically;
+# floor-to-nano BEFORE summing keeps the K-cell sums exact longs). MI
+# terms can be negative (cells under independence), floor is still
+# deterministic there.
+_MI_TERM = (
+    "CAST(floor((CAST(c AS DOUBLE) / n) "
+    "* ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)) "
+    "* 1000000000) AS BIGINT)"
+)
+_MARG_ENT_TERM = (
+    "CAST(floor(-(CAST(cm AS DOUBLE) / n) "
+    "* ln(CAST(cm AS DOUBLE) / n) * 1000000000) AS BIGINT)"
+)
+_NMI_EXPR = (
+    "CASE WHEN hx_nano <= 0 OR hy_nano <= 0 THEN NULL ELSE "
+    "CAST(floor(CAST(mi_nano AS DOUBLE) "
+    "/ sqrt(CAST(hx_nano AS DOUBLE) * hy_nano) * 1000000000) AS BIGINT) "
+    "END"
+)
+
+
+def _mi_pair_sql(table: str, xc: str, yc: str) -> str:
+    return f"""
+        SELECT '{table}.{xc}|{table}.{yc}' AS column_pair,
+               cells.n_cells, cells.mi_nano, hx.hx_nano, hy.hy_nano,
+               {_NMI_EXPR} AS nmi_nano
+        FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum({_MI_TERM}) AS BIGINT) AS mi_nano
+            FROM (SELECT {xc} AS xv, {yc} AS yv,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM {table} GROUP BY 1, 2) j
+            JOIN (SELECT {xc} AS xv, CAST(count(*) AS BIGINT) AS cx
+                  FROM {table} GROUP BY 1) mx USING (xv)
+            JOIN (SELECT {yc} AS yv, CAST(count(*) AS BIGINT) AS cy
+                  FROM {table} GROUP BY 1) my USING (yv)
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM {table}) t
+        ) cells
+        CROSS JOIN (
+            SELECT CAST(sum({_MARG_ENT_TERM}) AS BIGINT) AS hx_nano
+            FROM (SELECT CAST(count(*) AS BIGINT) AS cm
+                  FROM {table} GROUP BY {xc}) mx
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM {table}) t
+        ) hx
+        CROSS JOIN (
+            SELECT CAST(sum({_MARG_ENT_TERM}) AS BIGINT) AS hy_nano
+            FROM (SELECT CAST(count(*) AS BIGINT) AS cm
+                  FROM {table} GROUP BY {yc}) my
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM {table}) t
+        ) hy
+    """
+
+
+@query(
+    "mutual_information",
+    oracle=f"""
+        {_mi_pair_sql('documents', 'lang', 'source')}
+        UNION ALL
+        {_mi_pair_sql('orders', 'o_orderstatus', 'o_orderpriority')}
+    """,
+    description="mutual information and normalized MI (nano-nats) between "
+    "categorical column pairs (documents.lang|source, "
+    "orders.status|priority) — the dependence effect-size that completes "
+    "chi_square_independence (significance) and column_entropy "
+    "(marginals). Per-cell terms (p_xy ln(p_xy n/(c_x c_y)) and -p ln p) "
+    "are floored to integer nano-units BEFORE summing so the K-cell sums "
+    "are exact under any aggregation order; NMI divides the two floored "
+    "sums, identical on both engines. Plan per pair: ONE "
+    "map-side-combinable joint groupBy persisted at K-cell size, "
+    "marginals and the total derived from those K rows (the fact table "
+    "is scanned once per pair, never re-shuffled), then broadcast joins "
+    "over K-row inputs. At 100 TB the joint fits a single executor for "
+    "any real categorical pair; a high-cardinality pair would bucket the "
+    "join instead, same term math",
+)
+def mutual_information(spark, sf_dir):
+    def pair(df, xc: str, yc: str, label: str):
+        j = (
+            df.groupBy(
+                F.col(xc).alias("xv"), F.col(yc).alias("yv")
+            )
+            .agg(F.count("*").cast("long").alias("c"))
+            .persist()
+        )
+        mx = j.groupBy("xv").agg(F.sum("c").cast("long").alias("cx"))
+        my = j.groupBy("yv").agg(F.sum("c").cast("long").alias("cy"))
+        t = j.agg(F.sum("c").cast("long").alias("n"))
+        cells = (
+            j.join(F.broadcast(mx), "xv")
+            .join(F.broadcast(my), "yv")
+            .crossJoin(F.broadcast(t))
+            .agg(
+                F.count("*").cast("long").alias("n_cells"),
+                F.sum(F.expr(_MI_TERM)).cast("long").alias("mi_nano"),
+            )
+        )
+
+        def marg_ent(m, cnt_col: str, out: str):
+            return (
+                m.select(F.col(cnt_col).alias("cm"))
+                .crossJoin(F.broadcast(t))
+                .agg(
+                    F.sum(F.expr(_MARG_ENT_TERM)).cast("long").alias(out)
+                )
+            )
+
+        return (
+            cells.crossJoin(F.broadcast(marg_ent(mx, "cx", "hx_nano")))
+            .crossJoin(F.broadcast(marg_ent(my, "cy", "hy_nano")))
+            .select(
+                F.lit(label).alias("column_pair"),
+                "n_cells",
+                "mi_nano",
+                "hx_nano",
+                "hy_nano",
+                F.expr(_NMI_EXPR).alias("nmi_nano"),
+            )
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+    return pair(docs, "lang", "source", "documents.lang|documents.source").unionAll(
+        pair(
+            orders,
+            "o_orderstatus",
+            "o_orderpriority",
+            "orders.o_orderstatus|orders.o_orderpriority",
+        )
+    )

@@ -186,6 +186,11 @@ _DRIVER_PRIORITY = [
     # r4-green rows.
     # never driver-checked (added post-window in round 6)
     "knn_label_disagreement",
+    # never driver-checked (new in round 7, second session)
+    "spearman_corr",
+    "mutual_information",
+    "precision_recall_at_k",
+    "theil_sen_slope",
     # never driver-checked (new in round 7)
     "simhash_hamming_pairs",
     "chi_square_independence",

@@ -2306,3 +2306,123 @@ def session_path_likelihood(spark, sf_dir):
         F.count("*").cast("long").alias("n_steps"),
         F.sum("step_ll").cast("long").alias("loglik_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median of pairwise slopes over each user's last
+# K events — the breakdown-resistant twin of trend_slope_per_user (one
+# fat-finger event moves OLS arbitrarily far; Theil-Sen tolerates ~29%
+# contamination). Bounding the window to K recent events bounds the
+# quadratic pair count at K*(K-1)/2 per user at ANY event volume.
+# ---------------------------------------------------------------------------
+
+_TS_K = 9  # last K events per user -> <= 36 pairwise slopes
+
+# pairwise slope in milli-cents-per-hour, one shared text both engines:
+# dc cents / dt_us microseconds * 3.6e9 us/h * 1000 milli
+_TS_SLOPE = (
+    "CAST(floor(CAST(dc AS DOUBLE) * 3600000000 / dt_us * 1000)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "theil_sen_slope",
+    oracle=f"""
+        WITH r AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        k AS (SELECT * FROM r WHERE rn <= {_TS_K}),
+        p AS (
+            SELECT a.user_id,
+                   a.c - b.c AS dc,
+                   a.ts_us - b.ts_us AS dt_us
+            FROM k a JOIN k b
+              ON a.user_id = b.user_id AND a.rn < b.rn
+            WHERE a.ts_us > b.ts_us
+        ),
+        s AS (SELECT user_id, {_TS_SLOPE} AS slope_milli FROM p)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY slope_milli) AS BIGINT) AS theil_sen_milli
+        FROM s GROUP BY user_id
+    """,
+    description=f"Theil-Sen robust trend slope per user (milli-cents/hour): "
+    f"median of all pairwise slopes over the user's last {_TS_K} events — "
+    "the estimator that survives ~29% contaminated points where "
+    "trend_slope_per_user's OLS breaks on one. The recency window caps "
+    f"pairs at {_TS_K}*{_TS_K - 1}/2 per user, so the 'quadratic' join "
+    "is O(1) per user at any history depth; same-timestamp pairs are "
+    "excluded identically on both engines. The median is exact "
+    "percentile_disc semantics via the cumulative-position trick "
+    "(first sorted position with 2*pos >= n) on integer milli-slopes. "
+    "Plan: one shuffle on user_id feeds the ranking window, the "
+    "self-join reuses that partitioning, and the median window walks "
+    "<= 36 rows per user",
+)
+def theil_sen_slope(spark, sf_dir):
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r = load(spark, sf_dir, "events").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc(ts_us), F.desc("event_id")
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= _TS_K).persist()
+    # persisted: the pair self-join reads r on BOTH sides — without the
+    # persist each branch re-scans events and re-runs the rank window
+    a = r.select(
+        "user_id",
+        F.col("ts_us").alias("ts_a"),
+        F.col("c").alias("c_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        "user_id",
+        F.col("ts_us").alias("ts_b"),
+        F.col("c").alias("c_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    p = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("rn_a") < F.col("rn_b"))
+            & (F.col("ts_a") > F.col("ts_b"))
+        )
+        .select(
+            "user_id",
+            (F.col("c_a") - F.col("c_b")).alias("dc"),
+            (F.col("ts_a") - F.col("ts_b")).alias("dt_us"),
+        )
+    )
+    s = p.select("user_id", F.expr(_TS_SLOPE).alias("slope_milli"))
+    w_ord = Window.partitionBy("user_id").orderBy("slope_milli")
+    w_all = Window.partitionBy("user_id")
+    ranked = s.select(
+        "user_id",
+        "slope_milli",
+        F.row_number().over(w_ord).alias("pos"),
+        F.count("*").over(w_all).alias("np"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(
+                F.col("pos") * 2 >= F.col("np"), F.col("slope_milli")
+            )
+        )
+        .cast("long")
+        .alias("theil_sen_milli"),
+    )

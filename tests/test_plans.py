@@ -1206,3 +1206,52 @@ def test_tile_stats_is_single_arrow_stage(spark):
     p = plan(spark, "multimodal_tile_stats")
     assert "MapInPandas" in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+
+
+def test_spearman_ranks_single_exchange(spark):
+    # both rank axes partition by event_type, so the two sort-windows
+    # share ONE exchange; moments are a two-phase partial aggregate
+    import re
+
+    p = plan(spark, "spearman_corr")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_mutual_information_broadcasts_marginals(spark):
+    # the joint table is persisted at K-cell size; marginals/totals come
+    # back as broadcast joins and each fact table is scanned exactly once
+    import re
+
+    p = plan(spark, "mutual_information")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_precision_recall_rankings_are_take_ordered(spark):
+    # the ranked list is TakeOrderedAndProject (never a global sort of
+    # the corpus); the persisted scored relation keeps the corpus at one
+    # scan per term-stats branch
+    import re
+
+    p = plan(spark, "precision_recall_at_k")
+    assert p.count("TakeOrderedAndProject") >= 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_theil_sen_pairs_join_is_equi_on_user(spark):
+    # the bounded pair join is an equi-join on user_id over the persisted
+    # last-K rows (never a cartesian / nested-loop); events are scanned
+    # once and the rank window runs once
+    import re
+
+    p = plan(spark, "theil_sen_slope")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "Window" in p, p
