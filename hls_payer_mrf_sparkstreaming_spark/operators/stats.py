@@ -1955,6 +1955,10 @@ def jackknife_variance(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 32  # resamples; weights ~ Binomial(4, 1/4), mean 1 (Poisson approx)
+# one 60-bit hash carries 7 resamples' worth of 2-bit trials (7 slots x 4
+# trials = 28 of its 30 bit-pairs), so the md5 count per row is B/7, not B
+_BOOT_SLOTS = 7
+_BOOT_CHUNKS = -(-_BOOT_B // _BOOT_SLOTS)  # ceil
 
 from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (  # noqa: E402
     md5u60_sql,
@@ -1962,8 +1966,9 @@ from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (  # noqa: E402
 
 
 def _boot_w_sql(h: str) -> str:
-    """Resample multiplicity from one 60-bit hash: four 2-bit trials,
-    each a success with p=1/4 — identical text for Spark SQL and DuckDB."""
+    """Resample multiplicity from 8 hash bits: four 2-bit trials, each a
+    success with p=1/4 — identical text for Spark SQL and DuckDB. ``h``
+    is a 60-bit hash already shifted so the slot's byte is at bit 0."""
     return " + ".join(
         f"(CASE WHEN (({h} >> {2 * t}) & 3) = 0 THEN 1 ELSE 0 END)"
         for t in range(4)
@@ -1978,14 +1983,16 @@ def _boot_w_sql(h: str) -> str:
             FROM events
         ),
         w AS (
-            SELECT r.b, cents,
+            SELECT c.chunk * {_BOOT_SLOTS} + s.slot AS b, cents,
                    {_boot_w_sql(
-                       md5u60_sql(
+                       "(" + md5u60_sql(
                            "CAST(event_id AS VARCHAR) || '-' || "
-                           "CAST(r.b AS VARCHAR)"
-                       )
+                           "CAST(c.chunk AS VARCHAR)"
+                       ) + " >> (8 * s.slot))"
                    )} AS m
-            FROM x, range({_BOOT_B}) r(b)
+            FROM x, range({_BOOT_CHUNKS}) c(chunk),
+                 range({_BOOT_SLOTS}) s(slot)
+            WHERE c.chunk * {_BOOT_SLOTS} + s.slot < {_BOOT_B}
         ),
         t AS (
             SELECT b, CAST(sum(m) AS BIGINT) AS n_b,
@@ -2016,10 +2023,13 @@ def _boot_w_sql(h: str) -> str:
     "resample by index): each row's multiplicity in resample b is a "
     "Binomial(4, 1/4) draw derived from the shared md5-60 hash of "
     "(event_id, b) — fully deterministic, so even the CI endpoints "
-    "hash-match the oracle. One scan fans out x{b} via an array "
-    "explode, reduces map-side to {b} (weight-sum, weighted-sum) "
-    "pairs, and the discrete p5/p95 come from exact integer rank "
-    "arithmetic over {b} rows".replace("{b}", str(_BOOT_B)),
+    "hash-match the oracle. One scan fans out x{c} hash chunks (each "
+    "60-bit hash feeds 7 resamples' trial bits, so the md5 cost per row "
+    "is B/7, not B), explodes to x{b} weighted rows, reduces map-side "
+    "to {b} (weight-sum, weighted-sum) pairs, and the discrete p5/p95 "
+    "come from exact integer rank arithmetic over {b} rows".replace(
+        "{b}", str(_BOOT_B)
+    ).replace("{c}", str(_BOOT_CHUNKS)),
 )
 def poisson_bootstrap_ci(spark, sf_dir):
     from pyspark.sql import Window
@@ -2029,21 +2039,40 @@ def poisson_bootstrap_ci(spark, sf_dir):
     x = load(spark, sf_dir, "events").select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    w = x.select(
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        "event_id",
-    ).select(
-        "b",
-        "cents",
-        F.expr(
-            _boot_w_sql(
-                "("
-                + "CAST(conv(substring(md5(CAST(event_id AS STRING) || '-' "
-                "|| CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-                + ")"
-            )
-        ).alias("m"),
+    w = (
+        x.select(
+            "cents",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_CHUNKS - 1))
+            ).alias("chunk"),
+            "event_id",
+        )
+        .select(
+            "cents",
+            "chunk",
+            # ONE md5 per (row, chunk) materialized here; the slot explode
+            # below only slices its bits
+            F.expr(
+                "CAST(conv(substring(md5(CAST(event_id AS STRING) || '-' "
+                "|| CAST(chunk AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "cents",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_SLOTS - 1))
+            ).alias("slot"),
+            "chunk",
+        )
+        .filter(
+            F.col("chunk") * _BOOT_SLOTS + F.col("slot") < _BOOT_B
+        )
+        .select(
+            (F.col("chunk") * _BOOT_SLOTS + F.col("slot")).alias("b"),
+            "cents",
+            F.expr(_boot_w_sql("(h >> (8 * slot))")).alias("m"),
+        )
     )
     t = w.groupBy("b").agg(
         F.sum("m").cast("long").alias("n_b"),
