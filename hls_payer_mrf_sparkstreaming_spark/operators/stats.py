@@ -375,44 +375,76 @@ def drift_ks(spark, sf_dir):
     "parallel aggregation is hash-exact), outliers = rows deviating more "
     "than 3 MADs. Quality gates built on mean/stddev collapse when the "
     "contamination IS the outliers; MAD is the standard robust gate for "
-    "pretraining-corpus filtering. Plan: two partial-agg groupBys over "
-    "the fact table plus broadcast joins of the K-row statistics back — "
-    "no fact-table re-shuffle, the group key stays the partition key "
-    "throughout. The deviation projection feeds BOTH the MAD groupBy and "
-    "the final aggregate, so it is persisted (MEMORY_AND_DISK — spills, "
-    "never OOMs at scale) to cap fact-table scans at 2; Spark's "
-    "CacheManager canonicalizes the plan, so repeated calls reuse one "
-    "cached copy instead of stacking",
+    "pretraining-corpus filtering. Plan: the fact compresses to a "
+    "(group, cents) histogram with ONE map-side-combined shuffle — the "
+    "only pass over raw rows — and every later statistic (median via "
+    "the cumulative 2*cum >= n walk, the deviation distribution, MAD, "
+    "the outlier count) is integer arithmetic over distinct-value "
+    "counts. Unlike percentile_disc's ObjectHashAggregate buffer, which "
+    "holds every group value in memory, the histogram survives groups "
+    "with billions of rows; the K-row medians travel as broadcast "
+    "joins, so the fact is scanned once and never re-shuffled",
 )
 def anomaly_mad(spark, sf_dir):
-    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    c = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    def disc_median(hist, key, val, cnt, out):
+        """percentile_disc(0.5) over a (key, val, cnt) histogram: the
+        smallest value whose cumulative count reaches half the total."""
+        run = (
+            Window.partitionBy(key)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        whole = Window.partitionBy(key)
+        h = hist.withColumn("cum", F.sum(cnt).over(run)).withColumn(
+            "tot", F.sum(cnt).over(whole)
+        )
+        return h.groupBy(key).agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col(val))
+            ).alias(out)
+        )
+
+    hist = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count("*").alias("cnt"))
+        # persisted: med and the deviation histogram both read it — one
+        # fact scan + one shuffle total, not one per consumer branch
+        .persist()
     )
-    med = c.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
-        ).alias("med")
+    med = disc_median(hist, "l_returnflag", "cents", "cnt", "med")
+    dhist = (
+        hist.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med",
+            F.abs(F.col("cents") - F.col("med")).alias("d"),
+            "cnt",
+        )
+        .groupBy("l_returnflag", "med", "d")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()  # read by both the MAD median and the final rollup
     )
-    dev = c.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        "med",
-        F.abs(F.col("cents") - F.col("med")).alias("d"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    mad = dev.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
-    )
+    mad = disc_median(dhist, "l_returnflag", "d", "cnt", "mad")
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        dhist.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cnt").cast("long").alias("n_rows"),
             F.min("med").cast("long").alias("median_cents"),
             F.min("mad").cast("long").alias("mad_cents"),
             F.sum(
-                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("d") > 3 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             )
             .cast("long")
             .alias("n_outliers"),

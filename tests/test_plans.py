@@ -251,11 +251,16 @@ def test_drift_centroids_global_row_broadcast(spark):
 
 
 def test_anomaly_mad_broadcasts_stats_back(spark):
-    # the K-row median/MAD relations must be broadcast back to the fact
-    # table; a SortMergeJoin here re-shuffles every fact row per statistic
+    # the K-row median/MAD relations must be broadcast back onto the
+    # persisted histograms (a SortMergeJoin here would re-shuffle every
+    # distinct value per statistic), and the fact parquet is scanned
+    # exactly once — all medians walk histogram counts, never raw rows
+    import re
+
     p = plan(spark, "anomaly_mad")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
 
 
 def test_class_weights_scans_corpus_once(spark):
