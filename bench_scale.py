@@ -81,6 +81,13 @@ QUERIES = [
     "ngram_jaccard_pairs",
     "dedup_cluster",
     "star_join_revenue",
+    # round-7 second-session additions + rewrites
+    "simhash_hamming_pairs",
+    "poisson_bootstrap_ci",
+    "spearman_corr",
+    "theil_sen_slope",
+    "mutual_information",
+    "precision_recall_at_k",
 ]
 
 
