@@ -26,6 +26,7 @@ fixed (no data-dependent convergence scan over the big table).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hls_payer_mrf_sparkstreaming_spark.functions import vector as V
@@ -418,9 +419,20 @@ def pca_power_iteration(spark, sf_dir):
             .groupBy((F.col("d0") + 1).alias("d"))
             .agg(F.sum(F.col("s") * F.col("xd")).alias("raw"))
         )
-        g = raw.agg(F.max(F.abs("raw")).alias("g"))
+        # renormalize with a window max over the 64-row raw relation: a
+        # separate raw.agg() branch would duplicate raw's whole subtree
+        # (no exchange reuse across the join), doubling the corpus-wide
+        # explode EACH round — 14 executions of it for 3 rounds instead
+        # of 3. The empty-frame window moves only the 64 (dim, raw) rows.
         v_row = (
-            raw.crossJoin(F.broadcast(g))
+            raw.withColumn(
+                "g",
+                F.max(F.abs("raw")).over(
+                    Window.partitionBy().rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
             .select(
                 "d",
                 (

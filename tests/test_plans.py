@@ -7,6 +7,7 @@ regress; only these assertions catch it.
 """
 
 import os
+import re
 
 import pytest
 
@@ -613,6 +614,11 @@ def test_pca_rounds_reduce_to_dim_rows(spark):
     p = plan(spark, "pca_power_iteration")
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
+    # each round must be ONE subtree: a separate max-aggregate branch per
+    # round doubles the corpus-wide posexplode every round (2^r blowup).
+    # 4 Generate nodes (3 rounds + final unpack) x 2 formatted-mode prints.
+    n_gen = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_gen <= 4, f"posexplode subtree duplicated: {n_gen} Generates"
 
 
 def test_knn_classify_broadcasts_seed_set(spark):
