@@ -567,20 +567,32 @@ def _payer_compare_oracle() -> str:
     "with the B/A ratio in basis points. Runs the full chunker -> "
     "source -> silver chain on BOTH files (each parsed once via the "
     "session silver cache) and is oracled by independent DuckDB "
-    "read_json twins. Plan: two medallion lineages reduced to "
-    "per-code medians BEFORE the join, so the join moves one row per "
-    "billing code, not per price — at national scale (thousands of "
-    "payer files) this is the same partial-aggregate-then-join shape",
+    "read_json twins. Plan: per payer, (billing_code, cents) is ONE "
+    "double-explode pass over the parsed in_network branch (a "
+    "codes-join-prices formulation would re-execute the corpus-sized "
+    "parse on both join sides — the silver tables share the explode "
+    "lineage, which Spark does not dedupe across joins), reduced to "
+    "per-code medians BEFORE the cross-payer join, so the join moves "
+    "one row per billing code, not per price — at national scale "
+    "(thousands of payer files) this is the same "
+    "partial-aggregate-then-join shape",
 )
 def mrf_payer_compare(spark, sf_dir):
     def med(path):
         t = build_silver_cached(spark, path, chunktargetbytes=65536)
         return (
-            t.codes.select("sk_in_network_id", "billing_code")
-            .join(t.prices, "sk_in_network_id")
+            t.in_network.select(
+                "billing_code",
+                F.explode("negotiated_rates").alias("nr"),
+            )
             .select(
                 "billing_code",
-                F.round(F.col("negotiated_rate") * 100)
+                F.explode("nr.negotiated_prices").alias("price"),
+            )
+            .filter(F.col("price.negotiated_type") == "negotiated")
+            .select(
+                "billing_code",
+                F.round(F.col("price.negotiated_rate") * 100)
                 .cast("long")
                 .alias("cents"),
             )
@@ -706,24 +718,32 @@ def _network_overlap_oracle() -> str:
     "a full outer join on (code, TIN) reduced to per-code set sizes, "
     "shared count and exact-integer Jaccard in basis points (count(*) "
     "of the merged rows IS |union|). Oracled by independent DuckDB "
-    "read_json twins on both fixtures. Plan: each payer's lineage "
-    "reduces to distinct (code, tin) BEFORE the join — the join moves "
-    "one row per network membership, not per negotiated price; at "
-    "national scale (every payer x every code) that is the "
+    "read_json twins on both fixtures. Plan: the (billing_code, "
+    "provider_reference) edge is ONE double-explode pass over the parsed "
+    "in_network branch — joining the codes/rates/par_providers silver "
+    "tables instead would re-execute the corpus-sized JSON parse once "
+    "per join side (they share the explode lineage, which Spark does "
+    "not dedupe across joins) — and each payer's lineage reduces to "
+    "distinct (code, tin) BEFORE the join, so the join moves one row "
+    "per network membership, not per negotiated price; at national "
+    "scale (every payer x every code) that is the "
     "partial-aggregate-then-join shape, keyed on (code, tin) so both "
     "sides co-locate in one shuffle",
 )
 def mrf_network_overlap(spark, sf_dir):
     def pairs(path):
         t = build_silver_cached(spark, path, chunktargetbytes=65536)
+        refs = t.in_network.select(
+            "billing_code",
+            F.explode("negotiated_rates").alias("r"),
+        ).select(
+            "billing_code",
+            F.explode("r.provider_references").alias(
+                "provider_reference_id"
+            ),
+        )
         return (
-            t.codes.select("sk_in_network_id", "billing_code")
-            .join(
-                t.rates.select("sk_in_network_id", "sk_rate_id"),
-                "sk_in_network_id",
-            )
-            .join(t.par_providers, "sk_rate_id")
-            .join(
+            refs.join(
                 t.providers_x_payer.select(
                     "provider_group_id",
                     F.col("tin.value").alias("tin"),

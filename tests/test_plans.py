@@ -942,6 +942,21 @@ def test_network_overlap_reduces_before_join(spark):
     p = plan(spark, "mrf_network_overlap")
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
+    # each payer must parse its JSON ONCE: refs is a direct double
+    # explode over in_network (3 Generates incl. the parse posexplode)
+    # plus 2 for the provider branch; a codes-join-rates-join-
+    # par_providers formulation re-executes the parse per join side
+    n_gen = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_gen <= 10, f"parse lineage duplicated: {n_gen} Generates"
+
+
+def test_payer_compare_single_parse_per_payer(spark):
+    # per payer, (billing_code, cents) must be one double-explode pass
+    # over in_network (3 Generates each); codes-join-prices would
+    # re-execute the corpus-sized parse on both join sides
+    p = plan(spark, "mrf_payer_compare")
+    n_gen = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_gen <= 6, f"parse lineage duplicated: {n_gen} Generates"
 
 
 def test_trend_slope_single_user_shuffle(spark):
