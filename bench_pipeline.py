@@ -181,7 +181,7 @@ def main() -> None:
         .first()
     )
     t2 = time.time()
-    n = shoppable_price(codes, prices, par, pxp, code, tin).count()
+    n = shoppable_price(codes, pxp, code, tin).count()
     gold_sec = time.time() - t2
     assert n > 0
 

@@ -112,7 +112,7 @@ def main(source: str | None = None) -> None:
         f"tin={hit['tin_value']}:"
     )
     shoppable_price(
-        codes, prices, par, pxp, hit["billing_code"], hit["tin_value"]
+        codes, pxp, hit["billing_code"], hit["tin_value"]
     ).show(truncate=False)
     if owns_session:
         spark.stop()

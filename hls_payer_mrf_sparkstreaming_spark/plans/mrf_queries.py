@@ -315,9 +315,13 @@ def _gold_oracle() -> str:
 @query(
     "mrf_gold_shoppable",
     oracle=_gold_oracle(),
-    description="gold shoppable-price query (4-way join, parameterized) — "
-    "oracled end-to-end by a DuckDB read_json twin with the same "
-    "deterministic parameter discovery",
+    description="gold shoppable-price query (parameterized) — the one-code "
+    "predicate filters the codes relation BEFORE any explode (a pushed "
+    "parquet filter on materialized tables), the (price, provider_ref) "
+    "pairs unfold from that code's negotiated_rates alone, and the only "
+    "join is against the broadcast TIN-filtered provider dim; the full "
+    "price fact is never scanned. Oracled end-to-end by a DuckDB "
+    "read_json twin with the same deterministic parameter discovery",
 )
 def mrf_gold_shoppable(spark, sf_dir):
     p = fixture_path()

@@ -211,40 +211,68 @@ def in_network_par_providers(rates: DataFrame) -> DataFrame:
 
 def shoppable_price(
     codes: DataFrame,
-    prices: DataFrame,
-    par_providers: DataFrame,
     providers_x_payer: DataFrame,
     billing_code: str,
     tin_value: str,
 ) -> DataFrame:
     """Parameterized price-comparison query: price for a procedure within a
-    provider group (the CMS 2023 mandate query)."""
+    provider group (the CMS 2023 mandate query, 01_payer_mrf_demo.py:225-238).
+
+    The demo's SQL joins the materialized codes/prices/par_providers
+    tables; re-expressed here as filter-first derivation instead: the
+    one-code predicate hits the codes scan BEFORE any explode (pushed
+    into the parquet read on a materialized table), and the
+    (price, provider_reference) pairs unfold from that code's
+    negotiated_rates alone. The full price fact is never scanned, no
+    surrogate-key join is needed, and the one corpus-sized input is
+    read once — joining the prices/par_providers tables instead would
+    scan the whole fact and, on un-materialized lineage, re-execute the
+    JSON parse once per join side."""
     proc = codes.filter(
         (F.col("billing_code") == billing_code)
         & (F.col("negotiation_arrangement") == "ffs")
     )
-    provider = providers_x_payer.filter(F.col("tin.value") == tin_value)
-    # proc (one billing code) and the tin-filtered provider dim are both tiny
-    # vs the price fact; broadcast them explicitly — the payer-mrf scan has
-    # no stats, so Catalyst would otherwise pick shuffle joins.
-    return (
-        F.broadcast(proc)
-        .join(prices, "sk_in_network_id")
-        .join(par_providers, "sk_rate_id")
-        .join(
-            F.broadcast(provider),
-            F.col("provider_reference_id") == F.col("provider_group_id"),
+    price_refs = (
+        proc.select(
+            "billing_code",
+            "description",
+            F.explode("negotiated_rates").alias("nr"),
         )
         .select(
             "billing_code",
             "description",
-            "billing_class",
-            "billing_code_modifier",
-            "service_code",
-            "negotiated_rate",
-            "npi",
-            "tin",
+            F.col("nr.provider_references").alias("refs"),
+            F.explode("nr.negotiated_prices").alias("price"),
         )
+        .filter(F.col("price.negotiated_type") == "negotiated")
+        .select(
+            "billing_code",
+            "description",
+            F.col("price.billing_class").alias("billing_class"),
+            F.col("price.billing_code_modifier").alias(
+                "billing_code_modifier"
+            ),
+            F.col("price.service_code").alias("service_code"),
+            F.col("price.negotiated_rate").alias("negotiated_rate"),
+            F.explode("refs").alias("provider_reference_id"),
+        )
+    )
+    # the tin-filtered provider dim is tiny; broadcast it explicitly —
+    # the payer-mrf scan has no stats, so Catalyst would otherwise pick
+    # a shuffle join.
+    provider = providers_x_payer.filter(F.col("tin.value") == tin_value)
+    return price_refs.join(
+        F.broadcast(provider),
+        F.col("provider_reference_id") == F.col("provider_group_id"),
+    ).select(
+        "billing_code",
+        "description",
+        "billing_class",
+        "billing_code_modifier",
+        "service_code",
+        "negotiated_rate",
+        "npi",
+        "tin",
     )
 
 
@@ -291,8 +319,6 @@ class MrfSilverTables:
     def shoppable_price(self, billing_code: str, tin_value: str) -> DataFrame:
         return shoppable_price(
             self.codes,
-            self.prices,
-            self.par_providers,
             self.providers_x_payer,
             billing_code,
             tin_value,

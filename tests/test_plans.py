@@ -950,6 +950,16 @@ def test_network_overlap_reduces_before_join(spark):
     assert n_gen <= 10, f"parse lineage duplicated: {n_gen} Generates"
 
 
+def test_gold_shoppable_filters_before_explode(spark):
+    # the one-code filter must precede the explodes (filter-first
+    # derivation from codes); joining the prices/par_providers facts
+    # would scan the whole fact and re-execute the parse per join side
+    p = plan(spark, "mrf_gold_shoppable")
+    assert "SortMergeJoin" not in p, p
+    n_gen = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_gen <= 8, f"fact-scan join shape returned: {n_gen} Generates"
+
+
 def test_payer_compare_single_parse_per_payer(spark):
     # per payer, (billing_code, cents) must be one double-explode pass
     # over in_network (3 Generates each); codes-join-prices would
