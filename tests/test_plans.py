@@ -26,6 +26,43 @@ def plan(spark, name: str, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def runtime_generates(p: str) -> int:
+    """Count Generate nodes in a formatted plan's RUNTIME lineage.
+
+    Spark's formatted explain prints each cached relation's *build* plan
+    nested under its InMemoryTableScan / InMemoryRelation node. Those
+    Generates execute at most once, when the cache materializes — not per
+    query — so plan guards that pin "the parse runs once" must exclude
+    them. A raw ``(\\d+) Generate`` count over the details section counts
+    every cache-build explode on top of the runtime ones and goes red the
+    moment a lineage is routed through ``.cache()`` (the exact trap that
+    broke this guard in round 7 when the per-payer silver tables were
+    session-cached).
+
+    Walks the tree section only (details repeat each node once more),
+    skipping any subtree rooted at an InMemoryRelation.
+    """
+    count = 0
+    skip_indent = None
+    for line in p.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            break  # details section — tree is fully consumed
+        m = re.search(r"(?:\+|:)- ", line)
+        if not m:
+            continue
+        indent = m.start()
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        if re.search(r"Generate \(\d+\)", line):
+            count += 1
+    return count
+
+
 def test_filter_pushdown_reaches_scan(spark):
     p = plan(spark, "filter_eq")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in p
@@ -616,9 +653,10 @@ def test_pca_rounds_reduce_to_dim_rows(spark):
     assert p.count("HashAggregate") >= 2, p
     # each round must be ONE subtree: a separate max-aggregate branch per
     # round doubles the corpus-wide posexplode every round (2^r blowup).
-    # 4 Generate nodes (3 rounds + final unpack) x 2 formatted-mode prints.
-    n_gen = len(re.findall(r"\(\d+\) Generate", p))
-    assert n_gen <= 4, f"posexplode subtree duplicated: {n_gen} Generates"
+    # 4 runtime Generate nodes: 3 rounds + final unpack (cache-build
+    # lineage excluded — same trap as the MRF guards).
+    n_gen = runtime_generates(p)
+    assert n_gen <= 4, f"posexplode subtree duplicated: {n_gen} runtime Generates\n{p}"
 
 
 def test_knn_classify_broadcasts_seed_set(spark):
@@ -942,12 +980,14 @@ def test_network_overlap_reduces_before_join(spark):
     p = plan(spark, "mrf_network_overlap")
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
-    # each payer must parse its JSON ONCE: refs is a direct double
-    # explode over in_network (3 Generates incl. the parse posexplode)
-    # plus 2 for the provider branch; a codes-join-rates-join-
-    # par_providers formulation re-executes the parse per join side
-    n_gen = len(re.findall(r"\(\d+\) Generate", p))
-    assert n_gen <= 10, f"parse lineage duplicated: {n_gen} Generates"
+    # each payer must parse its JSON ONCE at runtime: 2 runtime explodes
+    # per payer over the cached silver base (cache-BUILD Generates under
+    # InMemoryRelation run once at materialization and are excluded — see
+    # runtime_generates). A codes-join-rates-join-par_providers
+    # formulation re-executes the explode chain per join side and at
+    # least doubles this count.
+    n_gen = runtime_generates(p)
+    assert n_gen <= 6, f"parse lineage duplicated: {n_gen} runtime Generates\n{p}"
 
 
 def test_gold_shoppable_filters_before_explode(spark):
@@ -956,8 +996,8 @@ def test_gold_shoppable_filters_before_explode(spark):
     # would scan the whole fact and re-execute the parse per join side
     p = plan(spark, "mrf_gold_shoppable")
     assert "SortMergeJoin" not in p, p
-    n_gen = len(re.findall(r"\(\d+\) Generate", p))
-    assert n_gen <= 8, f"fact-scan join shape returned: {n_gen} Generates"
+    n_gen = runtime_generates(p)
+    assert n_gen <= 4, f"fact-scan join shape returned: {n_gen} runtime Generates\n{p}"
 
 
 def test_payer_compare_single_parse_per_payer(spark):
@@ -965,8 +1005,8 @@ def test_payer_compare_single_parse_per_payer(spark):
     # over in_network (3 Generates each); codes-join-prices would
     # re-execute the corpus-sized parse on both join sides
     p = plan(spark, "mrf_payer_compare")
-    n_gen = len(re.findall(r"\(\d+\) Generate", p))
-    assert n_gen <= 6, f"parse lineage duplicated: {n_gen} Generates"
+    n_gen = runtime_generates(p)
+    assert n_gen <= 4, f"parse lineage duplicated: {n_gen} runtime Generates\n{p}"
 
 
 def test_trend_slope_single_user_shuffle(spark):
