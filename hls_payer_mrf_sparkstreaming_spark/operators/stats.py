@@ -382,31 +382,35 @@ def drift_ks(spark, sf_dir):
     "the outlier count) is integer arithmetic over distinct-value "
     "counts. Unlike percentile_disc's ObjectHashAggregate buffer, which "
     "holds every group value in memory, the histogram survives groups "
-    "with billions of rows; the K-row medians travel as broadcast "
-    "joins, so the fact is scanned once and never re-shuffled",
+    "with billions of rows; med, MAD and the outlier rollup all ride ONE "
+    "group-partitioned window chain (resort by deviation inside the same "
+    "exchange), so the whole statistic is one lineage — no persists, no "
+    "joins, two shuffles total, cold-run cost identical to warm",
 )
 def anomaly_mad(spark, sf_dir):
     from pyspark.sql import Window
 
-    def disc_median(hist, key, val, cnt, out):
-        """percentile_disc(0.5) over a (key, val, cnt) histogram: the
-        smallest value whose cumulative count reaches half the total."""
-        run = (
-            Window.partitionBy(key)
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        whole = Window.partitionBy(key)
-        h = hist.withColumn("cum", F.sum(cnt).over(run)).withColumn(
-            "tot", F.sum(cnt).over(whole)
-        )
-        return h.groupBy(key).agg(
-            F.min(
-                F.when(F.col("cum") * 2 >= F.col("tot"), F.col(val))
-            ).alias(out)
-        )
-
-    hist = (
+    # percentile_disc(0.5) over a histogram = the smallest value whose
+    # cumulative count reaches half the total. Both medians (cents, then
+    # |cents - med|) are computed in ONE window chain over the same
+    # l_returnflag partitioning: the second ordering is a partition-local
+    # re-sort, not a new exchange, and the whole-partition min(when(...))
+    # windows broadcast each median back to every row without a join.
+    # (The earlier persist-hist / broadcast-join formulation rebuilt two
+    # caches and four window jobs from cold on every bench run — 7.8 s
+    # driver-cold vs ~1.5 s for this fused lineage, same result hash.)
+    run_c = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_d = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("l_returnflag")
+    return (
         load(spark, sf_dir, "lineitem")
         .select(
             "l_returnflag",
@@ -416,26 +420,22 @@ def anomaly_mad(spark, sf_dir):
         )
         .groupBy("l_returnflag", "cents")
         .agg(F.count("*").alias("cnt"))
-        # persisted: med and the deviation histogram both read it — one
-        # fact scan + one shuffle total, not one per consumer branch
-        .persist()
-    )
-    med = disc_median(hist, "l_returnflag", "cents", "cnt", "med")
-    dhist = (
-        hist.join(F.broadcast(med), "l_returnflag")
-        .select(
-            "l_returnflag",
+        .withColumn("cum_c", F.sum("cnt").over(run_c))
+        .withColumn("tot", F.sum("cnt").over(whole))
+        .withColumn(
             "med",
-            F.abs(F.col("cents") - F.col("med")).alias("d"),
-            "cnt",
+            F.min(
+                F.when(F.col("cum_c") * 2 >= F.col("tot"), F.col("cents"))
+            ).over(whole),
         )
-        .groupBy("l_returnflag", "med", "d")
-        .agg(F.sum("cnt").alias("cnt"))
-        .persist()  # read by both the MAD median and the final rollup
-    )
-    mad = disc_median(dhist, "l_returnflag", "d", "cnt", "mad")
-    return (
-        dhist.join(F.broadcast(mad), "l_returnflag")
+        .withColumn("d", F.abs(F.col("cents") - F.col("med")))
+        .withColumn("cum_d", F.sum("cnt").over(run_d))
+        .withColumn(
+            "mad",
+            F.min(
+                F.when(F.col("cum_d") * 2 >= F.col("tot"), F.col("d"))
+            ).over(whole),
+        )
         .groupBy("l_returnflag")
         .agg(
             F.sum("cnt").cast("long").alias("n_rows"),

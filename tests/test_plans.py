@@ -288,17 +288,20 @@ def test_drift_centroids_global_row_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_anomaly_mad_broadcasts_stats_back(spark):
-    # the K-row median/MAD relations must be broadcast back onto the
-    # persisted histograms (a SortMergeJoin here would re-shuffle every
-    # distinct value per statistic), and the fact parquet is scanned
-    # exactly once — all medians walk histogram counts, never raw rows
+def test_anomaly_mad_one_lineage_no_joins(spark):
+    # med, MAD and the outlier rollup all ride ONE group-partitioned
+    # window chain over the (group, cents) histogram: no join of any
+    # kind (the whole-partition min(when(...)) windows replace the old
+    # broadcast-median-back joins), one fact scan, and exactly two
+    # exchanges — the histogram aggregate plus the group partitioning
+    # shared by every window and the final rollup
     import re
 
     p = plan(spark, "anomaly_mad")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
 def test_class_weights_scans_corpus_once(spark):
