@@ -647,6 +647,41 @@ def test_minhash_eval_exact_only_on_candidates(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_neardup_edges_lsh_blocked_no_text_shuffle(spark):
+    # the shared graph-family edge generator must derive candidates from
+    # the LSH band self-join (equi-join, no cartesian), and no exchange
+    # may carry raw text — the band join moves (id, band, band_hash)
+    # only, shingle arrays rejoin by id for candidate ids
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    dedup.clear_edge_cache()
+    p = plan(spark, "neardup_pairs_lsh")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # hash-partitioned exchanges are the join/agg shuffles; the one
+    # round-robin exchange is rebalance()'s small-input spread (a no-op
+    # at scale) and legitimately still carries text
+    blocks = [
+        b
+        for b in re.split(r"\n\n", p)
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "RoundRobinPartitioning" not in b
+    ]
+    assert blocks, p
+    assert all("text" not in b for b in blocks), blocks
+
+
+def test_triangles_orient_edges_by_degree(spark):
+    # the wedge enumeration must join ORIENTED out-edges at a common
+    # source (equi-join on src) and close against the canonical edge
+    # list — no cartesian, and the closure test is an equi-join on both
+    # wedge endpoints, never a filter over a cross product
+    p = plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in p, p
+    assert "CASE WHEN" in p or "casewhen" in p.lower(), p  # orientation
+
+
 def test_pca_rounds_reduce_to_dim_rows(spark):
     # every round's Gram-vector product must partially aggregate the
     # posexploded (dim, partial) rows; no cartesian beyond the broadcast
