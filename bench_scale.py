@@ -81,6 +81,10 @@ QUERIES = [
     "ngram_jaccard_pairs",
     "dedup_cluster",
     "star_join_revenue",
+    # round-8: the LSH-blocked edge generator that replaced the exact
+    # baseline as the graph family's source, plus its degree histogram
+    "neardup_pairs_lsh",
+    "dedup_graph_stats",
     # round-7 second-session additions + rewrites
     "simhash_hamming_pairs",
     "poisson_bootstrap_ci",

@@ -591,7 +591,10 @@ def ndcg_eval(spark, sf_dir):
         "doc_id",
         _bm25_nano().alias("score_nano"),
         rel.alias("rel"),
-    )
+    # the DCG and IDCG branches both rank this scored relation; persist
+    # it (as precision_recall_at_k does) or the corpus/term-stats scan
+    # executes twice
+    ).persist()
     from pyspark.sql import Window
 
     def dcg_sum(ranked, order_cols):

@@ -1238,6 +1238,10 @@ def chi_square_independence(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").cast("long").alias("o"))
+        # rr, cc, tot, dims and terms all branch off the contingency
+        # aggregate; persist it (mirroring mutual_information's joint
+        # histogram) or the documents fact is re-scanned ~5 times
+        .persist()
     )
     rr = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cc = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -1817,7 +1821,12 @@ def welch_ttest(spark, sf_dir):
     "entities per group the moments widen to DECIMAL(38,0), plan "
     "unchanged). The dominance/concentration gate for corpus sources "
     "(is one domain eating the training mix?) as much as for revenue. "
-    "Two map-side-combinable aggregates, one broadcast-joined dim",
+    "Two map-side-combinable aggregates; the (custkey, segment) dim "
+    "projection joins WITHOUT a forced broadcast hint — customer grows "
+    "linearly with SF (150k x SF rows, not a fixed dimension), so the "
+    "planner/AQE picks broadcast only while the projection fits "
+    "autoBroadcastJoinThreshold and falls back to a shuffle join beyond, "
+    "instead of the hint bypassing that safety valve at 100 TB",
 )
 def hhi_concentration(spark, sf_dir):
     cust = load(spark, sf_dir, "customer").select(
@@ -1825,7 +1834,7 @@ def hhi_concentration(spark, sf_dir):
     )
     s = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("segment", "o_custkey")
         .agg(
             F.expr(

@@ -60,19 +60,25 @@ def asof_join_frames(left, right, on, ts_col="ts_us", right_cols=()):
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.withColumn(
-        "_r_ts", F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w)
+    # ONE last() over a struct of (ts, payload): every carried field comes
+    # from the SAME matched right row. Per-column last(ignorenulls) would
+    # fill a NULL payload column from an EARLIER right row than the match,
+    # silently mixing rows — a divergence from DuckDB ASOF semantics for
+    # nullable right columns.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ),
     )
-    for c in right_cols:
-        carried = carried.withColumn(
-            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
+    carried = u.withColumn("_r", F.last(payload, ignorenulls=True).over(w))
     return carried.filter(F.col("_side") == 1).select(
         on,
         ts_col,
         *lcols,
-        F.col("_r_ts").alias("matched_ts_us"),
-        *right_cols,
+        F.col("_r._ts").alias("matched_ts_us"),
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
     )
 
 
@@ -1924,25 +1930,22 @@ def asof_join_frames_forward(left, right, on, ts_col="ts_us", right_cols=()):
         .orderBy(ts_col, "_side")
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    carried = u.withColumn(
-        "_r_ts",
-        F.first(
-            F.when(F.col("_side") == 1, F.col(ts_col)), ignorenulls=True
-        ).over(w),
+    # ONE first() over a struct of (ts, payload) — same single-matched-row
+    # discipline as the backward asof_join_frames (see comment there)
+    payload = F.when(
+        F.col("_side") == 1,
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ),
     )
-    for c in right_cols:
-        carried = carried.withColumn(
-            c,
-            F.first(
-                F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True
-            ).over(w),
-        )
+    carried = u.withColumn("_r", F.first(payload, ignorenulls=True).over(w))
     return carried.filter(F.col("_side") == 0).select(
         on,
         ts_col,
         *lcols,
-        F.col("_r_ts").alias("matched_ts_us"),
-        *right_cols,
+        F.col("_r._ts").alias("matched_ts_us"),
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
     )
 
 

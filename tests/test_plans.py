@@ -1246,8 +1246,12 @@ def test_acf_single_series_window_partial_agg(spark):
 
 
 def test_hhi_reduces_to_two_sums(spark):
-    # per-customer rollup then two exact sums per segment; the customer
-    # dim joins broadcast
+    # per-customer rollup then two exact sums per segment. The customer
+    # projection is joined WITHOUT a forced broadcast hint (customer is
+    # SF-linear, not a fixed dim) — at test scale the planner still
+    # picks broadcast because the 2-column projection is tiny, but the
+    # choice must come from the threshold, not a hint that would bypass
+    # it at 100 TB
     p = plan(spark, "hhi_concentration")
     assert "BroadcastHashJoin" in p, p
     assert p.count("HashAggregate") >= 4, p
