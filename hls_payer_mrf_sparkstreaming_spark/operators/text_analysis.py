@@ -945,6 +945,129 @@ def corpus_overlap(spark, sf_dir):
     )
 
 
+_OVL_K = 1024  # one-permutation sketch buckets (σ <= sqrt(.25/filled))
+
+
+@query(
+    "corpus_overlap_sketch",
+    oracle="""
+        SELECT a.source AS source_a, b.source AS source_b,
+               TRUE AS within_bounds
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b
+          ON a.source < b.source
+    """,
+    description=f"sketched cross-corpus contamination: per-source "
+    f"one-permutation MinHash over {_OVL_K} buckets (each n-gram hashes "
+    "once; bucket = h mod K; per-(source, bucket) MIN is a map-side-"
+    "combinable aggregate, so the shuffle carries sources x K longs — "
+    "NEVER the corpus-sized distinct n-gram set that the exact "
+    "corpus_overlap must shuffle). Pairwise Jaccard estimate = matching "
+    "bucket minima / union-occupied buckets; a bucket's union-minimum "
+    "lands in both sketches with probability exactly J, so the "
+    "estimator is unbiased with σ <= sqrt(.25/occupied). Like "
+    "approx_distinct_users, this registered entry is the VERIFICATION "
+    "TWIN: it pays for the exact matrix on purpose and the "
+    "oracle-checked output is the in-query 5σ error-bound predicate "
+    "(constant-TRUE in DuckDB), so an estimator drifting out of its "
+    "published bound turns the driver row red; the production path "
+    "reads the sketch estimate alone",
+)
+def corpus_overlap_sketch(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("t")
+    )
+    v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
+    gram_vals = docs.select(
+        "source", F.explode(ngram_hashes(F.col("t"))).alias("h")
+    ).select(
+        "source",
+        v.alias("v"),
+        F.pmod(v, F.lit(_OVL_K)).cast("int").alias("b"),
+    )
+    mins = gram_vals.groupBy("source", "b").agg(F.min("v").alias("mn"))
+    dense = (
+        mins.groupBy("source")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "mn"))).alias(
+                "m"
+            )
+        )
+        .select(
+            "source",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_OVL_K - 1)),
+                lambda i: F.col("m")[i],
+            ).alias("vec"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"), F.col("vec").alias("va")
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"), F.col("vec").alias("vb")
+    )
+    occupied = F.size(
+        F.filter(
+            F.zip_with("va", "vb", lambda x, y: x.isNotNull() | y.isNotNull()),
+            lambda q: q,
+        )
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                "va", "vb", lambda x, y: x.isNotNull() & y.isNotNull() & (x == y)
+            ),
+            lambda q: q,
+        )
+    )
+    est = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            occupied.alias("occ"),
+            matches.alias("mat"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("occ") > 0,
+                F.floor(
+                    F.col("mat").cast("double") / F.col("occ") * 1_000_000
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est_ppm"),
+            F.when(
+                F.col("occ") > 0,
+                F.floor(
+                    5_000_000 * F.sqrt(F.lit(0.25) / F.col("occ"))
+                ),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long")
+            .alias("bound_ppm"),
+        )
+    )
+    exact = corpus_overlap(spark, sf_dir).select(
+        "source_a", "source_b", F.col("jaccard_ppm").alias("exact_ppm")
+    )
+    return est.join(exact, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        (
+            F.abs(
+                F.col("est_ppm")
+                - F.coalesce(F.col("exact_ppm"), F.lit(0).cast("long"))
+            )
+            <= F.col("bound_ppm")
+        ).alias("within_bounds"),
+    )
+
+
 @query(
     "token_length_histogram",
     oracle="""

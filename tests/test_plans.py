@@ -672,6 +672,17 @@ def test_neardup_edges_lsh_blocked_no_text_shuffle(spark):
     assert all("text" not in b for b in blocks), blocks
 
 
+def test_overlap_sketch_shuffles_bucket_minima(spark):
+    # the sketch branch's per-(source, bucket) MIN must partial-aggregate
+    # map-side (sources x K rows cross the wire, never the gram stream),
+    # and the tiny per-source sketch pair join must not be a cartesian
+    # product (BroadcastNestedLoopJoin over the K-vector rows is fine)
+    p = plan(spark, "corpus_overlap_sketch")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # sketch min + exact branches
+
+
 def test_triangles_orient_edges_by_degree(spark):
     # the wedge enumeration must join ORIENTED out-edges at a common
     # source (equi-join on src) and close against the canonical edge
