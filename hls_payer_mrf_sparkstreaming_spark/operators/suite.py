@@ -176,90 +176,78 @@ def _parse_bytes_conf(v: str) -> int:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # round-7 window. Never-driver-checked entries outrank everything
+    # round-8 window. Never-driver-checked entries outrank everything
     # (test_driver_priority_names_exist_and_new_ops_in_window enforces
-    # they sit inside the first 50). knn_label_disagreement landed after
-    # the r6 window froze and is the one registry entry the driver has
-    # never seen; new round-7 operators are prepended here as they land;
-    # then the 16 operators whose last green driver row is round 3
-    # (r6-verdict rotation list); the window backfills with the oldest
-    # r4-green rows.
-    # never driver-checked (added post-window in round 6)
-    "knn_label_disagreement",
-    # never driver-checked (new in round 7, second session)
-    "spearman_corr",
-    "mutual_information",
-    "precision_recall_at_k",
-    "theil_sen_slope",
-    # never driver-checked (new in round 7)
-    "simhash_hamming_pairs",
-    "chi_square_independence",
-    "ab_test_ztest",
-    "ols_two_feature",
-    "m4_downsample",
-    "kaplan_meier_curve",
-    "zipf_slope",
-    "linear_count_distinct",
-    "funnel_time_percentiles",
-    "seasonal_anomaly_residual",
-    "winnowing_fingerprints",
-    "cohens_kappa",
-    "cusum_changepoint",
-    "ndcg_eval",
-    "mann_whitney_u",
-    "welch_ttest",
-    "asof_join_forward",
-    "record_linkage_scores",
-    "acf_lags",
-    "hhi_concentration",
-    "jackknife_variance",
-    "poisson_bootstrap_ci",
-    "psi_stability_index",
-    "nearest_score_match",
-    "conformal_interval",
-    "session_path_likelihood",
-    "hill_tail_index",
-    "multimodal_tile_stats",
-    # last green driver row is round 3 (r6-verdict rotation list)
-    "dedup_simhash",
-    "fuzzy_match_names",
+    # they sit inside the first 50); then the operators whose ORACLE
+    # DEFINITION changed this round (the graph family now replays the
+    # LSH-blocked edge CTE — their older green rows certified the old
+    # exact-blocked definition and are void); then the r4-stale rotation
+    # (45 of the 48 operators whose last driver row is round 4 — the
+    # window holds 50, so the 3 most trivial untouched relational ops
+    # wait one more round: filter_eq, project_substr, class_weights).
+    # never driver-checked (new in round 8)
+    "neardup_pairs_lsh",
+    "corpus_overlap_sketch",
+    # oracle definition changed in round 8 (LSH-blocked edges) and not
+    # already in the r4-stale rotation below
+    "dedup_cluster_survivors",
     "dedup_graph_stats",
-    "sample_stratified",
-    "sample_quota_per_stratum",
-    "split_train_test",
-    "kmeans_train",
-    "text_token_count",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "tfidf_top_terms",
-    "quality_filter_pipeline",
-    "repartition_roundtrip",
-    # backfill to 50 with the oldest r4-green rows (never re-checked
-    # since round 4)
-    "mrf_bronze_elements",
+    "graph_pagerank",
+    # r4-stale rotation (last driver row round 4); dedup_cluster,
+    # graph_triangles also carry the round-8 oracle change, anomaly_mad
+    # the round-8 single-lineage rewrite
     "mrf_silver_prices",
     "mrf_silver_providers",
     "mrf_variant_codes",
     "mrf_gold_shoppable",
-    "dedup_containment",
+    "dedup_cluster",
     "graph_triangles",
-    "filter_eq",
-    "project_substr",
+    "dedup_containment",
     "anomaly_mad",
+    "corpus_overlap",
+    "ngram_counts",
+    "rolling_user_spend",
+    "embedding_drift_centroids",
+    "embedding_neardup_pairs",
+    "embedding_quantize",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_recall_eval",
+    "knn_join",
+    "bm25_search",
+    "rank_fusion_rrf",
+    "unigram_logprob_score",
+    "decontaminate",
+    "pii_scrub",
+    "text_repetition",
+    "text_chunk_sliding",
+    "token_length_histogram",
+    "tokenize_pad_ids",
+    "pack_sequences",
+    "shard_manifest",
+    "zorder_tiles",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    "quality_funnel",
+    "corpus_mix",
     "profile_columns",
     "corr_stats",
     "drift_ks",
     "histogram_prices",
     "approx_distinct_users",
-    "bm25_search",
-    "cdc_apply_changelog",
     "approx_percentile_summary",
+    "cdc_apply_changelog",
+    "event_funnel",
+    "minhash_error_eval",
+    # ---- the 50-entry driver window ends here ----
+    # r4-stale leftovers (trivial untouched ops, next round's rotation)
+    "filter_eq",
+    "project_substr",
     "class_weights",
-    # ---- the 50-entry driver window ends inside the list below ----
-    # r5 greens (next rotation candidates)
+    # r5 greens (rotation candidates after that)
     "surrogate_keys",
     "explode_tokens",
     "nested_extract",
@@ -271,22 +259,8 @@ _DRIVER_PRIORITY = [
     "semi_anti_join",
     "star_join_revenue",
     "semantic_dedup",
-    "minhash_error_eval",
     "bloom_prefilter",
-    "graph_pagerank",
     "pca_power_iteration",
-    "dedup_cluster",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "ann_recall_eval",
-    "knn_join",
-    "decontaminate",
-    "pii_scrub",
-    "multimodal_meta",
-    "multimodal_decode",
-    "text_chunk_sliding",
-    "pack_sequences",
 ]
 
 

@@ -1555,3 +1555,44 @@ def test_span_pairs_planted_shared_run(spark):
     assert rows[(1, 2)].max_span_tokens == 20, rows
     # every anchor of the run matches exactly once: 20 - 8 + 1 anchors
     assert rows[(1, 2)].n_anchor_matches == 13, rows
+
+
+def test_asof_carries_all_fields_from_same_matched_row(spark):
+    """A nullable right-side payload column must come from the SAME
+    matched row as matched_ts_us — not be back/forward-filled from a
+    different right row (DuckDB ASOF semantics). Regression test for the
+    per-column first/last(ignorenulls) carry, which filled a NULL payload
+    from an earlier (backward) or later (forward) right row."""
+    from pyspark.sql import Row
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.temporal import (
+        asof_join_frames,
+        asof_join_frames_forward,
+    )
+
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts_us=100, ev="L")]
+    )
+    # backward match for ts=100 is the right row at 90, whose payload is
+    # NULL; the row at 50 holds a value that must NOT leak forward
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts_us=50, payload="old"),
+            Row(user_id=1, ts_us=90, payload=None),
+            Row(user_id=1, ts_us=110, payload=None),
+            Row(user_id=1, ts_us=150, payload="future"),
+        ]
+    )
+    back = asof_join_frames(
+        left, right, on="user_id", ts_col="ts_us", right_cols=("payload",)
+    ).collect()
+    assert len(back) == 1
+    assert back[0]["matched_ts_us"] == 90
+    assert back[0]["payload"] is None, back  # not "old"
+
+    fwd = asof_join_frames_forward(
+        left, right, on="user_id", ts_col="ts_us", right_cols=("payload",)
+    ).collect()
+    assert len(fwd) == 1
+    assert fwd[0]["matched_ts_us"] == 110
+    assert fwd[0]["payload"] is None, fwd  # not "future"
