@@ -852,6 +852,59 @@ def quality_funnel(spark, sf_dir):
     )
 
 
+def _gram_stream(spark, sf_dir):
+    """Exploded (source, 8-gram md5) rows, duplicates included — the
+    shared front of the exact overlap matrix and the sketch twin."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("t")
+    )
+    return docs.select(
+        "source", F.explode(ngram_hashes(F.col("t"))).alias("h")
+    )
+
+
+def _exact_overlap(grams):
+    """Exact pairwise overlap matrix from a persisted DISTINCT
+    (source, h) relation — the shared back half of corpus_overlap and
+    the in-query exact side of corpus_overlap_sketch."""
+    per = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_ngrams",
+            F.floor(
+                F.col("n_shared_ngrams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared_ngrams"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
 @query(
     "corpus_overlap",
     oracle=f"""
@@ -899,50 +952,8 @@ def quality_funnel(spark, sf_dir):
     "source pair regardless of corpus size",
 )
 def corpus_overlap(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
-        "source", F.split("text", " ").alias("t")
-    )
-    grams = (
-        docs.select("source", F.explode(ngram_hashes(F.col("t"))).alias("h"))
-        .distinct()
-        .persist()
-    )
-    per = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
-    )
-    pa = per.select(
-        F.col("source").alias("source_a"), F.col("n").alias("na")
-    )
-    pb = per.select(
-        F.col("source").alias("source_b"), F.col("n").alias("nb")
-    )
-    return (
-        shared.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared_ngrams",
-            F.floor(
-                F.col("n_shared_ngrams").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared_ngrams"))
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("jaccard_ppm"),
-        )
-    )
+    grams = _gram_stream(spark, sf_dir).distinct().persist()
+    return _exact_overlap(grams)
 
 
 _OVL_K = 1024  # one-permutation sketch buckets (σ <= sqrt(.25/filled))
@@ -974,13 +985,15 @@ _OVL_K = 1024  # one-permutation sketch buckets (σ <= sqrt(.25/filled))
     "reads the sketch estimate alone",
 )
 def corpus_overlap_sketch(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
-        "source", F.split("text", " ").alias("t")
-    )
+    # The verification twin pays for the exact matrix on purpose, so it
+    # shares ONE explode + distinct with the exact branch (per-bucket
+    # MIN is duplicate-invariant, so sketching from the distinct
+    # relation is identical). The PRODUCTION sketch path skips the
+    # distinct entirely — per-(source, bucket) MIN map-side-combines
+    # over the raw gram stream (see corpus_overlap_sketch_only).
+    grams = _gram_stream(spark, sf_dir).distinct().persist()
     v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
-    gram_vals = docs.select(
-        "source", F.explode(ngram_hashes(F.col("t"))).alias("h")
-    ).select(
+    gram_vals = grams.select(
         "source",
         v.alias("v"),
         F.pmod(v, F.lit(_OVL_K)).cast("int").alias("b"),
@@ -1052,7 +1065,7 @@ def corpus_overlap_sketch(spark, sf_dir):
             .alias("bound_ppm"),
         )
     )
-    exact = corpus_overlap(spark, sf_dir).select(
+    exact = _exact_overlap(grams).select(
         "source_a", "source_b", F.col("jaccard_ppm").alias("exact_ppm")
     )
     return est.join(exact, ["source_a", "source_b"], "left").select(
@@ -1065,6 +1078,25 @@ def corpus_overlap_sketch(spark, sf_dir):
             )
             <= F.col("bound_ppm")
         ).alias("within_bounds"),
+    )
+
+
+def corpus_overlap_sketch_only(spark, sf_dir):
+    """Production shape of corpus_overlap_sketch: the per-(source, bucket)
+    MIN map-side-combines directly over the RAW gram stream — no distinct
+    anywhere, so the only wide shuffle carries sources x K rows at any
+    corpus size. Accuracy is certified by the registered verification
+    twin; this plan is pinned shuffle-light by tests/test_plans.py."""
+    v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
+    return (
+        _gram_stream(spark, sf_dir)
+        .select(
+            "source",
+            v.alias("v"),
+            F.pmod(v, F.lit(_OVL_K)).cast("int").alias("b"),
+        )
+        .groupBy("source", "b")
+        .agg(F.min("v").alias("mn"))
     )
 
 

@@ -682,6 +682,21 @@ def test_overlap_sketch_shuffles_bucket_minima(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("HashAggregate") >= 4, p  # sketch min + exact branches
 
+    # the PRODUCTION sketch path must have NO distinct of the gram
+    # stream: one partial-agg min (two HashAggregate phases) and exactly
+    # one exchange — the sources x K bucket-min rows
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        corpus_overlap_sketch_only,
+    )
+
+    df = corpus_overlap_sketch_only(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    pp = df._jdf.queryExecution().explainString(jmode)
+    assert len(re.findall(r"\(\d+\) Exchange", pp)) == 1, pp
+    assert pp.count("HashAggregate") >= 2, pp
+
 
 def test_triangles_orient_edges_by_degree(spark):
     # the wedge enumeration must join ORIENTED out-edges at a common
