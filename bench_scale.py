@@ -191,23 +191,25 @@ def main() -> None:
         for k in small
     }
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "sf1_over_sf01_wall_ratio",
-                "data_ratio": REPLICAS,
-                "gen_sec": round(gen_sec, 1),
-                "runs": a.runs,
-                "sf01_sec": small,
-                "sf1_sec": big,
-                "ratio": ratios,
-                "ratio_max": max(v for v in ratios.values() if v),
-                "cpus": CPUS,
-            },
-            indent=1,
-            sort_keys=True,
-        )
+    result = {
+        "metric": "sf1_over_sf01_wall_ratio",
+        "data_ratio": REPLICAS,
+        "gen_sec": round(gen_sec, 1),
+        "runs": a.runs,
+        "sf01_sec": small,
+        "sf1_sec": big,
+        "ratio": ratios,
+        "ratio_max": max(v for v in ratios.values() if v),
+        "cpus": CPUS,
+    }
+    # sidecar write so a truncated/filtered stdout capture can't lose the
+    # run (cost ~20 min to reproduce)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result, indent=1, sort_keys=True))
 
 
 if __name__ == "__main__":
