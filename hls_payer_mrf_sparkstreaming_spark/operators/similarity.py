@@ -230,13 +230,23 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
     )
 
 
+_ENP_CANARY_MOD = 25  # every 25th vector gets a planted duplicate twin
+_ENP_CANARY_OFFSET = 1_000_000
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-        WITH b AS (
-            SELECT vec_id, {_EMB_D} AS ev,
-                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_16)} AS bucket
-            FROM embeddings
+        WITH allv AS (
+            SELECT vec_id, {_EMB_D} AS ev FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_ENP_CANARY_OFFSET} AS vec_id, {_EMB_D} AS ev
+            FROM embeddings WHERE vec_id % {_ENP_CANARY_MOD} = 0
+        ),
+        b AS (
+            SELECT vec_id, ev,
+                   {V.hyperplane_bucket_sql('ev', _PLANES_16)} AS bucket
+            FROM allv
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round({V.cosine_sql('a.ev', 'b.ev')}, 6) AS cosine_sim
@@ -245,13 +255,23 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
         WHERE {V.cosine_sql('a.ev', 'b.ev')} >= 0.8
     """,
     description="embedding-cosine near-dup pairs within 16-bit LSH buckets "
-    "(pairwise work bounded per bucket, never all-pairs)",
+    "(pairwise work bounded per bucket, never all-pairs). The synthetic "
+    "embeddings contain no natural cosine >= 0.8 pairs at any SF, so the "
+    f"invariant was vacuous; every {_ENP_CANARY_MOD}th vector now gets a "
+    "planted duplicate twin INSIDE the query (both engines identically — "
+    "the dedup_normalized_exact canary pattern). An exact duplicate "
+    "shares its hyperplane bucket by construction and scores cosine "
+    "exactly 1.0, so each canary must surface as exactly one pair — the "
+    "bucketing, join, and scoring paths are all load-bearing again",
 )
 def embedding_neardup_pairs(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
-    return neardup_pairs(emb)
+    twins = emb.filter(
+        F.col("vec_id") % _ENP_CANARY_MOD == 0
+    ).select((F.col("vec_id") + _ENP_CANARY_OFFSET).alias("vec_id"), "ev")
+    return neardup_pairs(emb.unionAll(twins))
 
 
 @query(
