@@ -182,12 +182,13 @@ _DRIVER_PRIORITY = [
     # DEFINITION changed this round (the graph family now replays the
     # LSH-blocked edge CTE — their older green rows certified the old
     # exact-blocked definition and are void); then the r4-stale rotation
-    # (45 of the 48 operators whose last driver row is round 4 — the
-    # window holds 50, so the 3 most trivial untouched relational ops
-    # wait one more round: filter_eq, project_substr, class_weights).
+    # (44 of the 48 operators whose last driver row is round 4 — the
+    # window holds 50, so the 4 most trivial/untouched ops wait one more
+    # round: filter_eq, project_substr, class_weights, event_funnel).
     # never driver-checked (new in round 8)
     "neardup_pairs_lsh",
     "corpus_overlap_sketch",
+    "lsh_edge_recall",
     # oracle definition changed in round 8 (LSH-blocked edges) and not
     # already in the r4-stale rotation below
     "dedup_cluster_survivors",
@@ -240,10 +241,9 @@ _DRIVER_PRIORITY = [
     "approx_distinct_users",
     "approx_percentile_summary",
     "cdc_apply_changelog",
-    "event_funnel",
-    "minhash_error_eval",
     # ---- the 50-entry driver window ends here ----
     # r4-stale leftovers (trivial untouched ops, next round's rotation)
+    "event_funnel",
     "filter_eq",
     "project_substr",
     "class_weights",

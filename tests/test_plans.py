@@ -698,6 +698,19 @@ def test_overlap_sketch_shuffles_bucket_minima(spark):
     assert pp.count("HashAggregate") >= 2, pp
 
 
+def test_lsh_recall_truth_is_block_equijoin(spark):
+    # the exact-truth side must pair docs via an equi-join on the
+    # (lang, bucket) block key, and the hit count must be a semi-join of
+    # id pairs — no cartesian anywhere, no Python
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    dedup.clear_edge_cache()
+    p = plan(spark, "lsh_edge_recall")
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangles_orient_edges_by_degree(spark):
     # the wedge enumeration must join ORIENTED out-edges at a common
     # source (equi-join on src) and close against the canonical edge
