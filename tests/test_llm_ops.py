@@ -1609,3 +1609,20 @@ def test_asof_carries_all_fields_from_same_matched_row(spark):
     assert len(fwd) == 1
     assert fwd[0]["matched_ts_us"] == 110
     assert fwd[0]["payload"] is None, fwd  # not "future"
+
+
+def test_lsh_edge_recall_invariants(spark, sf_dir):
+    """The recall audit must be non-vacuous (blocked exact truth finds
+    pairs), hits can never exceed truth, and on this corpus — whose true
+    shingle-Jaccard pairs are high-J template duplicates with band
+    collision probability ~= 1 — the LSH edge list must surface every
+    blocked-truth pair AND strictly more (cross-bucket duplicates the
+    length-bucket blocking can never pair)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    r = all_queries()["lsh_edge_recall"].fn(spark, sf_dir).collect()[0]
+    assert r["n_true"] > 0, "blocked exact truth is empty — vacuous audit"
+    assert r["n_hit"] <= r["n_true"]
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+    assert r["recall_ppm"] == 1_000_000, r  # template dups: full recall
+    assert r["n_lsh"] > r["n_true"], r  # LSH reaches across buckets
