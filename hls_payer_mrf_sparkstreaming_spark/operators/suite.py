@@ -176,91 +176,71 @@ def _parse_bytes_conf(v: str) -> int:
 # correctness is already on record. Keep newly added operators inside the
 # first 50 by appending them to this list.
 _DRIVER_PRIORITY = [
-    # round-8 window. Never-driver-checked entries outrank everything
+    # round-9 window (VERDICT r8 task 1: drain the staleness tail).
+    # The 4 operators whose last driver row is round 4 lead; the rest of
+    # the window is 46 of the 49 operators last driver-verified in round
+    # 5 (the window holds exactly 50, so the 3 most trivial r5 entries —
+    # limit_topk, set_ops, cube_counts — wait for the r10 rotation).
+    # Newly added operators MUST be inserted inside the first 50
     # (test_driver_priority_names_exist_and_new_ops_in_window enforces
-    # they sit inside the first 50); then the operators whose ORACLE
-    # DEFINITION changed this round (the graph family now replays the
-    # LSH-blocked edge CTE — their older green rows certified the old
-    # exact-blocked definition and are void); then the r4-stale rotation
-    # (44 of the 48 operators whose last driver row is round 4 — the
-    # window holds 50, so the 4 most trivial/untouched ops wait one more
-    # round: filter_eq, project_substr, class_weights, event_funnel).
-    # never driver-checked (new in round 8)
-    "neardup_pairs_lsh",
-    "corpus_overlap_sketch",
-    "lsh_edge_recall",
-    # oracle definition changed in round 8 (LSH-blocked edges) and not
-    # already in the r4-stale rotation below
-    "dedup_cluster_survivors",
-    "dedup_graph_stats",
-    "graph_pagerank",
-    # r4-stale rotation (last driver row round 4); dedup_cluster,
-    # graph_triangles also carry the round-8 oracle change, anomaly_mad
-    # the round-8 single-lineage rewrite
-    "mrf_silver_prices",
-    "mrf_silver_providers",
-    "mrf_variant_codes",
-    "mrf_gold_shoppable",
-    "dedup_cluster",
-    "graph_triangles",
-    "dedup_containment",
-    "anomaly_mad",
-    "corpus_overlap",
-    "ngram_counts",
-    "rolling_user_spend",
-    "embedding_drift_centroids",
-    "embedding_neardup_pairs",
-    "embedding_quantize",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_recall_eval",
-    "knn_join",
-    "bm25_search",
-    "rank_fusion_rrf",
-    "unigram_logprob_score",
-    "decontaminate",
-    "pii_scrub",
-    "text_repetition",
-    "text_chunk_sliding",
-    "token_length_histogram",
-    "tokenize_pad_ids",
-    "pack_sequences",
-    "shard_manifest",
-    "zorder_tiles",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    "quality_funnel",
-    "corpus_mix",
-    "profile_columns",
-    "corr_stats",
-    "drift_ks",
-    "histogram_prices",
-    "approx_distinct_users",
-    "approx_percentile_summary",
-    "cdc_apply_changelog",
-    # ---- the 50-entry driver window ends here ----
-    # r4-stale leftovers (trivial untouched ops, next round's rotation)
+    # it); displace from the TAIL of the r5 cohort when adding.
+    # last driver row: round 4
     "event_funnel",
     "filter_eq",
     "project_substr",
     "class_weights",
-    # r5 greens (rotation candidates after that)
-    "surrogate_keys",
+    # last driver row: round 5
     "explode_tokens",
+    "array_index",
     "nested_extract",
     "cross_join",
+    "surrogate_keys",
     "param_filter",
-    "limit_topk",
-    "array_index",
-    "rollup_counts",
-    "semi_anti_join",
+    "pricing_summary",
     "star_join_revenue",
-    "semantic_dedup",
-    "bloom_prefilter",
+    "window_topk_per_group",
+    "rollup_counts",
+    "skew_salted_join",
+    "semi_anti_join",
+    "join_size_estimate",
+    "cluster_quality_summary",
+    "ngram_novelty_score",
+    "seasonal_profile",
+    "knn_classify",
     "pca_power_iteration",
+    "minhash_error_eval",
+    "sample_weighted_by_score",
+    "key_skew_report",
+    "churn_labels",
+    "sliding_window_counts",
+    "pareto_share_curve",
+    "sessionize_native",
+    "interval_union_length",
+    "event_transition_matrix",
+    "mode_per_group",
+    "skyline_pareto",
+    "snapshot_diff",
+    "compaction_bins",
+    "calibration_bins",
+    "top_unshipped_orders",
+    "token_cooccurrence_lift",
+    "auc_score",
+    "bloom_prefilter",
+    "semantic_dedup",
+    "pq_encode",
+    "intra_corpus_dup_ngrams",
+    "retention_cohorts",
+    "ewma_user_value",
+    "domain_cap",
+    "quality_deciles",
+    "lag_features",
+    "grouping_sets_revenue",
+    "dup_rate_by_source",
+    # ---- the 50-entry driver window ends here ----
+    # r5-stale leftovers (head of the r10 rotation)
+    "limit_topk",
+    "set_ops",
+    "cube_counts",
 ]
 
 
