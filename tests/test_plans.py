@@ -672,6 +672,22 @@ def test_neardup_edges_lsh_blocked_no_text_shuffle(spark):
     assert all("text" not in b for b in blocks), blocks
 
 
+def test_neardup_edges_never_broadcast_corpus(spark):
+    # the corpus (shingle arrays / signatures) is the 100 TB side: every
+    # join in the edge build must be a ShuffledHashJoin with the
+    # density-bounded candidate-pair side as the build side. Catalyst
+    # left to statistics broadcasts the cached corpus relation into all
+    # three joins (four corpus-size BroadcastExchanges per edge build) —
+    # the plan that dies on a real cluster
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    dedup.clear_edge_cache()
+    p = plan(spark, "neardup_pairs_lsh")
+    assert "BroadcastHashJoin" not in p, p
+    assert "BroadcastExchange" not in p, p
+    assert p.count("ShuffledHashJoin") >= 3, p
+
+
 def test_overlap_sketch_shuffles_bucket_minima(spark):
     # the sketch branch's per-(source, bucket) MIN must partial-aggregate
     # map-side (sources x K rows cross the wire, never the gram stream),
