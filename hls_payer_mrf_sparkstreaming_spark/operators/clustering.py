@@ -34,6 +34,7 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     load,
     query,
     rebalance,
+    scratch_persist,
 )
 
 _DIM = 64
@@ -133,7 +134,7 @@ def kmeans_assignments(emb, k: int = _K, rounds: int = _ROUNDS):
     pts = emb.select(
         "vec_id", _quantize("embedding").alias("x")
     ).withColumn("xd", F.transform("x", lambda v: v.cast("double")))
-    pts = pts.persist()
+    pts = scratch_persist(pts)
 
     cent_arr = (
         pts.filter(F.col("vec_id") < k)
@@ -300,7 +301,7 @@ def semantic_dedup(spark, sf_dir):
     )
     # the blocked projection feeds both join sides and the final verdict;
     # persist keeps lineage (fault-tolerant at scale)
-    blocked = blocked.persist()
+    blocked = scratch_persist(blocked)
     p1 = blocked.alias("p1")
     p2 = blocked.alias("p2")
     drops = (
@@ -397,7 +398,7 @@ def pca_power_iteration(spark, sf_dir):
     e = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", _quantize("embedding").alias("x")
     )
-    e = e.persist()
+    e = scratch_persist(e)
     v_row = spark.range(1).select(
         F.array(
             *[F.lit(_PI_VSCALE).cast("long") for _ in range(_DIM)]

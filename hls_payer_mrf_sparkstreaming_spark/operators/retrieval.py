@@ -26,7 +26,11 @@ from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
     md5u60,
     md5u60_sql,
 )
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    scratch_persist,
+)
 
 _TERMS = ["spark", "window", "merge"]
 _K1 = 1.2
@@ -189,7 +193,7 @@ def rank_fusion_rrf(spark, sf_dir):
         _tfidf_nano().alias("tfidf_nano"),
     )
     # compute both scores in one pass over the corpus, then reduce twice
-    scored = scored.persist()
+    scored = scratch_persist(scored)
 
     def top_ranked(col):
         # orderBy+limit -> TakeOrderedAndProject; the row_number window
@@ -317,7 +321,7 @@ def unigram_logprob_score(spark, sf_dir):
     t = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .persist()
+        .transform(scratch_persist)
     )
     tot = t.agg(F.count("*").cast("long").alias("total"))
     v = (
@@ -594,7 +598,7 @@ def ndcg_eval(spark, sf_dir):
     # the DCG and IDCG branches both rank this scored relation; persist
     # it (as precision_recall_at_k does) or the corpus/term-stats scan
     # executes twice
-    ).persist()
+    ).transform(scratch_persist)
     from pyspark.sql import Window
 
     def dcg_sum(ranked, order_cols):
@@ -701,7 +705,7 @@ def precision_recall_at_k(spark, sf_dir):
         .select(
             "doc_id", _bm25_nano().alias("score_nano"), rel.alias("rel")
         )
-        .persist()
+        .transform(scratch_persist)
     )
     r = s.agg(F.sum("rel").cast("long").alias("n_relevant"))
     order = [F.desc("score_nano"), F.asc("doc_id")]

@@ -24,6 +24,7 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     load,
     query,
     rebalance,
+    scratch_persist,
 )
 
 _DIM = 64
@@ -189,7 +190,7 @@ def ann_ivf_topk(spark, sf_dir):
             "ev",
             F.aggregate("cents", init, closer)["cid"].alias("cid"),
         )
-        .persist()
+        .transform(scratch_persist)
     )
     q = assigned.filter(F.col("vec_id") == 0).select(
         F.col("ev").alias("qv"), F.col("cid").alias("qcid")
@@ -211,7 +212,7 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
     b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), planes))
     # bucket projection feeds both sides of the self-join; compute it once.
     # persist() keeps lineage (fault-tolerant at scale), unlike localCheckpoint
-    b = b.persist()
+    b = scratch_persist(b)
     a2 = b.alias("a")
     b2 = b.alias("b")
     sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
@@ -231,7 +232,10 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
 
 
 _ENP_CANARY_MOD = 25  # every 25th vector gets a planted duplicate twin
-_ENP_CANARY_OFFSET = 1_000_000
+# Twin ids are -(vec_id + 1): natural vec_ids are non-negative at every
+# SF (including bench_scale's +10M-per-replica synthesis), so the negated
+# range is disjoint BY CONSTRUCTION — no fixed offset to alias once the
+# table outgrows it. test_enp_twin_ids_disjoint pins the invariant.
 
 
 @query(
@@ -240,7 +244,7 @@ _ENP_CANARY_OFFSET = 1_000_000
         WITH allv AS (
             SELECT vec_id, {_EMB_D} AS ev FROM embeddings
             UNION ALL
-            SELECT vec_id + {_ENP_CANARY_OFFSET} AS vec_id, {_EMB_D} AS ev
+            SELECT -(vec_id + 1) AS vec_id, {_EMB_D} AS ev
             FROM embeddings WHERE vec_id % {_ENP_CANARY_MOD} = 0
         ),
         b AS (
@@ -259,10 +263,12 @@ _ENP_CANARY_OFFSET = 1_000_000
     "embeddings contain no natural cosine >= 0.8 pairs at any SF, so the "
     f"invariant was vacuous; every {_ENP_CANARY_MOD}th vector now gets a "
     "planted duplicate twin INSIDE the query (both engines identically — "
-    "the dedup_normalized_exact canary pattern). An exact duplicate "
-    "shares its hyperplane bucket by construction and scores cosine "
-    "exactly 1.0, so each canary must surface as exactly one pair — the "
-    "bucketing, join, and scoring paths are all load-bearing again",
+    "the dedup_normalized_exact canary pattern). Twin ids are "
+    "-(vec_id + 1), disjoint from the non-negative natural id space at "
+    "any SF. An exact duplicate shares its hyperplane bucket by "
+    "construction and scores cosine exactly 1.0, so each canary must "
+    "surface as exactly one pair — the bucketing, join, and scoring "
+    "paths are all load-bearing again",
 )
 def embedding_neardup_pairs(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
@@ -270,7 +276,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
     twins = emb.filter(
         F.col("vec_id") % _ENP_CANARY_MOD == 0
-    ).select((F.col("vec_id") + _ENP_CANARY_OFFSET).alias("vec_id"), "ev")
+    ).select((-(F.col("vec_id") + 1)).alias("vec_id"), "ev")
     return neardup_pairs(emb.unionAll(twins))
 
 

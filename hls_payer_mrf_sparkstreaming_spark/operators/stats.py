@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    scratch_persist,
+)
 
 _NANO = 1_000_000_000
 
@@ -1241,7 +1245,7 @@ def chi_square_independence(spark, sf_dir):
         # rr, cc, tot, dims and terms all branch off the contingency
         # aggregate; persist it (mirroring mutual_information's joint
         # histogram) or the documents fact is re-scanned ~5 times
-        .persist()
+        .transform(scratch_persist)
     )
     rr = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cc = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -2673,7 +2677,7 @@ def mutual_information(spark, sf_dir):
                 F.col(xc).alias("xv"), F.col(yc).alias("yv")
             )
             .agg(F.count("*").cast("long").alias("c"))
-            .persist()
+            .transform(scratch_persist)
         )
         mx = j.groupBy("xv").agg(F.sum("c").cast("long").alias("cx"))
         my = j.groupBy("yv").agg(F.sum("c").cast("long").alias("cy"))

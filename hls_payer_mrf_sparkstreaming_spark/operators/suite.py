@@ -55,6 +55,50 @@ def query(name: str, oracle: Optional[str] = None, description: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Bounded registry for intra-query scratch persists.
+#
+# Many operators persist() a mid-pipeline relation that a self-join or a
+# multi-aggregate fan-out references more than once (shingle sets, scored
+# candidates, distinct gram streams). The persist is load-bearing for cost
+# (without it each reference re-runs the dominant stage) but nothing in a
+# lazily-returned DataFrame's lifecycle tells the operator when the caller
+# has finished materializing it — so an unpersist inside the operator would
+# fire before the action, and NO unpersist leaks one cached relation per
+# call into a long-lived host session (advice r8: lsh_edge_recall,
+# ndcg_eval, and a dozen siblings). scratch_persist() bounds the leak: a
+# session-wide FIFO holds the last _SCRATCH_MAX scratch relations and
+# unpersists the oldest on overflow. Eviction is always correctness-safe —
+# persist() keeps lineage, so a consumer that still holds an evicted frame
+# just recomputes. Deliberate session caches (_EDGE_CACHE, _PQ_CACHE,
+# _MANIFEST_CACHE) do NOT route through this: they are keyed, repersisted
+# on clear, and own their eviction policy.
+_SCRATCH: list[DataFrame] = []
+_SCRATCH_MAX = 32
+
+
+def scratch_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SCRATCH.append(df)
+    while len(_SCRATCH) > _SCRATCH_MAX:
+        old = _SCRATCH.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing to release
+    return df
+
+
+def clear_scratch() -> None:
+    """Unpersist every tracked scratch relation (test/REPL hook)."""
+    while _SCRATCH:
+        old = _SCRATCH.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
 def _usec_copy(path: str) -> str:
     """Spark rejects parquet TIMESTAMP(NANOS) columns ([PARQUET_TYPE_ILLEGAL]);
     DuckDB truncates them to micros. Make a one-time µs-cast copy so both

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    scratch_persist,
+)
 
 
 def asof_join_frames(left, right, on, ts_col="ts_us", right_cols=()):
@@ -2383,7 +2387,7 @@ def theil_sen_slope(spark, sf_dir):
             )
         )
         .alias("rn"),
-    ).filter(F.col("rn") <= _TS_K).persist()
+    ).filter(F.col("rn") <= _TS_K).transform(scratch_persist)
     # persisted: the pair self-join reads r on BOTH sides — without the
     # persist each branch re-scans events and re-runs the rank window
     a = r.select(

@@ -8,7 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    scratch_persist,
+)
 
 # fixed stopword lists for the n-gram-free language-ID heuristic
 _STOPWORDS = {
@@ -971,7 +975,7 @@ def _exact_overlap(grams):
     "source pair regardless of corpus size",
 )
 def corpus_overlap(spark, sf_dir):
-    grams = _gram_stream(spark, sf_dir).distinct().persist()
+    grams = _gram_stream(spark, sf_dir).distinct().transform(scratch_persist)
     return _exact_overlap(grams)
 
 
@@ -1010,7 +1014,7 @@ def corpus_overlap_sketch(spark, sf_dir):
     # relation is identical). The PRODUCTION sketch path skips the
     # distinct entirely — per-(source, bucket) MIN map-side-combines
     # over the raw gram stream (see corpus_overlap_sketch_only).
-    grams = _gram_stream(spark, sf_dir).distinct().persist()
+    grams = _gram_stream(spark, sf_dir).distinct().transform(scratch_persist)
     v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
     gram_vals = grams.select(
         "source",
@@ -1274,7 +1278,7 @@ def intra_corpus_dup_ngrams(spark, sf_dir):
     )
     # grams feeds the shared-set build, the hit join and the per-doc
     # totals; persist keeps lineage (recompute on loss, no checkpoint I/O)
-    grams = grams.persist()
+    grams = scratch_persist(grams)
     shared = (
         grams.groupBy("h")
         .agg(F.count("*").alias("nd"))
@@ -1357,7 +1361,7 @@ def token_cooccurrence_lift(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    toks = toks.persist()
+    toks = scratch_persist(toks)
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     w = (
         toks.groupBy("tok")
@@ -1440,7 +1444,7 @@ def ngram_novelty_score(spark, sf_dir):
     grams = docs.select(
         "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
     )
-    grams = grams.persist()
+    grams = scratch_persist(grams)
     first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first_seen, "h")

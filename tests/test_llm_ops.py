@@ -1626,3 +1626,60 @@ def test_lsh_edge_recall_invariants(spark, sf_dir):
     assert 0 <= r["recall_ppm"] <= 1_000_000
     assert r["recall_ppm"] == 1_000_000, r  # template dups: full recall
     assert r["n_lsh"] > r["n_true"], r  # LSH reaches across buckets
+
+
+def test_enp_twin_ids_disjoint(spark, sf_dir):
+    """embedding_neardup_pairs plants canary twins with id -(vec_id + 1).
+    Disjointness from the natural id space must hold at ANY scale, so pin
+    the construction itself: natural vec_ids are non-negative (the twin
+    range is therefore provably disjoint, no fixed offset to outgrow),
+    and every canary surfaces as exactly one cosine-1.0 pair whose id_a
+    is the negative twin."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    min_id = load(spark, sf_dir, "embeddings").agg(
+        F.min("vec_id").alias("m")
+    ).collect()[0]["m"]
+    assert min_id >= 0, "natural vec_ids must be non-negative"
+    rows = all_queries()["embedding_neardup_pairs"].fn(spark, sf_dir).collect()
+    canaries = [r for r in rows if r["id_a"] < 0]
+    assert canaries, "no planted twin surfaced — vacuous canary"
+    assert all(r["id_a"] == -(r["id_b"] + 1) for r in canaries)
+    assert all(r["cosine_sim"] == 1.0 for r in canaries)
+
+
+def test_exact_quadratic_ceiling_samples_blocks(spark, sf_dir, monkeypatch):
+    """VERDICT r8 item 6: above the input-size ceiling the exact
+    quadratic ops restrict to a deterministic 1-in-16 hash sample of
+    (lang, length-bucket) blocks. Pin the fallback's semantics: with the
+    ceiling forced to 0 the result is EXACTLY the full result restricted
+    to sampled blocks (each surviving block still exhaustively paired),
+    and the sample genuinely drops blocks (non-vacuous)."""
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+        load,
+    )
+
+    fn = all_queries()["ngram_jaccard_pairs"].fn
+    full = {(r["doc_a"], r["doc_b"]) for r in fn(spark, sf_dir).collect()}
+    assert full, "no exact pairs at test SF — vacuous"
+    monkeypatch.setenv(dedup._EXACT_CEILING_ENV, "0")
+    sampled = {(r["doc_a"], r["doc_b"]) for r in fn(spark, sf_dir).collect()}
+    keep = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.pmod(
+                F.xxhash64("lang", (F.col("n_chars") / 20).cast("long")),
+                F.lit(dedup._EXACT_SAMPLE_MOD),
+            )
+            == 0
+        ).alias("keep"),
+    )
+    kept = {r["doc_id"] for r in keep.collect() if r["keep"]}
+    expected = {p for p in full if p[0] in kept}
+    assert sampled == expected
+    assert len(sampled) < len(full), "sample dropped nothing — vacuous"

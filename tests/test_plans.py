@@ -40,7 +40,13 @@ def runtime_generates(p: str) -> int:
     session-cached).
 
     Walks the tree section only (details repeat each node once more),
-    skipping any subtree rooted at an InMemoryRelation.
+    skipping any subtree rooted at an InMemoryRelation /
+    InMemoryTableScan. Two counting traps, both pinned by
+    test_runtime_generates_counter: the plan root carries no branch
+    marker (a Generate at the very top of the tree must still count),
+    and the cache-skip must anchor to the NODE NAME — a node whose
+    arguments merely mention "InMemoryRelation" must not swallow its
+    siblings.
     """
     count = 0
     skip_indent = None
@@ -48,19 +54,43 @@ def runtime_generates(p: str) -> int:
         if re.match(r"^\(\d+\) ", line):
             break  # details section — tree is fully consumed
         m = re.search(r"(?:\+|:)- ", line)
-        if not m:
+        if m:
+            indent = m.start()
+            node = line[m.end() :]
+        elif re.match(r"^[*\w]", line) and re.search(r"\(\d+\)\s*$", line):
+            indent = 0  # root node: first tree line, no branch marker
+            node = line
+            skip_indent = None
+        else:
             continue
-        indent = m.start()
         if skip_indent is not None:
             if indent > skip_indent:
                 continue
             skip_indent = None
-        if "InMemoryRelation" in line:
+        if re.match(r"\*?\s*(InMemoryRelation|InMemoryTableScan)\b", node):
             skip_indent = indent
             continue
-        if re.search(r"Generate \(\d+\)", line):
+        if re.match(r"\*?\s*Generate \(\d+\)", node):
             count += 1
     return count
+
+
+def test_runtime_generates_counter():
+    """Unit-pin the plan-walk itself (advice r8): a root-level Generate
+    counts, a cached subtree is skipped, and an InMemoryRelation mention
+    inside another node's ARGUMENTS does not start a skip."""
+    p = "\n".join(
+        [
+            "Generate (9)",
+            "+- Project (8) [plan id: InMemoryRelation mention in args]",
+            "   +- Generate (7)",
+            "      +- InMemoryTableScan (6)",
+            "            +- InMemoryRelation (5)",
+            "                  +- Generate (4)",
+            "(9) Generate",
+        ]
+    )
+    assert runtime_generates(p) == 2
 
 
 def test_filter_pushdown_reaches_scan(spark):
