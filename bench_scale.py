@@ -143,9 +143,27 @@ def make_scaled(out: str) -> None:
             )
 
 
+# Graph-family queries consume the session-level near-dup edge cache;
+# mirror bench.py: warm the edge cache untimed so their ratio reflects the
+# consumer's own scaling, not the edge build (measured as
+# neardup_pairs_lsh) repeated N times.
+_EDGE_CONSUMERS = {
+    "dedup_graph_stats",
+    "graph_triangles",
+    "graph_pagerank",
+    "dedup_cluster",
+    "dedup_cluster_survivors",
+    "lsh_edge_recall",
+}
+
+
 def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
     sys.path.insert(0, REPO_ROOT)
     from bench import _unpersist_all
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        neardup_edges,
+    )
 
     out: dict[str, float] = {}
     for name in QUERIES:
@@ -154,6 +172,10 @@ def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
         _unpersist_all(spark)
         samples = []
         for _ in range(runs):
+            if name in _EDGE_CONSUMERS:
+                neardup_edges(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)

@@ -677,15 +677,30 @@ def test_minhash_eval_exact_only_on_candidates(spark):
     assert "CartesianProduct" not in p, p
 
 
+def _edge_build_plan(spark) -> str:
+    """Formatted plan of the LSH edge BUILD pipeline. The registered
+    query (neardup_pairs_lsh) returns the session-cached CHECKPOINTED
+    edge list — a flat scan, deliberately free of the build's plan — so
+    build-shape guards must explain the pipeline itself."""
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    dedup.clear_edge_cache()
+    edges, aux = dedup._compute_edges_lsh(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = edges._jdf.queryExecution().explainString(jmode)
+    for df in aux:  # persist marks registered lazily — drop them
+        df.unpersist()
+    return p
+
+
 def test_neardup_edges_lsh_blocked_no_text_shuffle(spark):
     # the shared graph-family edge generator must derive candidates from
     # the LSH band self-join (equi-join, no cartesian), and no exchange
     # may carry raw text — the band join moves (id, band, band_hash)
     # only, shingle arrays rejoin by id for candidate ids
-    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
-
-    dedup.clear_edge_cache()
-    p = plan(spark, "neardup_pairs_lsh")
+    p = _edge_build_plan(spark)
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     # hash-partitioned exchanges are the join/agg shuffles; the one
@@ -703,19 +718,40 @@ def test_neardup_edges_lsh_blocked_no_text_shuffle(spark):
 
 
 def test_neardup_edges_never_broadcast_corpus(spark):
-    # the corpus (shingle arrays / signatures) is the 100 TB side: every
-    # join in the edge build must be a ShuffledHashJoin with the
-    # density-bounded candidate-pair side as the build side. Catalyst
-    # left to statistics broadcasts the cached corpus relation into all
-    # three joins (four corpus-size BroadcastExchanges per edge build) —
-    # the plan that dies on a real cluster
+    # the corpus (shingle arrays / signatures) is the 100 TB side: the
+    # band self-join and both exact-verify pair joins must be
+    # ShuffledHashJoins with the density-bounded candidate side as the
+    # build side. The ONE allowed broadcast is the candidate-id list
+    # into the semi-join that prunes the shingle recompute — it must
+    # carry doc_id only, never text/shingles/signatures
+    p = _edge_build_plan(spark)
+    assert p.count("ShuffledHashJoin") >= 3, p
+    bcast = [
+        b
+        for b in re.split(r"\n\n", p)
+        if b.startswith("(") and "BroadcastExchange" in b.splitlines()[0]
+    ]
+    for b in bcast:
+        assert "text" not in b and "sh#" not in b and "sig" not in b, b
+
+
+def test_consumer_plans_truncated_at_edge_checkpoint(spark):
+    # graph-family consumers read the CHECKPOINTED edge list: their plans
+    # must contain the flat checkpoint scan and none of the edge build
+    # (no documents scan, no shingle Generate/transform pipeline) — the
+    # build's giant expression tree otherwise costs seconds of pure
+    # driver time per action in cache lookups and AQE re-planning
     from hls_payer_mrf_sparkstreaming_spark.operators import dedup
 
     dedup.clear_edge_cache()
-    p = plan(spark, "neardup_pairs_lsh")
-    assert "BroadcastHashJoin" not in p, p
-    assert "BroadcastExchange" not in p, p
-    assert p.count("ShuffledHashJoin") >= 3, p
+    for name in ["graph_triangles", "dedup_graph_stats", "graph_pagerank"]:
+        p = plan(spark, name)
+        assert "ExistingRDD" in p, (name, p)
+        # build markers: shingle hashing and exact-verify never appear in
+        # a consumer plan (dedup_graph_stats legitimately scans documents
+        # for its isolated-doc join, so the parquet scan itself is fine)
+        for marker in ["array_intersect", "md5", "band_hash"]:
+            assert marker not in p, (name, marker)
 
 
 def test_overlap_sketch_shuffles_bucket_minima(spark):
