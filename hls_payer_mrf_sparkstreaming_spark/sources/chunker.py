@@ -158,25 +158,17 @@ _IS_STRUCTURAL = _CLS != 0
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int8))
 
 
-def _structural_candidates(buf, start: int):
-    """Scan ``buf[start:]`` assuming the scan starts OUTSIDE any string at
-    relative depth 0 (i.e. at an element boundary inside a top-level array).
+def _classify(buf, start: int = 0):
+    """Stage A of the structural scan: byte classification of
+    ``buf[start:]``. Returns ``(pos, k)`` — int64 offsets (relative to
+    ``start``) of every structural byte and its uint8 class from _CLS.
 
-    Returns ``(pos, kind)`` int64/int8 arrays of *relative-to-start* offsets:
-      kind 0 — ``,`` at depth 0 (element separator)
-      kind 1 — ``}``/``]`` closing an element (depth returns to 0)
-      kind 2 — ``]`` closing the surrounding array (depth -1)
-
-    Bytes after an unterminated trailing string/element produce no false
-    candidates: unterminated strings mask everything after them as in-string,
-    unterminated composites keep depth > 0.
-
-    Implementation note: one LUT pass classifies every byte, then all
-    sequential math (quote parity, escape runs, bracket depth) runs in
-    *compressed position space* — only over the structural characters
-    (typically a few % of bytes) — because full-array cumsums are the
-    dominant cost otherwise.
-    """
+    STATE-FREE: the result depends only on the bytes, never on scan
+    state, so blocks classified independently CONCATENATE exactly (with
+    positions shifted) to the classification of the concatenated bytes.
+    That property is what lets the scanner classify read-ahead blocks on
+    worker threads (numpy releases the GIL for these passes) while the
+    main thread consumes earlier ones."""
     a = np.frombuffer(memoryview(buf)[start:], dtype=np.uint8)
     if a.size == 0:
         return _EMPTY
@@ -191,7 +183,40 @@ def _structural_candidates(buf, start: int):
     if pos.size == 0:
         return _EMPTY
     k = _CLS[np.take(a, pos)]
+    return pos, k
 
+
+def _structural_candidates(buf, start: int):
+    """Scan ``buf[start:]`` assuming the scan starts OUTSIDE any string at
+    relative depth 0 (i.e. at an element boundary inside a top-level array).
+
+    Returns ``(pos, kind)`` int64/int8 arrays of *relative-to-start* offsets:
+      kind 0 — ``,`` at depth 0 (element separator)
+      kind 1 — ``}``/``]`` closing an element (depth returns to 0)
+      kind 2 — ``]`` closing the surrounding array (depth -1)
+
+    Bytes after an unterminated trailing string/element produce no false
+    candidates: unterminated strings mask everything after them as in-string,
+    unterminated composites keep depth > 0.
+
+    Implementation note: one LUT pass classifies every byte (_classify),
+    then all sequential math (quote parity, escape runs, bracket depth)
+    runs in *compressed position space* — only over the structural
+    characters (typically a few % of bytes) — because full-array cumsums
+    are the dominant cost otherwise (_select_candidates).
+    """
+    pos, k = _classify(buf, start)
+    if pos.size == 0:
+        return _EMPTY
+    return _select_candidates(pos, k)
+
+
+def _select_candidates(pos, k):
+    """Stage B of the structural scan: given stage-A classification
+    arrays (any position space, assumed to start OUTSIDE a string at
+    relative depth 0), resolve escapes, quote parity and bracket depth in
+    compressed space and return the candidate ``(pos, kind)`` arrays in
+    the SAME position space."""
     quote = k == 1
     if (k == 2).any():
         # escaped quote <=> immediately preceded by an odd-length run of
@@ -235,6 +260,105 @@ def _structural_candidates(buf, start: int):
 
 
 # ---------------------------------------------------------------------------
+# Read-ahead pipeline: the discovery scan used to be strictly sequential
+# (read block -> classify -> select -> consume), so a 200 MB single-file
+# cold ingest spent ~70% of its wall in stage A byte passes on one core.
+# Stage A is state-free (see _classify), so a prefetch thread reads the
+# NEXT blocks and hands them to a small classify pool while the main
+# thread runs stage B + consumption of earlier ones. Deterministic:
+# block classifications concatenate exactly to the sequential result.
+# ---------------------------------------------------------------------------
+
+def _to_abs(item, fstart: int):
+    """Shift a stage-A classification from block-relative to absolute
+    file offsets (done exactly once per block, at store time)."""
+    pos, k = item
+    if fstart and pos.size:
+        pos = pos + np.int64(fstart)
+    return pos, k
+
+
+_PREFETCH_ENV = "SPARK_GRAFT_SCAN_PREFETCH"
+_PREFETCH_MIN_READ = 1 << 20  # tiny read_size (tests) stays synchronous
+_PREFETCH_DEPTH = 3
+_CLASSIFY_POOL = None
+
+
+def _classify_pool():
+    global _CLASSIFY_POOL
+    if _CLASSIFY_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CLASSIFY_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="mrf-classify"
+        )
+    return _CLASSIFY_POOL
+
+
+class _Prefetcher:
+    """Owns the stream: reads read_size blocks ahead (bounded queue) and
+    submits each to the classify pool. ``next_block()`` returns
+    ``(data, future)`` or None at EOF/error. ``stop()`` unblocks and
+    retires the reader thread (registered as a weakref finalizer on the
+    scanner, so an abandoned generator can't park a thread forever)."""
+
+    def __init__(self, stream, read_size: int, depth: int = _PREFETCH_DEPTH):
+        import queue
+        import threading
+
+        self._stream = stream
+        self._rs = read_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stopped = False
+        self._t = threading.Thread(
+            target=self._run, daemon=True, name="mrf-prefetch"
+        )
+        self._t.start()
+
+    def _run(self):
+        import queue
+
+        pool = _classify_pool()
+        item = None
+        try:
+            while not self._stopped:
+                if item is None:
+                    data = self._stream.read(self._rs)
+                    if not data:
+                        item = None
+                        break
+                    item = (data, pool.submit(_classify, data))
+                try:
+                    self._q.put(item, timeout=1.0)
+                    item = None
+                except queue.Full:
+                    continue
+        except Exception:
+            pass  # stream closed under us (abandoned scan) — just retire
+        while not self._stopped:
+            try:
+                self._q.put(None, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
+    def next_block(self):
+        if self._stopped:
+            return None
+        return self._q.get()
+
+    def stop(self):
+        self._stopped = True
+        import queue
+
+        try:  # unblock a producer parked on a full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # The scanner.
 # ---------------------------------------------------------------------------
 
@@ -263,24 +387,94 @@ class ChunkScanner:
         self._base = 0  # file offset of self._buf[0]
         self._eof = False
         self._pos = 0  # file offset, used to return position out of sub-scans
+        # per-block stage-A classifications aligned with _buf, in FILE
+        # offset space: [fstart, fend, item] where item is a Future (from
+        # the classify pool) or a resolved (pos_abs int64, k uint8) pair
+        self._cls_blocks: list[list] = []
+        import os
+
+        self._pf: _Prefetcher | None = None
+        self._prefetch = (
+            os.environ.get(_PREFETCH_ENV, "1") != "0"
+            and self._read_size >= _PREFETCH_MIN_READ
+        )
 
     # -- buffer management --------------------------------------------------
+
+    def _next_block(self):
+        """One read_size block of input plus its (possibly pending)
+        stage-A classification, or None at EOF."""
+        if self._prefetch:
+            if self._pf is None:
+                import weakref
+
+                self._pf = _Prefetcher(self._stream, self._read_size)
+                weakref.finalize(self, _Prefetcher.stop, self._pf)
+            return self._pf.next_block()
+        data = self._stream.read(self._read_size)
+        if not data:
+            return None
+        return data, _classify(data)
 
     def _fill(self, want: int | None = None) -> bool:
         if self._eof:
             return False
-        data = self._stream.read(want or self._read_size)
-        if not data:
-            self._eof = True
-            return False
-        self._buf += data
-        return True
+        need = want or self._read_size
+        got = 0
+        while got < need:
+            blk = self._next_block()
+            if blk is None:
+                self._eof = True
+                break
+            data, item = blk
+            fstart = self._base + len(self._buf)
+            self._buf += data
+            if isinstance(item, tuple):  # inline path: normalize now
+                item = _to_abs(item, fstart)
+            self._cls_blocks.append([fstart, fstart + len(data), item])
+            got += len(data)
+            if want is None:
+                break  # default fill: one block, like the old single read
+        return got > 0
 
     def _drop(self, upto: int) -> None:
         cut = upto - self._base
         if cut > 0:
             del self._buf[:cut]
             self._base = upto
+            while self._cls_blocks and self._cls_blocks[0][1] <= upto:
+                self._cls_blocks.pop(0)
+
+    def _candidates(self, fpos: int):
+        """Structural candidates for ``self._buf`` from file offset
+        ``fpos`` (callers guarantee ``fpos == self._base``), served from
+        the per-block stage-A cache: resolve pending classify futures,
+        slice at ``fpos``, concatenate, and run stage B once. Returns
+        buffer-relative (pos, kind) — identical to
+        ``_structural_candidates(self._buf, fpos - self._base)``."""
+        parts_p: list = []
+        parts_k: list = []
+        for blk in self._cls_blocks:
+            fstart, fend, item = blk
+            if fend <= fpos:
+                continue
+            if not isinstance(item, tuple):  # pending classify future
+                item = _to_abs(item.result(), fstart)
+                blk[2] = item
+            pos, k = item
+            if fstart < fpos:
+                i = int(np.searchsorted(pos, fpos, side="left"))
+                pos, k = pos[i:], k[i:]
+            parts_p.append(pos)
+            parts_k.append(k)
+        if not parts_p:
+            return _EMPTY
+        pos = parts_p[0] if len(parts_p) == 1 else np.concatenate(parts_p)
+        k = parts_k[0] if len(parts_k) == 1 else np.concatenate(parts_k)
+        if pos.size == 0:
+            return _EMPTY
+        out_pos, kind = _select_candidates(pos, k)
+        return out_pos - self._base, kind
 
     def _rel(self, fpos: int) -> int:
         return fpos - self._base
@@ -418,7 +612,7 @@ class ChunkScanner:
             rel = self._rel(fpos)
             if rel >= len(self._buf) and not self._fill(want):
                 raise MalformedMRFError(f"unterminated array {key!r}")
-            cpos, ckind = _structural_candidates(self._buf, rel)
+            cpos, ckind = self._candidates(fpos)
             if cpos.size == 0:
                 if not self._fill(want):
                     raise MalformedMRFError(f"unterminated array {key!r}")

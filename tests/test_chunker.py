@@ -271,3 +271,54 @@ if _HAVE_HYPOTHESIS:
     def test_hypothesis_roundtrip(doc, chunk_target, read_size, indent):
         raw = json.dumps(doc, indent=indent).encode("utf-8")
         check_roundtrip(raw, chunk_target=chunk_target, read_size=read_size)
+
+
+def test_prefetch_pipeline_identical_to_inline(tmp_path, monkeypatch):
+    """The read-ahead pipeline (threaded stage-A classification of
+    read_size blocks) must produce byte-identical manifests to the
+    synchronous path — block classifications concatenate exactly, by
+    construction (_classify is state-free)."""
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    p = str(tmp_path / "m.json")
+    write_mrf_file(p, n_in_network=4000, n_provider_refs=300, seed=11)
+    assert os.path.getsize(p) > 3 * chunker._PREFETCH_MIN_READ
+    monkeypatch.setenv(chunker._PREFETCH_ENV, "0")
+    inline = list(chunker.scan_chunks(p, read_size=chunker._PREFETCH_MIN_READ))
+    monkeypatch.setenv(chunker._PREFETCH_ENV, "1")
+    threaded = list(
+        chunker.scan_chunks(p, read_size=chunker._PREFETCH_MIN_READ)
+    )
+    assert threaded == inline
+    assert len(threaded) > 1
+
+
+def test_prefetch_abandoned_scan_retires_thread(tmp_path, monkeypatch):
+    """Dropping a scan generator mid-pull must not park the prefetch
+    thread forever (the weakref finalizer stops it)."""
+    import gc
+    import threading
+    import time as _time
+
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    p = str(tmp_path / "m.json")
+    write_mrf_file(p, n_in_network=4000, n_provider_refs=300, seed=12)
+    monkeypatch.setenv(chunker._PREFETCH_ENV, "1")
+    g = chunker.scan_chunks(p, read_size=chunker._PREFETCH_MIN_READ)
+    next(g)  # start the scan (and the prefetcher)
+    g.close()
+    del g
+    gc.collect()
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        if not any(
+            t.name == "mrf-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        _time.sleep(0.2)
+    assert not any(
+        t.name == "mrf-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
