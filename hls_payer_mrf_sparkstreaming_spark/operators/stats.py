@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     load,
     query,
+    rebalance,
     scratch_persist,
 )
 
@@ -187,7 +188,9 @@ def profile_columns(spark, sf_dir):
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    one = load(spark, sf_dir, "orders").agg(*aggs)
+    # rebalance: the multi-countDistinct agg EXPANDs each input row per
+    # distinct-agg, and the one-row-group scan would run it single-core
+    one = rebalance(load(spark, sf_dir, "orders")).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in _PROFILE_COLS

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     load,
     query,
+    rebalance,
     scratch_persist,
 )
 
@@ -858,8 +859,11 @@ def quality_funnel(spark, sf_dir):
 
 def _gram_stream(spark, sf_dir):
     """Exploded (source, 8-gram md5) rows, duplicates included — the
-    shared front of the exact overlap matrix and the sketch twin."""
-    docs = load(spark, sf_dir, "documents").select(
+    shared front of the exact overlap matrix and the sketch twin.
+    rebalance(): per-gram md5 hashing is the dominant per-row cost and a
+    small-but-dense parquet is ONE scan partition (measured: the whole
+    overlap family single-threaded at sf0.1 without it; no-op at scale)."""
+    docs = rebalance(load(spark, sf_dir, "documents")).select(
         "source", F.split("text", " ").alias("t")
     )
     return docs.select(
@@ -1270,7 +1274,9 @@ _DUPFRAC_N = 8  # same n-gram width as decontaminate
     "100 TB the wire carries only digests and longs",
 )
 def intra_corpus_dup_ngrams(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
+    # rebalance: the per-gram md5 explode is the dominant cost and the
+    # small-dense parquet is one scan partition (no-op at scale)
+    docs = rebalance(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     grams = docs.select(
@@ -1438,7 +1444,7 @@ def token_cooccurrence_lift(spark, sf_dir):
     "crosses the wire; exact integer ppm output",
 )
 def ngram_novelty_score(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
+    docs = rebalance(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     grams = docs.select(

@@ -525,7 +525,11 @@ def test_intra_corpus_dup_shuffles_digests_not_text(spark):
     ex = [
         b
         for b in p.split("\n\n")
-        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        # rebalance()'s round-robin small-input spread (no-op at scale)
+        # legitimately still carries text — see the neardup guard
+        and "RoundRobinPartitioning" not in b
     ]
     assert ex, p
     assert all("text#" not in b for b in ex), ex
@@ -776,7 +780,16 @@ def test_overlap_sketch_shuffles_bucket_minima(spark):
         "formatted"
     )
     pp = df._jdf.queryExecution().explainString(jmode)
-    assert len(re.findall(r"\(\d+\) Exchange", pp)) == 1, pp
+    # exactly one WIDE exchange (the sources x K bucket-min rows);
+    # rebalance()'s round-robin small-input spread is exempt
+    wide = [
+        b
+        for b in pp.split("\n\n")
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "RoundRobinPartitioning" not in b
+    ]
+    assert len(wide) == 1, pp
     assert pp.count("HashAggregate") >= 2, pp
 
 
@@ -840,7 +853,11 @@ def test_novelty_shuffles_digests_not_text(spark):
     ex = [
         b
         for b in p.split("\n\n")
-        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        # rebalance()'s round-robin small-input spread (no-op at scale)
+        # legitimately still carries text — see the neardup guard
+        and "RoundRobinPartitioning" not in b
     ]
     assert ex, p
     assert all("text#" not in b for b in ex), ex
@@ -1094,7 +1111,11 @@ def test_span_pairs_join_carries_digests_not_text(spark):
     ex = [
         b
         for b in p.split("\n\n")
-        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        # rebalance()'s round-robin small-input spread (no-op at scale)
+        # legitimately still carries text — see the neardup guard
+        and "RoundRobinPartitioning" not in b
     ]
     assert ex, p
     assert all("text" not in b for b in ex), ex
