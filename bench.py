@@ -267,17 +267,12 @@ def main() -> None:
     # neardup_pairs_lsh, which IS the build) N more times instead of the
     # consumer's own marginal cost. Warm the cache untimed for consumers;
     # neardup_pairs_lsh itself stays fully cold.
-    _EDGE_CONSUMERS = {
-        "dedup_graph_stats",
-        "graph_triangles",
-        "graph_pagerank",
-        "dedup_cluster",
-        "dedup_cluster_survivors",
-        "lsh_edge_recall",
-    }
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        EDGE_CONSUMER_QUERIES,
+    )
 
     def _warm_edges_if_consumer(name: str) -> None:
-        if name not in _EDGE_CONSUMERS:
+        if name not in EDGE_CONSUMER_QUERIES:
             return
         from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
             neardup_edges,

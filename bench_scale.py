@@ -146,15 +146,8 @@ def make_scaled(out: str) -> None:
 # Graph-family queries consume the session-level near-dup edge cache;
 # mirror bench.py: warm the edge cache untimed so their ratio reflects the
 # consumer's own scaling, not the edge build (measured as
-# neardup_pairs_lsh) repeated N times.
-_EDGE_CONSUMERS = {
-    "dedup_graph_stats",
-    "graph_triangles",
-    "graph_pagerank",
-    "dedup_cluster",
-    "dedup_cluster_survivors",
-    "lsh_edge_recall",
-}
+# neardup_pairs_lsh) repeated N times. The canonical set lives next to
+# the cache itself (operators.dedup.EDGE_CONSUMER_QUERIES).
 
 
 def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
@@ -162,6 +155,7 @@ def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
     from bench import _unpersist_all
 
     from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        EDGE_CONSUMER_QUERIES,
         neardup_edges,
     )
 
@@ -172,7 +166,7 @@ def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
         _unpersist_all(spark)
         samples = []
         for _ in range(runs):
-            if name in _EDGE_CONSUMERS:
+            if name in EDGE_CONSUMER_QUERIES:
                 neardup_edges(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()

@@ -58,8 +58,8 @@ def main() -> None:
 
     # mirror bench.py: graph-family consumers time against a warm
     # session-level edge cache (the build is neardup_pairs_lsh's number)
-    from bench_scale import _EDGE_CONSUMERS
     from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        EDGE_CONSUMER_QUERIES,
         neardup_edges,
     )
 
@@ -70,7 +70,7 @@ def main() -> None:
         _unpersist_all(spark)
         samples = []
         for _ in range(a.runs):
-            if name in _EDGE_CONSUMERS:
+            if name in EDGE_CONSUMER_QUERIES:
                 neardup_edges(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
