@@ -278,10 +278,14 @@ _DRIVER_PRIORITY = [
     "domain_cap",
     "quality_deciles",
     "lag_features",
-    "grouping_sets_revenue",
-    "dup_rate_by_source",
+    # r9 additions (new ops MUST sit inside the first 50): LSH banding
+    # health + cluster-size histogram, displacing the two tail r5 entries
+    "lsh_bucket_skew",
+    "dedup_cluster_sizes",
     # ---- the 50-entry driver window ends here ----
     # r5-stale leftovers (head of the r10 rotation)
+    "grouping_sets_revenue",
+    "dup_rate_by_source",
     "limit_topk",
     "set_ops",
     "cube_counts",
