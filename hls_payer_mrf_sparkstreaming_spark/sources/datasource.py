@@ -700,6 +700,14 @@ def build_manifest_distributed(
     sc = spark.sparkContext
 
     def scan_file(path):
+        # parallelism here comes from one-task-per-file: every core is
+        # already scanning a different file, so the scanner's per-file
+        # read-ahead/classify threads would only oversubscribe the
+        # executor (32 tasks x 5 threads) — force the synchronous path
+        # in this worker process
+        import os as _os
+
+        _os.environ[ck._PREFETCH_ENV] = "0"
         return [
             (path, c.start, c.end, c.header_key)
             for c in ck.scan_chunks(path, chunk_target, buffersize)
