@@ -1018,7 +1018,17 @@ def corpus_overlap_sketch(spark, sf_dir):
     # relation is identical). The PRODUCTION sketch path skips the
     # distinct entirely — per-(source, bucket) MIN map-side-combines
     # over the raw gram stream (see corpus_overlap_sketch_only).
-    grams = _gram_stream(spark, sf_dir).distinct().transform(scratch_persist)
+    # CHECKPOINT, not persist: five downstream branches (sketch mins,
+    # per-source totals, shared-set build, bound join) each re-plan the
+    # gram explode's expression tree through cache lookups and AQE —
+    # severing the lineage here cut the twin ~0.7 s at sf0.1, and the
+    # checkpointed distinct gram set is the natural recovery point
+    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+        _ensure_checkpoint_dir,
+    )
+
+    _ensure_checkpoint_dir(spark)
+    grams = _gram_stream(spark, sf_dir).distinct().checkpoint(eager=True)
     v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
     gram_vals = grams.select(
         "source",
