@@ -1515,3 +1515,22 @@ def test_theil_sen_pairs_join_is_equi_on_user(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
     assert "Window" in p, p
+
+
+def test_audit_plans_truncated_at_checkpoint(spark):
+    # corpus_overlap_sketch and minhash_error_eval checkpoint their
+    # fan-out scratch relations (distinct grams / narrow signatures):
+    # the returned plan must read the checkpoint scan, and the severed
+    # build must not reappear (no gram-explode Generate in the sketch
+    # twin; no 32-perm array_min signature tree in the error eval —
+    # its shingle branch legitimately recomputes shingle STRINGS)
+    p = plan(spark, "corpus_overlap_sketch")
+    assert "ExistingRDD" in p, p
+    # exactly ONE runtime Generate survives: _exact_overlap's source-pair
+    # combo expansion (C(k,2) structs per shared gram). The gram explode
+    # itself is behind the checkpoint — a second Generate means it leaked
+    # back into the per-action plan
+    assert runtime_generates(p) == 1, p
+    p = plan(spark, "minhash_error_eval")
+    assert "ExistingRDD" in p, p
+    assert "array_min" not in p, p
