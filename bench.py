@@ -261,26 +261,41 @@ def main() -> None:
 
     # The near-dup edge list is a session-level artifact (dedup.py's
     # _EDGE_CACHE): a real session builds it ONCE and every graph-family
-    # consumer shares it. _unpersist_all would force each consumer to
-    # re-run the whole LSH edge pipeline inside its timed pass, so those
-    # queries' numbers would measure the edge build (already measured as
-    # neardup_pairs_lsh, which IS the build) N more times instead of the
-    # consumer's own marginal cost. Warm the cache untimed for consumers;
-    # neardup_pairs_lsh itself stays fully cold.
+    # query — INCLUDING neardup_pairs_lsh, whose registered entry reads
+    # the shared edge list like any other consumer — shares it.
+    # _unpersist_all would force each of them to re-run the whole LSH
+    # edge pipeline inside its timed pass, so their numbers would measure
+    # the build N more times instead of the consumer's marginal cost (the
+    # session steady state). Warm the cache untimed before every timed
+    # sample of those queries; the one-time BUILD cost is measured
+    # separately and fully cold below (edge_build_sec), so it stays
+    # visible instead of being smeared across six query medians.
     from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
         EDGE_CONSUMER_QUERIES,
+        neardup_edges,
     )
 
     def _warm_edges_if_consumer(name: str) -> None:
-        if name not in EDGE_CONSUMER_QUERIES:
+        if name not in EDGE_CONSUMER_QUERIES and name != "neardup_pairs_lsh":
             return
-        from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
-            neardup_edges,
-        )
-
         neardup_edges(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # edge_build_sec: the cold LSH edge-cache build (shingle -> 32-perm
+    # minhash -> band self-join -> exact verify -> checkpoint), every
+    # sample paying the FULL pipeline (_unpersist_all clears the session
+    # cache AND deletes the checkpoint files between samples)
+    edge_build_samples = []
+    for _ in range(RUNS):
+        _unpersist_all(spark)
+        t0 = time.time()
+        neardup_edges(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        edge_build_samples.append(time.time() - t0)
+    _unpersist_all(spark)
+    edge_build_sec = round(statistics.median(edge_build_samples), 3)
 
     for name in HEADLINE:
         fn = queries[name]
@@ -316,6 +331,10 @@ def main() -> None:
             {
                 "queries_sec_median": timings,
                 "query_spread_rel": spreads,
+                "edge_build_sec": edge_build_sec,
+                "edge_build_samples": [
+                    round(s, 3) for s in edge_build_samples
+                ],
                 "runs": RUNS,
                 "sf": sf_val,
                 "cpus": CPUS,
@@ -335,6 +354,7 @@ def main() -> None:
             round(spread_vals[len(spread_vals) // 2], 2) if spread_vals else 0.0
         ),
         "sf": sf_val,
+        "edge_build_sec": edge_build_sec,
         "mrf_gb_per_min": round(mrf_gb_per_min, 2),
         "mrf_ingest_gb_per_min": round(mrf_ingest_gb_per_min, 2),
         "mrf_ingest_warm_gb_per_min": round(mrf_ingest_warm_gb_per_min, 2),

@@ -439,7 +439,12 @@ def approx_distinct_users(spark, sf_dir):
     # expanded row stream.
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     exact = (
-        ev.groupBy("event_type", "user_id")
+        # NULL user_id would count as one distinct "user" in the two-level
+        # shape but is excluded by approx_count_distinct — filter it so the
+        # exact and approx sides count the same domain (the predicate can
+        # flip near the 5*rsd boundary otherwise)
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
         .agg(F.lit(1).alias("_x"))
         .groupBy("event_type")
         .agg(F.count("*").alias("exact_users"))

@@ -318,14 +318,18 @@ class _Prefetcher:
     def _run(self):
         import queue
 
-        pool = _classify_pool()
+        sentinel = None  # None == clean EOF
         item = None
         try:
+            # pool creation inside the try: if ThreadPoolExecutor itself
+            # fails ("can't start new thread" on a loaded host) the
+            # consumer still receives a sentinel instead of hanging on
+            # an unbounded q.get() against a dead producer
+            pool = _classify_pool()
             while not self._stopped:
                 if item is None:
                     data = self._stream.read(self._rs)
                     if not data:
-                        item = None
                         break
                     item = (data, pool.submit(_classify, data))
                 try:
@@ -333,11 +337,15 @@ class _Prefetcher:
                     item = None
                 except queue.Full:
                     continue
-        except Exception:
-            pass  # stream closed under us (abandoned scan) — just retire
+        except Exception as exc:
+            # mid-scan read failure: hand the REAL exception to the
+            # consumer (next_block re-raises it) — presenting it as EOF
+            # would surface as a misleading MalformedMRFError, or worse,
+            # a silently truncated manifest treated as a clean scan
+            sentinel = exc
         while not self._stopped:
             try:
-                self._q.put(None, timeout=1.0)
+                self._q.put(sentinel, timeout=1.0)
                 return
             except queue.Full:
                 continue
@@ -345,7 +353,14 @@ class _Prefetcher:
     def next_block(self):
         if self._stopped:
             return None
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            if self._stopped:
+                # stop() closed the stream under the producer — the
+                # resulting error is an artifact of abandonment, not data
+                return None
+            raise item
+        return item
 
     def stop(self):
         self._stopped = True
@@ -375,6 +390,7 @@ class ChunkScanner:
         stream: BinaryIO,
         chunk_target_bytes: int = DEFAULT_CHUNK_TARGET,
         read_size: int = DEFAULT_READ_SIZE,
+        prefetch: bool | None = None,
     ):
         self._stream = stream
         self._target = max(int(chunk_target_bytes), 1024)
@@ -394,10 +410,9 @@ class ChunkScanner:
         import os
 
         self._pf: _Prefetcher | None = None
-        self._prefetch = (
-            os.environ.get(_PREFETCH_ENV, "1") != "0"
-            and self._read_size >= _PREFETCH_MIN_READ
-        )
+        if prefetch is None:  # env is the default, not an override channel
+            prefetch = os.environ.get(_PREFETCH_ENV, "1") != "0"
+        self._prefetch = prefetch and self._read_size >= _PREFETCH_MIN_READ
 
     # -- buffer management --------------------------------------------------
 
@@ -792,12 +807,15 @@ def scan_chunks(
     path: str,
     chunk_target_bytes: int = DEFAULT_CHUNK_TARGET,
     read_size: int = DEFAULT_READ_SIZE,
+    prefetch: bool | None = None,
 ) -> Iterator[Chunk]:
     """Scan a (local or remote) MRF file and yield its chunk manifest."""
     from hls_payer_mrf_sparkstreaming_spark.sources.io import open_input
 
     with open_input(path) as f:
-        yield from ChunkScanner(f, chunk_target_bytes, read_size).scan()
+        yield from ChunkScanner(
+            f, chunk_target_bytes, read_size, prefetch=prefetch
+        ).scan()
 
 
 # ---------------------------------------------------------------------------

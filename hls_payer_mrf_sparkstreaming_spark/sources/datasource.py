@@ -703,14 +703,15 @@ def build_manifest_distributed(
         # parallelism here comes from one-task-per-file: every core is
         # already scanning a different file, so the scanner's per-file
         # read-ahead/classify threads would only oversubscribe the
-        # executor (32 tasks x 5 threads) — force the synchronous path
-        # in this worker process
-        import os as _os
-
-        _os.environ[ck._PREFETCH_ENV] = "0"
+        # executor (32 tasks x 5 threads). Passed as an explicit arg —
+        # NOT via os.environ, which in local mode would permanently
+        # disable the prefetch pipeline for every later direct scan in
+        # the same (driver==executor) process.
         return [
             (path, c.start, c.end, c.header_key)
-            for c in ck.scan_chunks(path, chunk_target, buffersize)
+            for c in ck.scan_chunks(
+                path, chunk_target, buffersize, prefetch=False
+            )
         ]
 
     schema = StructType(

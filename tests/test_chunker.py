@@ -322,3 +322,126 @@ def test_prefetch_abandoned_scan_retires_thread(tmp_path, monkeypatch):
         t.name == "mrf-prefetch" and t.is_alive()
         for t in threading.enumerate()
     )
+
+
+def test_prefetch_io_error_keeps_identity(tmp_path):
+    """A mid-scan read failure must surface as the REAL I/O exception,
+    not as a clean EOF (silently truncated manifest) or a misleading
+    MalformedMRFError — the prefetch thread hands the exception to the
+    consumer through the queue (advice r9)."""
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    p = str(tmp_path / "m.json")
+    write_mrf_file(p, n_in_network=4000, n_provider_refs=300, seed=13)
+    with open(p, "rb") as f:
+        data = f.read()
+    assert len(data) > 2 * chunker._PREFETCH_MIN_READ
+
+    class FailingStream:
+        def __init__(self, raw, fail_at):
+            self._raw, self._pos, self._fail = raw, 0, fail_at
+
+        def read(self, n):
+            if self._pos >= self._fail:
+                raise OSError("mid-scan I/O failure")
+            out = self._raw[self._pos : self._pos + n]
+            self._pos += len(out)
+            return out
+
+    for prefetch in (False, True):
+        stream = FailingStream(data, chunker._PREFETCH_MIN_READ)
+        scanner = ChunkScanner(
+            stream,
+            read_size=chunker._PREFETCH_MIN_READ,
+            prefetch=prefetch,
+        )
+        with pytest.raises(OSError, match="mid-scan I/O failure"):
+            list(scanner.scan())
+
+
+def test_prefetch_pool_failure_cannot_hang_consumer(tmp_path, monkeypatch):
+    """If the classify ThreadPoolExecutor itself cannot be created
+    ("can't start new thread" on a loaded host), the reader thread must
+    still hand a sentinel to the consumer — the scan fails fast with the
+    real error instead of parking forever on q.get() (advice r9)."""
+    import threading
+
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    p = str(tmp_path / "m.json")
+    write_mrf_file(p, n_in_network=4000, n_provider_refs=300, seed=14)
+
+    def boom():
+        raise RuntimeError("can't start new thread")
+
+    monkeypatch.setattr(chunker, "_classify_pool", boom)
+    result: list = []
+
+    def run():
+        try:
+            list(chunker.scan_chunks(p, read_size=chunker._PREFETCH_MIN_READ))
+            result.append(("ok", None))
+        except Exception as exc:  # noqa: BLE001 — recording for the assert
+            result.append(("err", exc))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(30)
+    assert not t.is_alive(), "scan hung on a dead prefetch producer"
+    kind, exc = result[0]
+    assert kind == "err" and "can't start new thread" in str(exc)
+
+
+def test_prefetch_concurrent_scans_share_classify_pool(tmp_path, monkeypatch):
+    """Two scans running concurrently in one process (the executor-side
+    Python worker situation) must share ONE classify pool and still each
+    produce the exact synchronous manifest."""
+    import threading
+
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    paths = []
+    for i in (15, 16):
+        p = str(tmp_path / f"m{i}.json")
+        write_mrf_file(p, n_in_network=4000, n_provider_refs=300, seed=i)
+        paths.append(p)
+    expected = [
+        list(chunker.scan_chunks(p, read_size=chunker._PREFETCH_MIN_READ,
+                                 prefetch=False))
+        for p in paths
+    ]
+    monkeypatch.setenv(chunker._PREFETCH_ENV, "1")
+    results: dict[int, list] = {}
+
+    def run(i):
+        results[i] = list(
+            chunker.scan_chunks(
+                paths[i], read_size=chunker._PREFETCH_MIN_READ
+            )
+        )
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert results[0] == expected[0]
+    assert results[1] == expected[1]
+    # creation is idempotent: the module-level pool object is shared
+    assert chunker._classify_pool() is chunker._classify_pool()
+
+
+def test_scan_chunks_prefetch_arg_does_not_touch_env(tmp_path):
+    """prefetch=False is an explicit argument, not an os.environ mutation:
+    a distributed-discovery scan in a local-mode process must not disable
+    the pipeline for later scans in the same process (advice r9)."""
+    import os as _os
+
+    from hls_payer_mrf_sparkstreaming_spark.sources import chunker
+
+    p = str(tmp_path / "m.json")
+    write_mrf_file(p, n_in_network=500, n_provider_refs=50, seed=17)
+    before = _os.environ.get(chunker._PREFETCH_ENV)
+    sync = list(chunker.scan_chunks(p, prefetch=False))
+    assert _os.environ.get(chunker._PREFETCH_ENV) == before
+    assert list(chunker.scan_chunks(p)) == sync
