@@ -215,81 +215,46 @@ def _parse_bytes_conf(v: str) -> int:
 
 # The driver's CORRECTNESS harness verifies the FIRST 50 registry entries
 # only, so ordering is a verification-coverage decision, not cosmetics.
-# Entries that have never received a driver row (or were red / no_oracle in
-# the last round) go first; entries green in BOTH r2 and r3 go last — their
-# correctness is already on record. Keep newly added operators inside the
-# first 50 by appending them to this list.
-_DRIVER_PRIORITY = [
-    # round-9 window (VERDICT r8 task 1: drain the staleness tail).
-    # The 4 operators whose last driver row is round 4 lead; the rest of
-    # the window is 46 of the 49 operators last driver-verified in round
-    # 5 (the window holds exactly 50, so the 3 most trivial r5 entries —
-    # limit_topk, set_ops, cube_counts — wait for the r10 rotation).
-    # Newly added operators MUST be inserted inside the first 50
-    # (test_driver_priority_names_exist_and_new_ops_in_window enforces
-    # it); displace from the TAIL of the r5 cohort when adding.
-    # last driver row: round 4
-    "event_funnel",
-    "filter_eq",
-    "project_substr",
-    "class_weights",
-    # last driver row: round 5
-    "explode_tokens",
-    "array_index",
-    "nested_extract",
-    "cross_join",
-    "surrogate_keys",
-    "param_filter",
-    "pricing_summary",
-    "star_join_revenue",
-    "window_topk_per_group",
-    "rollup_counts",
-    "skew_salted_join",
-    "semi_anti_join",
-    "join_size_estimate",
-    "cluster_quality_summary",
-    "ngram_novelty_score",
-    "seasonal_profile",
-    "knn_classify",
-    "pca_power_iteration",
-    "minhash_error_eval",
-    "sample_weighted_by_score",
-    "key_skew_report",
-    "churn_labels",
-    "sliding_window_counts",
-    "pareto_share_curve",
-    "sessionize_native",
-    "interval_union_length",
-    "event_transition_matrix",
-    "mode_per_group",
-    "skyline_pareto",
-    "snapshot_diff",
-    "compaction_bins",
-    "calibration_bins",
-    "top_unshipped_orders",
-    "token_cooccurrence_lift",
-    "auc_score",
-    "bloom_prefilter",
-    "semantic_dedup",
-    "pq_encode",
-    "intra_corpus_dup_ngrams",
-    "retention_cohorts",
-    "ewma_user_value",
-    "domain_cap",
-    "quality_deciles",
-    "lag_features",
-    # r9 additions (new ops MUST sit inside the first 50): LSH banding
-    # health + cluster-size histogram, displacing the two tail r5 entries
-    "lsh_bucket_skew",
-    "dedup_cluster_sizes",
-    # ---- the 50-entry driver window ends here ----
-    # r5-stale leftovers (head of the r10 rotation)
-    "grouping_sets_revenue",
-    "dup_rate_by_source",
-    "limit_topk",
-    "set_ops",
-    "cube_counts",
-]
+# The window is SELF-ROTATING (VERDICT r9 task 8): ordering derives from
+# the committed CORRECTNESS_r*.json history at call time — operators that
+# have never received a green driver row go first (so every NEW operator
+# lands inside the window automatically), then ascending by the round of
+# their latest green row (so the stalest verification rotates back in each
+# round, and a RED row, which does not advance the clock, re-enters the
+# window immediately). Ties keep registration order, which is
+# deterministic (fixed import order below). No hand-edited list to
+# maintain; tests/test_plans.py pins the rotation invariants.
+_DRIVER_PRIORITY: list[str] = []  # populated by all_queries() (introspection)
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """Operator name -> latest round with a green driver row (rows_match,
+    or the weaker rows-only ``no_oracle`` acknowledgement) across the
+    committed ``CORRECTNESS_r*.json`` files at the repo root. Empty when
+    the package runs outside the repo (installed library) — ordering then
+    falls back to registration order."""
+    import glob
+    import json
+    import re as _re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("rows_match") or row.get("err") == "no_oracle":
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
 
 
 def all_queries() -> dict[str, QueryPair]:
@@ -310,11 +275,9 @@ def all_queries() -> dict[str, QueryPair]:
     import hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries  # noqa: F401
     import hls_payer_mrf_sparkstreaming_spark.plans.variant  # noqa: F401
 
-    ordered: dict[str, QueryPair] = {}
-    for name in _DRIVER_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, qp in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = qp
-    return ordered
+    hist = _latest_green_rounds()
+    # never-verified first (hist -1), then stalest green round first;
+    # sorted() is stable, so ties keep deterministic registration order
+    order = sorted(REGISTRY, key=lambda n: hist.get(n, -1))
+    _DRIVER_PRIORITY[:] = order
+    return {name: REGISTRY[name] for name in order}

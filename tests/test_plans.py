@@ -433,39 +433,36 @@ def test_readme_counts_are_current():
     )
 
 
-def test_driver_priority_names_exist_and_new_ops_in_window():
-    # the driver verifies only the FIRST 50 entries of queries(): a name
-    # typo'd in _DRIVER_PRIORITY silently drops out, and an operator
-    # registered but never listed ships unverified. Guard both: every
-    # priority name must exist, and every registry entry with no green
-    # driver row in any committed CORRECTNESS_r*.json must sit inside the
-    # first 50.
-    import glob
-    import json
-
+def test_driver_window_self_rotation_invariants():
+    # the driver verifies only the FIRST 50 entries of queries(); the
+    # ordering is generated from the committed CORRECTNESS history
+    # (oldest green driver row first), so pin the invariants the rotation
+    # must provide: (1) every never-driver-verified operator — i.e. every
+    # NEW operator — sits inside the window; (2) the window is exactly
+    # the stalest cohort: no entry outside the window has an older latest
+    # green row than any entry inside it; (3) ordering is deterministic
+    # across calls.
     from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
-        _DRIVER_PRIORITY,
+        _latest_green_rounds,
         all_queries,
     )
 
-    ordered = all_queries()
-    missing = [n for n in _DRIVER_PRIORITY if n not in ordered]
-    assert not missing, f"_DRIVER_PRIORITY names not in REGISTRY: {missing}"
+    ordered = list(all_queries())
+    hist = _latest_green_rounds()
+    window = ordered[:50]
+    rest = ordered[50:]
 
-    verified: set[str] = set()
-    repo_root = os.path.join(os.path.dirname(__file__), "..")
-    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if row.get("rows_match") or row.get("err") == "no_oracle":
-                    verified.add(name)
-    window = set(list(ordered)[:50])
-    unverified = [n for n in ordered if n not in verified]
+    unverified = [n for n in ordered if n not in hist]
     outside = [n for n in unverified if n not in window]
     assert not outside, (
         f"never-driver-verified operators outside the 50-entry window: "
-        f"{outside} — prepend them to _DRIVER_PRIORITY"
+        f"{outside}"
     )
+    if rest:
+        assert max(hist.get(n, -1) for n in window) <= min(
+            hist.get(n, -1) for n in rest
+        ), "driver window is not the stalest-verification cohort"
+    assert ordered == list(all_queries()), "window ordering not stable"
 
 
 def test_event_funnel_shuffles_only_stage_subsets(spark):
