@@ -92,6 +92,13 @@ QUERIES = [
     "theil_sen_slope",
     "mutual_information",
     "precision_recall_at_k",
+    # round-10: the ops that CERTIFY scale must themselves be ratio-
+    # tracked (VERDICT r9 task 6) — LSH banding health, cluster-size
+    # histogram, SemDeDup, and the sketch-only corpus overlap
+    "lsh_bucket_skew",
+    "dedup_cluster_sizes",
+    "semantic_dedup",
+    "corpus_overlap_sketch_only",
 ]
 
 
@@ -144,10 +151,14 @@ def make_scaled(out: str) -> None:
 
 
 # Graph-family queries consume the session-level near-dup edge cache;
-# mirror bench.py: warm the edge cache untimed so their ratio reflects the
-# consumer's own scaling, not the edge build (measured as
-# neardup_pairs_lsh) repeated N times. The canonical set lives next to
-# the cache itself (operators.dedup.EDGE_CONSUMER_QUERIES).
+# mirror bench.py: warm the edge cache untimed so their ratio reflects
+# the consumer's own scaling, not the edge build repeated N times. The
+# canonical set lives next to the cache itself
+# (operators.dedup.EDGE_CONSUMER_QUERIES). UNLIKE bench.py (where
+# neardup_pairs_lsh times the warm consumer read and the cold build is
+# the separate edge_build_sec metric), neardup_pairs_lsh here stays
+# COLD on purpose: its ratio IS the edge build's 10x-data scaling, the
+# number that caught the r8 candidate-volume blowup.
 
 
 def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:

@@ -2507,6 +2507,121 @@ _SPEAR_RANK = (
     "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1"
 )
 
+# local twin of _SPEAR_RANK, scoped to one value-range bucket: because
+# equal values always land in the same bucket, rank-within-bucket plus
+# twice the count of rows in earlier buckets IS the global doubled rank
+_SPEAR_RANK_LOCAL = (
+    "2 * rank() OVER (PARTITION BY event_type, {b} ORDER BY {v}) "
+    "+ count(*) OVER (PARTITION BY event_type, {b} ORDER BY {v} "
+    "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1"
+)
+
+_SPEAR_BUCKETS = 1024
+
+
+def _spear_ranked(e):
+    """Exact tie-averaged doubled ranks rx, ry within event_type, computed
+    WITHOUT a per-group total-order sort (the 100 TB limiter: a single
+    window task per event_type serializes the whole axis).
+
+    Rows are bucketed by value range on each axis (per-group min/max for
+    BOTH axes from one cheap partial agg, broadcast back; integer ``div``
+    arithmetic so no double rounding at int64 extremes), ranked locally
+    per (event_type, bucket) — sort parallelism #groups x #buckets — and
+    shifted by 2x the prefix-sum of earlier buckets' row counts (a
+    groups x buckets relation, broadcast). Equal values share a bucket,
+    so tie groups never straddle an offset boundary and the result equals
+    the single-sort ``_SPEAR_RANK`` bit-for-bit. All bucket metadata
+    (min/max, per-bucket counts for both axes) derives from the
+    PRE-window relation, so the two rank windows chain over the main
+    relation exactly once each — no axis recomputes the other's sort."""
+    from pyspark.sql import Window
+
+    g = e.groupBy("event_type").agg(
+        F.min("x").alias("_mnx"),
+        F.max("x").alias("_mxx"),
+        F.min("y").alias("_mny"),
+        F.max("y").alias("_mxy"),
+    )
+    g = g.select(
+        "event_type",
+        "_mnx",
+        "_mny",
+        F.expr(f"(_mxx - _mnx) div {_SPEAR_BUCKETS} + 1").alias("_wx"),
+        F.expr(f"(_mxy - _mny) div {_SPEAR_BUCKETS} + 1").alias("_wy"),
+    )
+    b = e.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "x",
+        "y",
+        F.expr("(x - _mnx) div _wx").alias("_bx"),
+        F.expr("(y - _mny) div _wy").alias("_by"),
+    )
+
+    # both axes' per-bucket counts in ONE pass over the rows: explode an
+    # (axis, bucket) pair per row, partial-agg locally (<= 2*_SPEAR_BUCKETS
+    # per group survives the map side), then one tiny prefix-sum window
+    # per (group, axis) over the count relation
+    cnt = (
+        b.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("x").alias("ax"), F.col("_bx").alias("bk")
+                    ),
+                    F.struct(
+                        F.lit("y").alias("ax"), F.col("_by").alias("bk")
+                    ),
+                )
+            ).alias("a"),
+        )
+        .select("event_type", "a.ax", "a.bk")
+        .groupBy("event_type", "ax", "bk")
+        .agg(F.count("*").alias("_c"))
+    )
+    # scratch-persist: both axes' broadcast sides read this relation, and
+    # without materialization each would re-run the whole counting scan
+    off = scratch_persist(
+        cnt.select(
+            "event_type",
+            "ax",
+            "bk",
+            (
+                F.sum("_c").over(
+                    Window.partitionBy("event_type", "ax").orderBy("bk")
+                )
+                - F.col("_c")
+            ).alias("_off"),
+        )
+    )
+
+    def offsets(ax, bcol):
+        return off.filter(F.col("ax") == ax).select(
+            "event_type",
+            F.col("bk").alias(bcol),
+            F.col("_off").alias(f"_off{bcol}"),
+        )
+
+    return (
+        b.join(F.broadcast(offsets("x", "_bx")), ["event_type", "_bx"])
+        .join(F.broadcast(offsets("y", "_by")), ["event_type", "_by"])
+        .withColumn(
+            "rx",
+            (
+                F.expr(_SPEAR_RANK_LOCAL.format(v="x", b="_bx"))
+                + 2 * F.col("_off_bx")
+            ).cast("long"),
+        )
+        .withColumn(
+            "ry",
+            (
+                F.expr(_SPEAR_RANK_LOCAL.format(v="y", b="_by"))
+                + 2 * F.col("_off_by")
+            ).cast("long"),
+        )
+    )
+
 
 @query(
     "spearman_corr",
@@ -2547,10 +2662,13 @@ _SPEAR_RANK = (
     "(numeric prop) per event_type — Pearson on tie-averaged ranks, the "
     "robust monotone-association twin of corr_stats. Doubled average "
     "ranks (2*rank + ties - 1) are exact integers, so all six rank "
-    "moments sum exactly under any parallelism; the tie count rides a "
-    "peers-only RANGE frame on the SAME sort as rank(), so each axis "
-    "costs exactly one exchange+sort of (group, value) pairs — two "
-    "total — then one map-side-combinable moment groupBy. Rank moments "
+    "moments sum exactly under any parallelism. Ranking is TWO-PHASE "
+    "(r10, cut the 10x-data wall ratio): a per-group sort would put each "
+    "event_type's whole axis in ONE window task, so rows are bucketed by "
+    "value range (equal values share a bucket, so tie groups never span "
+    "buckets), ranked locally per (group, bucket) — parallel across "
+    "buckets — and shifted by broadcast prefix-sum bucket offsets; the "
+    "result is bit-identical to the single-sort rank. Rank moments "
     "reach ~4n^3 per group, inside int64 up to ~10^6 rows per group; "
     "beyond that the moments widen to DECIMAL(38,0), plan unchanged",
 )
@@ -2560,11 +2678,7 @@ def spearman_corr(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("y"),
     )
-    r = e.select(
-        "event_type",
-        F.expr(_SPEAR_RANK.format(v="x")).cast("long").alias("rx"),
-        F.expr(_SPEAR_RANK.format(v="y")).cast("long").alias("ry"),
-    )
+    r = _spear_ranked(e)
     m = r.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("rx").alias("sx"),

@@ -1683,3 +1683,34 @@ def test_exact_quadratic_ceiling_samples_blocks(spark, sf_dir, monkeypatch):
     expected = {p for p in full if p[0] in kept}
     assert sampled == expected
     assert len(sampled) < len(full), "sample dropped nothing — vacuous"
+
+
+def test_overlap_snapshot_fresh_and_twin_in_bounds(spark, sf_dir):
+    """The pre-committed exact overlap snapshot must match the LIVE exact
+    matrix (guards a regenerated testdata set silently invalidating the
+    frozen values), and the full in-query fallback twin — the drift
+    detector corpus_overlap_sketch uses for unknown datasets — must hold
+    its 5σ bound at HEAD."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _OVL_EXACT_SNAPSHOT,
+        _exact_overlap,
+        _gram_stream,
+        _sketch_vs_exact_twin,
+    )
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    assert key in _OVL_EXACT_SNAPSHOT
+    live = {
+        (r.source_a, r.source_b): r.jaccard_ppm
+        for r in _exact_overlap(_gram_stream(spark, sf_dir).distinct())
+        .collect()
+    }
+    assert live == _OVL_EXACT_SNAPSHOT[key], (
+        "frozen exact-overlap snapshot is stale — regenerate "
+        "_OVL_EXACT_SNAPSHOT from the corpus_overlap DuckDB oracle"
+    )
+
+    rows = _sketch_vs_exact_twin(spark, sf_dir).collect()
+    assert rows and all(r.within_bounds for r in rows)

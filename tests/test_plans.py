@@ -756,14 +756,19 @@ def test_consumer_plans_truncated_at_edge_checkpoint(spark):
 
 
 def test_overlap_sketch_shuffles_bucket_minima(spark):
-    # the sketch branch's per-(source, bucket) MIN must partial-aggregate
-    # map-side (sources x K rows cross the wire, never the gram stream),
-    # and the tiny per-source sketch pair join must not be a cartesian
-    # product (BroadcastNestedLoopJoin over the K-vector rows is fine)
+    # the bounds twin (r10 shape): sketch estimate vs the PRE-COMMITTED
+    # exact snapshot — ONE raw gram scan feeds the per-(source, bucket)
+    # MIN (map-side partial agg), the snapshot arrives as a local
+    # relation (ExistingRDD), and the whole exact-matrix pipeline
+    # (distinct grams + shared-set Generate) must be GONE from the plan
+    import re
+
     p = plan(spark, "corpus_overlap_sketch")
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
-    assert p.count("HashAggregate") >= 4, p  # sketch min + exact branches
+    assert "ExistingRDD" in p, p  # the snapshot local relation
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert runtime_generates(p) <= 1, p  # the gram explode, nothing else
 
     # the PRODUCTION sketch path must have NO distinct of the gram
     # stream: one partial-agg min (two HashAggregate phases) and exactly
@@ -1465,15 +1470,20 @@ def test_tile_stats_is_single_arrow_stage(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
 
 
-def test_spearman_ranks_single_exchange(spark):
-    # both rank axes partition by event_type, so the two sort-windows
-    # share ONE exchange; moments are a two-phase partial aggregate
+def test_spearman_ranks_are_bucket_parallel(spark):
+    # two-phase ranking (r10): each rank axis must partition its window
+    # by (event_type, value-range bucket) — a window partitioned by
+    # event_type alone puts the whole axis in ONE task, the 10x-data
+    # limiter BENCH_SCALE r9 measured at 2.63x. Exactly three windows:
+    # the two rank axes plus the tiny per-(group, axis) prefix-sum over
+    # bucket counts; offsets join back broadcast, never a sort-merge.
     import re
 
     p = plan(spark, "spearman_corr")
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
-    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    assert re.search(r"rank\(x#\d+L?\) windowspecdefinition\(event_type#\d+, _bx#", p), p
+    assert re.search(r"rank\(y#\d+L?\) windowspecdefinition\(event_type#\d+, _by#", p), p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
+    assert "SortMergeJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
@@ -1515,13 +1525,22 @@ def test_theil_sen_pairs_join_is_equi_on_user(spark):
 
 
 def test_audit_plans_truncated_at_checkpoint(spark):
-    # corpus_overlap_sketch and minhash_error_eval checkpoint their
-    # fan-out scratch relations (distinct grams / narrow signatures):
-    # the returned plan must read the checkpoint scan, and the severed
+    # the overlap FALLBACK twin (any dataset without a pre-committed
+    # exact snapshot) and minhash_error_eval checkpoint their fan-out
+    # scratch relations (distinct grams / narrow signatures): the
+    # returned plan must read the checkpoint scan, and the severed
     # build must not reappear (no gram-explode Generate in the sketch
     # twin; no 32-perm array_min signature tree in the error eval —
     # its shingle branch legitimately recomputes shingle STRINGS)
-    p = plan(spark, "corpus_overlap_sketch")
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _sketch_vs_exact_twin,
+    )
+
+    df = _sketch_vs_exact_twin(spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(jmode)
     assert "ExistingRDD" in p, p
     # exactly ONE runtime Generate survives: _exact_overlap's source-pair
     # combo expansion (C(k,2) structs per shared gram). The gram explode
