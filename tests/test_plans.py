@@ -482,13 +482,18 @@ def test_pq_encode_is_broadcast_only(spark):
         assert node not in p, node
 
 
-def test_semantic_dedup_joins_on_block_key(spark):
-    # the pairwise prune must be an equi-join keyed by (cid, bucket) —
-    # a CartesianProduct here is the all-pairs plan that dies at scale;
-    # the only nested-loop join allowed is the 1-row centroid broadcast
+def test_semantic_dedup_is_window_not_self_join(spark):
+    # the pairwise prune is a sorted-neighborhood WINDOW per (cid,
+    # bucket) — O(N*W) — never a block self-join (cost tracks block
+    # height^2: the r10 scale audit measured the join shape at 12.3x
+    # wall on 10x data) and never a CartesianProduct; the only
+    # nested-loop join allowed is the 1-row centroid broadcast
+    import re
+
     p = plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in p, p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
 
 
 def test_retention_cohorts_shuffles_ids_only(spark):
