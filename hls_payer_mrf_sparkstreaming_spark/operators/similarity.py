@@ -114,6 +114,7 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 _IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
+_IVF_K = 64  # centroid budget: FIXED, never grows with the corpus
 
 
 @query(
@@ -125,6 +126,7 @@ _IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
         c AS (
             SELECT vec_id AS cid, ev AS cv FROM e
             WHERE vec_id % {_IVF_STRIDE} = 1
+            ORDER BY vec_id LIMIT {_IVF_K}
         ),
         scored AS (
             SELECT e.vec_id, e.label, e.ev, c.cid,
@@ -146,11 +148,14 @@ _IVF_STRIDE = 37  # vec_id % stride == 1 -> centroid (deterministic "sample")
         ORDER BY cosine_sim DESC, a.vec_id
         LIMIT 10
     """,
-    description="IVF-style ANN: deterministic centroid sample, nearest-"
-    "centroid assignment as a per-row codegen fold over a broadcast "
-    "centroid array (tie-safe argmax; NO N-by-K shuffle, no window), "
-    "search only the query's cell — the coarse-quantizer scale path where "
-    "LSH bucket skew is a concern",
+    description="IVF-style ANN: deterministic centroid sample under a "
+    f"FIXED {_IVF_K}-centroid budget (r10: an unbounded stride sample "
+    "grows the broadcast centroid array WITH the corpus, turning the "
+    "per-row argmax fold quadratic — the same scale bug the r10 audit "
+    "caught in semantic_dedup), nearest-centroid assignment as a per-row "
+    "codegen fold over that broadcast array (tie-safe argmax; NO N-by-K "
+    "shuffle, no window), search only the query's cell — the "
+    "coarse-quantizer scale path where LSH bucket skew is a concern",
 )
 def ann_ivf_topk(spark, sf_dir):
     # rebalance: the K-centroid cosine fold per row is the dominant cost and
@@ -158,8 +163,11 @@ def ann_ivf_topk(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
-    cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 1).select(
-        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("cv"))
+        .orderBy("cid")
+        .limit(_IVF_K)
     )
     # IVF build: all K centroids collapse into ONE array-of-structs row that
     # broadcasts to every vector; nearest-centroid is then a fold over that
