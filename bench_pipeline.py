@@ -167,18 +167,29 @@ def main() -> None:
     pxp = spark.table(f"{db}.provider_references_x_payer")
     from pyspark.sql import functions as F
 
-    code, tin = (
-        par.join(
-            pxp,
-            par.provider_reference_id == pxp.provider_group_id,
-        )
-        .join(prices.select("sk_rate_id", "sk_in_network_id"), "sk_rate_id")
-        .join(
-            codes.select("sk_in_network_id", "billing_code"),
-            "sk_in_network_id",
-        )
-        .select("billing_code", F.col("tin.value"))
-        .first()
+    # pick a (code, tin) pair that provably yields gold rows — as chained
+    # SINGLE-ROW probes with pushed filters, never a 4-way join: par's
+    # provider_reference_id repeats per rate (~19M rows here) and pxp's
+    # provider_group_id is low-cardinality, so the join probe this used
+    # to run was many-to-many — its SMJ sort OOM'd 32-way local executors
+    # (observed r10). Every par row's ref id exists in pxp and its
+    # sk_rate_id in prices by construction of the silver build, so each
+    # probe is existence-safe.
+    p0 = par.select("sk_rate_id", "provider_reference_id").first()
+    tin = (
+        pxp.filter(F.col("provider_group_id") == p0.provider_reference_id)
+        .select(F.col("tin.value"))
+        .first()[0]
+    )
+    sk_in = (
+        prices.filter(F.col("sk_rate_id") == p0.sk_rate_id)
+        .select("sk_in_network_id")
+        .first()[0]
+    )
+    code = (
+        codes.filter(F.col("sk_in_network_id") == sk_in)
+        .select("billing_code")
+        .first()[0]
     )
     t2 = time.time()
     n = shoppable_price(codes, pxp, code, tin).count()
