@@ -2543,19 +2543,45 @@ def _spear_ranked(e):
         F.min("y").alias("_mny"),
         F.max("y").alias("_mxy"),
     )
+    # bucket arithmetic in DOUBLE on purpose: int64 '(max - min)' overflows
+    # (ANSI ArithmeticException) when a group's range spans the type, and
+    # bucket BOUNDARIES need no exactness — correctness only needs the
+    # mapping monotone (IEEE subtract/divide/floor by a positive constant
+    # are monotone) and equal-values-same-bucket (deterministic fn of x),
+    # both of which doubles give at any range; the exact rank comes from
+    # the in-bucket sort + exact integer offset counts, never from where
+    # the boundaries fall
     g = g.select(
         "event_type",
         "_mnx",
         "_mny",
-        F.expr(f"(_mxx - _mnx) div {_SPEAR_BUCKETS} + 1").alias("_wx"),
-        F.expr(f"(_mxy - _mny) div {_SPEAR_BUCKETS} + 1").alias("_wy"),
+        F.greatest(
+            F.lit(1.0),
+            (
+                F.col("_mxx").cast("double") - F.col("_mnx").cast("double")
+            )
+            / _SPEAR_BUCKETS,
+        ).alias("_wx"),
+        F.greatest(
+            F.lit(1.0),
+            (
+                F.col("_mxy").cast("double") - F.col("_mny").cast("double")
+            )
+            / _SPEAR_BUCKETS,
+        ).alias("_wy"),
     )
     b = e.join(F.broadcast(g), "event_type").select(
         "event_type",
         "x",
         "y",
-        F.expr("(x - _mnx) div _wx").alias("_bx"),
-        F.expr("(y - _mny) div _wy").alias("_by"),
+        F.floor(
+            (F.col("x").cast("double") - F.col("_mnx").cast("double"))
+            / F.col("_wx")
+        ).alias("_bx"),
+        F.floor(
+            (F.col("y").cast("double") - F.col("_mny").cast("double"))
+            / F.col("_wy")
+        ).alias("_by"),
     )
 
     # both axes' per-bucket counts in ONE pass over the rows: explode an
@@ -2625,12 +2651,20 @@ def _spear_ranked(e):
 
 @query(
     "spearman_corr",
+    # NULL pairs are EXCLUDED on both engines (the standard corr()
+    # semantics): a digitless props yields NULL y, and ranking NULLs is
+    # engine-divergent (Spark windows sort NULLS FIRST, DuckDB NULLS
+    # LAST) — correlation over present pairs is the only cross-engine
+    # stable definition
     oracle=f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS x,
-                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
+                   TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
             FROM events
+        ),
+        e AS (
+            SELECT * FROM e0 WHERE x IS NOT NULL AND y IS NOT NULL
         ),
         r AS (
             SELECT event_type,
@@ -2673,10 +2707,23 @@ def _spear_ranked(e):
     "beyond that the moments widen to DECIMAL(38,0), plan unchanged",
 )
 def spearman_corr(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("y"),
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            # try_cast: regexp_extract returns '' on no match, and under
+            # ANSI mode a plain cast THROWS on '' instead of yielding
+            # NULL (both engines) — digitless props must mean "no pair",
+            # not a crashed job
+            F.regexp_extract("props", "[0-9]+", 0)
+            .try_cast("long")
+            .alias("y"),
+        )
+        # NULL pairs excluded on both engines (see oracle note): without
+        # this, a NULL bucket key would silently DROP the row from the
+        # inner offsets join — worse than either engine's NULL ranking
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
     r = _spear_ranked(e)
     m = r.groupBy("event_type").agg(

@@ -1222,14 +1222,15 @@ _OVL_EXACT_SNAPSHOT = {
     "corpus_overlap_sketch_only",
 )
 def corpus_overlap_sketch(spark, sf_dir):
+    # snapshot lookup BEFORE any plan construction: the estimate path
+    # scratch-persists its dense relation, and building it just to throw
+    # it away on the fallback path would pollute the bounded scratch ring
+    snap = _overlap_snapshot_for(sf_dir)
+    if snap is None:
+        return _sketch_vs_exact_twin(spark, sf_dir)
     est = _sketch_bounds_est(
         _dense_sketch(corpus_overlap_sketch_only(spark, sf_dir))
     )
-    import os
-
-    snap = _OVL_EXACT_SNAPSHOT.get(os.path.basename(os.path.normpath(sf_dir)))
-    if snap is None:
-        return _sketch_vs_exact_twin(spark, sf_dir)
     exact = F.broadcast(
         spark.createDataFrame(
             [(a, b, v) for (a, b), v in sorted(snap.items())],
@@ -1237,6 +1238,44 @@ def corpus_overlap_sketch(spark, sf_dir):
         )
     )
     return _bounds_check(est, exact)
+
+
+def _overlap_snapshot_for(sf_dir):
+    """The frozen exact matrix for this dataset, or None when the live
+    in-query comparison must run. Keyed by sf-dir basename AND the
+    documents.parquet byte size (driver-side stat, no job): a user corpus
+    that merely lives in a directory named sf0.1 — or regenerated
+    testdata at the same path — must NOT be compared against exact
+    values frozen from a different corpus."""
+    import os
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    snap = _OVL_EXACT_SNAPSHOT.get(key)
+    if snap is None:
+        return None
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            size = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(".")
+            )
+        else:
+            size = os.path.getsize(p)
+    except OSError:
+        return None  # remote / unstatable input: run the live comparison
+    if size != _OVL_SNAPSHOT_BYTES.get(key):
+        return None
+    return snap
+
+
+# documents.parquet byte sizes the snapshots were frozen against
+_OVL_SNAPSHOT_BYTES = {
+    "sf0.001": 65515,
+    "sf0.01": 65049,
+    "sf0.1": 594568,
+}
 
 
 def _dense_sketch(mins):

@@ -1714,3 +1714,100 @@ def test_overlap_snapshot_fresh_and_twin_in_bounds(spark, sf_dir):
 
     rows = _sketch_vs_exact_twin(spark, sf_dir).collect()
     assert rows and all(r.within_bounds for r in rows)
+
+
+def test_spearman_two_phase_extreme_range_and_null_pairs(spark, tmp_path):
+    """r10 review regressions: (1) a group whose value range spans int64
+    must not hit ANSI ARITHMETIC_OVERFLOW in the bucket arithmetic (the
+    bucket map is double-based, monotone, equal-values-same-bucket);
+    (2) a digitless props row is a NULL pair — excluded like corr()
+    does — not an ANSI cast crash and not a silently dropped join row."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from hls_payer_mrf_sparkstreaming_spark.operators.stats import (
+        _spear_ranked,
+    )
+
+    big = spark.createDataFrame(
+        [("a", -(2**62), 1), ("a", 2**62, 2), ("a", 5, 3)],
+        "event_type string, x long, y long",
+    )
+    got = sorted((r.x, r.rx) for r in _spear_ranked(big).collect())
+    assert got == [(-(2**62), 2), (5, 4), (2**62, 6)]
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", 1.23, "k=xyz"),  # digitless props -> NULL pair
+            (2, "view", 2.5, "k=7"),
+            (3, "view", 9.0, "k=9"),
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path) + "/"
+    ev.coalesce(1).write.mode("overwrite").parquet(sf + "events.parquet")
+    sdf = E.queries()["spearman_corr"](spark, sf)
+    rows = {(r.event_type, r.n): r.spearman_nano for r in sdf.collect()}
+    assert rows == {("view", 2): 1_000_000_000}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}events.parquet/*.parquet'"
+    )
+    orc = con.execute(E.oracle_sql()["spearman_corr"]).fetch_df()
+    assert len(orc) == 1 and int(orc.iloc[0]["n"]) == 2
+
+
+def test_overlap_snapshot_guards_foreign_datasets(spark, tmp_path):
+    """A corpus that merely lives in a directory NAMED like a committed
+    SF must not be judged against the frozen exact matrix: the byte-size
+    fingerprint misses and the live in-query comparison runs instead."""
+    import shutil
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.text_analysis import (
+        _overlap_snapshot_for,
+    )
+
+    foreign = str(tmp_path / "sf0.1")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    import os
+
+    os.makedirs(foreign, exist_ok=True)
+    if os.path.isdir(src):
+        shutil.copytree(src, foreign + "/documents.parquet")
+    else:
+        shutil.copy(src, foreign + "/documents.parquet")
+    assert _overlap_snapshot_for(foreign) is None
+    assert _overlap_snapshot_for("/root/testdata/sf0.001") is not None
+
+
+def test_edge_cache_eviction_defers_checkpoint_delete(spark, sf_dir):
+    """Evicting an edge-cache entry must NOT delete its checkpoint files
+    while the owning session lives (a handed-out consumer DataFrame is a
+    flat scan of those files); clear_edge_cache removes everything."""
+    import os
+
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    dedup.clear_edge_cache()
+    edges = dedup.neardup_edges(spark, sf_dir)
+    n = edges.count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = dedup._EDGE_CKPT[key]
+    local = path.replace("file:", "")
+    assert os.path.exists(local)
+    # force the FIFO to evict the real entry (same app id, so the
+    # dead-session prune cannot remove the fillers first)
+    app = spark.sparkContext.applicationId
+    for i in range(dedup._EDGE_CACHE_MAX):
+        fk = (app, f"__filler{i}")
+        dedup._EDGE_CACHE[fk] = tuple()
+        dedup._EDGE_CKPT[fk] = None
+    dedup.neardup_edges(spark, "/root/testdata/sf0.01").count()
+    assert key not in dedup._EDGE_CACHE
+    assert any(p == path for _, p in dedup._EDGE_CKPT_RETIRED)
+    assert os.path.exists(local), "eviction deleted files under a consumer"
+    assert edges.count() == n  # stale reference still executes
+    dedup.clear_edge_cache()
+    assert not os.path.exists(local)
