@@ -110,7 +110,8 @@ def array_index(spark, sf_dir):
 @query(
     "nested_extract",
     oracle="""
-        SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_val,
+        SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                        AS BIGINT) AS k_val,
                count(*) AS cnt
         FROM events WHERE props IS NOT NULL
         GROUP BY k_val
@@ -123,8 +124,11 @@ def nested_extract(spark, sf_dir):
         load(spark, sf_dir, "events")
         .filter(F.col("props").isNotNull())
         .select(
+            # try_cast: a props value without the key yields '' from
+            # regexp_extract, which an ANSI cast would throw on; NULL
+            # k_val is a legitimate group on both engines
             F.regexp_extract("props", r'"k":\s*(\d+)', 1)
-            .cast("long")
+            .try_cast("long")
             .alias("k_val")
         )
         .groupBy("k_val")

@@ -28,11 +28,14 @@ _NANO = 1_000_000_000
 @query(
     "corr_stats",
     oracle=f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS x,
-                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
+                   TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
             FROM events
+        ),
+        e AS (
+            SELECT * FROM e0 WHERE x IS NOT NULL AND y IS NOT NULL
         ),
         m AS (
             SELECT event_type,
@@ -73,10 +76,19 @@ _NANO = 1_000_000_000
     "6-moment combine) is unchanged",
 )
 def corr_stats(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("y"),
+    # try_cast + NULL-pair filter: digitless props is "no pair" (corr()
+    # semantics), not an ANSI cast crash, and not a row whose count(*)
+    # contributes while its sum(y) silently doesn't
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            F.regexp_extract("props", "[0-9]+", 0)
+            .try_cast("long")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
     m = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1422,15 +1434,30 @@ _OLS_D1 = _det3(["n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22"])
 _OLS_D2 = _det3(["n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"])
 
 
+def _ols_beta(d: str) -> str:
+    """One Cramer beta, singular-safe: a group whose design matrix is
+    rank-deficient (DET = 0 — e.g. too few observations, or a feature
+    constant within the group) yields NULL instead of an ANSI
+    divide-by-zero abort. Shared textually between both engines."""
+    return (
+        f"CAST(CASE WHEN {_OLS_DET} = 0 THEN NULL "
+        f"ELSE floor({d} / {_OLS_DET} * {_NANO}) END AS BIGINT)"
+    )
+
+
 @query(
     "ols_two_feature",
     oracle=f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS y,
-                   CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS x1,
+                   TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                       AS x1,
                    (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS x2
             FROM events
+        ),
+        e AS (
+            SELECT * FROM e0 WHERE x1 IS NOT NULL
         ),
         m AS (
             SELECT event_type,
@@ -1446,12 +1473,9 @@ _OLS_D2 = _det3(["n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"])
             FROM e GROUP BY event_type
         )
         SELECT event_type, n,
-               CAST(floor({_OLS_D0} / {_OLS_DET} * {_NANO}) AS BIGINT)
-                   AS b0_nano,
-               CAST(floor({_OLS_D1} / {_OLS_DET} * {_NANO}) AS BIGINT)
-                   AS b1_nano,
-               CAST(floor({_OLS_D2} / {_OLS_DET} * {_NANO}) AS BIGINT)
-                   AS b2_nano
+               {_ols_beta(_OLS_D0)} AS b0_nano,
+               {_ols_beta(_OLS_D1)} AS b1_nano,
+               {_ols_beta(_OLS_D2)} AS b2_nano
         FROM m
     """,
     description="Per-group multiple linear regression (cents ~ numeric "
@@ -1464,13 +1488,21 @@ _OLS_D2 = _det3(["n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"])
     "partial agg, 10 longs per group) is unchanged",
 )
 def ols_two_feature(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("y"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("x1"),
-        F.expr(
-            "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
-        ).alias("x2"),
+    # try_cast + NULL-x1 filter: digitless props excludes the observation
+    # (regression over present features), never an ANSI cast crash
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            F.regexp_extract("props", "[0-9]+", 0)
+            .try_cast("long")
+            .alias("x1"),
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
+            ).alias("x2"),
+        )
+        .filter(F.col("x1").isNotNull())
     )
     m = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -1486,15 +1518,9 @@ def ols_two_feature(spark, sf_dir):
     return m.select(
         "event_type",
         "n",
-        F.expr(
-            f"CAST(floor({_OLS_D0} / {_OLS_DET} * {_NANO}) AS BIGINT)"
-        ).alias("b0_nano"),
-        F.expr(
-            f"CAST(floor({_OLS_D1} / {_OLS_DET} * {_NANO}) AS BIGINT)"
-        ).alias("b1_nano"),
-        F.expr(
-            f"CAST(floor({_OLS_D2} / {_OLS_DET} * {_NANO}) AS BIGINT)"
-        ).alias("b2_nano"),
+        F.expr(_ols_beta(_OLS_D0)).alias("b0_nano"),
+        F.expr(_ols_beta(_OLS_D1)).alias("b1_nano"),
+        F.expr(_ols_beta(_OLS_D2)).alias("b2_nano"),
     )
 
 

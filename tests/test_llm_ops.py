@@ -1811,3 +1811,57 @@ def test_edge_cache_eviction_defers_checkpoint_delete(spark, sf_dir):
     assert edges.count() == n  # stale reference still executes
     dedup.clear_edge_cache()
     assert not os.path.exists(local)
+
+
+def test_props_extract_ops_survive_digitless_props(spark, tmp_path):
+    """Every operator that parses numbers out of props must treat a
+    digitless value as a NULL (excluded pair / NULL group), never an
+    ANSI CAST_INVALID_INPUT crash — same class as the r10 spearman fix."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", 1.23, "k=xyz", "2024-01-01 00:00:00"),
+            (2, "view", 2.5, '{"k": 7}', "2024-01-01 01:00:00"),
+            (3, "view", 9.0, '{"k": 9}', "2024-01-01 02:00:00"),
+        ],
+        "event_id long, event_type string, value double, props string, "
+        "ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path) + "/"
+    ev.coalesce(1).write.mode("overwrite").parquet(sf + "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}events.parquet/*.parquet'"
+    )
+    for name in (
+        "corr_stats",
+        "ols_two_feature",
+        "nested_extract",
+        "spearman_corr",
+    ):
+        import pandas as pd
+
+        def norm(v):
+            # fetch_df renders SQL NULL in an integer column as float NaN
+            if v is None or (not isinstance(v, str) and pd.isna(v)):
+                return "NULL"
+            if isinstance(v, float):
+                return f"{v:.6g}"
+            return str(v)
+
+        sdf = E.queries()[name](spark, sf)
+        cols = sorted(sdf.columns)
+        sp = sorted(
+            tuple(norm(r[c]) for c in cols) for r in sdf.collect()
+        )  # must not raise
+        orc = con.execute(E.oracle_sql()[name]).fetch_df()
+        oc = sorted(
+            tuple(norm(orc.iloc[i][c]) for c in cols)
+            for i in range(len(orc))
+        )
+        assert sp == oc, (name, sp, oc)
