@@ -1865,3 +1865,38 @@ def test_props_extract_ops_survive_digitless_props(spark, tmp_path):
             for i in range(len(orc))
         )
         assert sp == oc, (name, sp, oc)
+
+
+def test_text_ops_survive_empty_and_short_docs(spark, tmp_path):
+    """Web-crawl corpora contain empty and one-token documents; the
+    n-gram / shingle / fingerprint pipelines must treat them as
+    degenerate rows (empty arrays, no pairs), never crash on empty
+    slices, zero denominators, or null signatures."""
+    import __spark_entry__ as E
+    from hls_payer_mrf_sparkstreaming_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "", "en", "src0", 0),
+            (1, "one", "en", "src0", 3),
+            (2, "a b c d e f g h i j k l m n o p", "en", "src1", 31),
+            (3, "a b c d e f g h i j k l m n o p", "en", "src1", 31),
+            (4, "x " * 40, "de", "src2", 80),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    sf = str(tmp_path) + "/"
+    docs.coalesce(1).write.mode("overwrite").parquet(sf + "documents.parquet")
+    dedup.clear_edge_cache()
+    for name in (
+        "dedup_minhash_lsh",
+        "neardup_pairs_lsh",
+        "winnowing_fingerprints",
+        "corpus_overlap_sketch_only",
+        "text_repetition",
+        "text_quality",
+        "ngram_jaccard_pairs",
+    ):
+        E.queries()[name](spark, sf).collect()  # must not raise
+    dedup.clear_edge_cache()
