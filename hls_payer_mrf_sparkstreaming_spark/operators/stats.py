@@ -52,18 +52,24 @@ _NANO = 1_000_000_000
                            - CAST(sx AS DOUBLE) * sy)
                           / (CAST(n AS DOUBLE) * n) * {_NANO}) AS BIGINT)
                    AS covar_nano,
-               CAST(floor((CAST(n AS DOUBLE) * sxy
-                           - CAST(sx AS DOUBLE) * sy)
-                          / sqrt((CAST(n AS DOUBLE) * sxx
+               CAST(CASE WHEN (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy) = 0 THEN NULL
+                    ELSE floor((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / sqrt((CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)
+                                      * (CAST(n AS DOUBLE) * syy
+                                         - CAST(sy AS DOUBLE) * sy))
+                               * {_NANO}) END AS BIGINT) AS corr_nano,
+               CAST(CASE WHEN CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx = 0 THEN NULL
+                    ELSE floor((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * sxx
                                   - CAST(sx AS DOUBLE) * sx)
-                                 * (CAST(n AS DOUBLE) * syy
-                                    - CAST(sy AS DOUBLE) * sy))
-                          * {_NANO}) AS BIGINT) AS corr_nano,
-               CAST(floor((CAST(n AS DOUBLE) * sxy
-                           - CAST(sx AS DOUBLE) * sy)
-                          / (CAST(n AS DOUBLE) * sxx
-                             - CAST(sx AS DOUBLE) * sx)
-                          * {_NANO}) AS BIGINT) AS slope_nano
+                               * {_NANO}) END AS BIGINT) AS slope_nano
         FROM m
     """,
     description="Pearson correlation, population covariance and OLS slope "
@@ -103,14 +109,22 @@ def corr_stats(spark, sf_dir):
     cov_num = n * F.col("sxy") - sx * F.col("sy")
     var_x = n * F.col("sxx") - sx * F.col("sx")
     var_y = n * F.col("syy") - sy * F.col("sy")
+    # zero-variance groups (a constant series) have no defined Pearson
+    # correlation or OLS slope: emit NULL on both engines instead of an
+    # ANSI divide-by-zero abort; covariance stays defined (n*n > 0)
     return m.select(
         "event_type",
         "n",
         F.floor(cov_num / (n * n) * _NANO).cast("long").alias("covar_nano"),
-        F.floor(cov_num / F.sqrt(var_x * var_y) * _NANO)
+        F.when(
+            var_x * var_y != 0,
+            F.floor(cov_num / F.sqrt(var_x * var_y) * _NANO),
+        )
         .cast("long")
         .alias("corr_nano"),
-        F.floor(cov_num / var_x * _NANO).cast("long").alias("slope_nano"),
+        F.when(var_x != 0, F.floor(cov_num / var_x * _NANO))
+        .cast("long")
+        .alias("slope_nano"),
     )
 
 
@@ -496,10 +510,11 @@ def anomaly_mad(spark, sf_dir):
         SELECT CAST(sum(2 * nn_below * np_at + nn_at * np_at) AS BIGINT)
                    AS auc_num,
                CAST(max(2 * tp * tn) AS BIGINT) AS auc_den,
-               CAST(floor(CAST(sum(2 * nn_below * np_at + nn_at * np_at)
-                               AS DOUBLE)
-                          / max(2 * tp * tn) * {1_000_000_000})
-                    AS BIGINT) AS auc_nano,
+               CAST(CASE WHEN max(2 * tp * tn) = 0 THEN NULL
+                    ELSE floor(CAST(sum(2 * nn_below * np_at
+                                        + nn_at * np_at) AS DOUBLE)
+                               / max(2 * tp * tn) * {1_000_000_000})
+                    END AS BIGINT) AS auc_nano,
                CAST(max(tp) AS BIGINT) AS n_pos,
                CAST(max(tn) AS BIGINT) AS n_neg
         FROM cum
@@ -544,12 +559,15 @@ def auc_score(spark, sf_dir):
         + F.col("nn_at") * F.col("np_at")
     )
     den = F.max(2 * F.col("tp") * F.col("tn"))
+    # a single-class dataset (no positives or no negatives) has no ROC:
+    # auc_nano is NULL on both engines (num/den stay visible), never an
+    # ANSI divide-by-zero abort
     return cum.agg(
         num.cast("long").alias("auc_num"),
         den.cast("long").alias("auc_den"),
-        F.floor(num.cast("double") / den * _NANO).cast("long").alias(
-            "auc_nano"
-        ),
+        F.when(den != 0, F.floor(num.cast("double") / den * _NANO))
+        .cast("long")
+        .alias("auc_nano"),
         F.max("tp").cast("long").alias("n_pos"),
         F.max("tn").cast("long").alias("n_neg"),
     )
@@ -2709,13 +2727,17 @@ def _spear_ranked(e):
             FROM r GROUP BY event_type
         )
         SELECT event_type, n,
-               CAST(floor((CAST(n AS DOUBLE) * sxy
-                           - CAST(sx AS DOUBLE) * sy)
-                          / sqrt((CAST(n AS DOUBLE) * sxx
-                                  - CAST(sx AS DOUBLE) * sx)
-                                 * (CAST(n AS DOUBLE) * syy
-                                    - CAST(sy AS DOUBLE) * sy))
-                          * {_NANO}) AS BIGINT) AS spearman_nano
+               CAST(CASE WHEN (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy) = 0 THEN NULL
+                    ELSE floor((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / sqrt((CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)
+                                      * (CAST(n AS DOUBLE) * syy
+                                         - CAST(sy AS DOUBLE) * sy))
+                               * {_NANO}) END AS BIGINT) AS spearman_nano
         FROM m
     """,
     description="Spearman rank correlation of (event value in cents) vs "
@@ -2765,10 +2787,15 @@ def spearman_corr(spark, sf_dir):
     num = n * F.col("sxy") - sx * F.col("sy")
     var_x = n * F.col("sxx") - sx * F.col("sx")
     var_y = n * F.col("syy") - sy * F.col("sy")
+    # an all-tied axis has zero rank variance: Spearman is undefined —
+    # NULL on both engines, not an ANSI divide-by-zero abort
     return m.select(
         "event_type",
         "n",
-        F.floor(num / F.sqrt(var_x * var_y) * _NANO)
+        F.when(
+            var_x * var_y != 0,
+            F.floor(num / F.sqrt(var_x * var_y) * _NANO),
+        )
         .cast("long")
         .alias("spearman_nano"),
     )

@@ -1900,3 +1900,62 @@ def test_text_ops_survive_empty_and_short_docs(spark, tmp_path):
     ):
         E.queries()[name](spark, sf).collect()  # must not raise
     dedup.clear_edge_cache()
+
+
+def test_stats_ops_survive_degenerate_groups(spark, tmp_path):
+    """Zero-variance groups and single-class datasets are undefined for
+    Pearson/Spearman/OLS-slope/AUC — the operators must emit NULL for
+    the undefined statistic (matching their DuckDB oracles), never an
+    ANSI divide-by-zero abort. One 'view' event (n=1, zero variance) and
+    three identical 'click' events (constant value AND no purchases, so
+    AUC has a single class)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "view", 5.0, '{"k": 3}', "2024-01-01 00:00:00"),
+            (2, 200, "click", 2.0, '{"k": 1}', "2024-01-02 00:00:00"),
+            (3, 201, "click", 2.0, '{"k": 1}', "2024-01-02 00:00:00"),
+            (4, 202, "click", 2.0, '{"k": 1}', "2024-01-02 00:00:00"),
+        ],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path) + "/"
+    ev.coalesce(1).write.mode("overwrite").parquet(sf + "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}events.parquet/*.parquet'"
+    )
+
+    def norm(v):
+        if v is None or (not isinstance(v, str) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    for name in ("corr_stats", "spearman_corr", "ols_two_feature",
+                 "auc_score"):
+        sdf = E.queries()[name](spark, sf)
+        cols = sorted(sdf.columns)
+        sp = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+        orc = con.execute(E.oracle_sql()[name]).fetch_df()
+        oc = sorted(
+            tuple(norm(orc.iloc[i][c]) for c in cols)
+            for i in range(len(orc))
+        )
+        assert sp == oc, (name, sp, oc)
+    # the undefined statistics really are NULL, not accidental values
+    row = {r.event_type: r for r in
+           E.queries()["corr_stats"](spark, sf).collect()}
+    assert row["click"].corr_nano is None
+    assert row["click"].slope_nano is None
+    auc = E.queries()["auc_score"](spark, sf).collect()[0]
+    # no purchase events at all -> single-class, AUC undefined
+    assert auc.auc_den == 0 and auc.auc_nano is None
