@@ -919,21 +919,27 @@ def interpolate_missing(spark, sf_dir):
         .groupBy("user_id", "es")
         .agg(F.sum("c").cast("long").alias("cents"))
     )
+    grid_start = (
+        F.floor((F.col("lo") + _GRID_S - 1) / _GRID_S) * _GRID_S
+    ).cast("long")
     grid = (
         series.groupBy("user_id")
         .agg(F.min("es").alias("lo"), F.max("es").alias("hi"))
         .select(
             "user_id",
+            # a user whose whole series fits BETWEEN two grid points has
+            # hi < the rounded-up start; Spark's sequence() throws on
+            # start > stop with a positive step (DuckDB's generate_series
+            # returns empty), so emit the empty grid explicitly
             F.explode(
-                F.sequence(
-                    (
-                        F.floor(
-                            (F.col("lo") + _GRID_S - 1) / _GRID_S
-                        ) * _GRID_S
-                    ).cast("long"),
-                    F.col("hi"),
-                    F.lit(_GRID_S).cast("long"),
-                )
+                F.when(
+                    grid_start <= F.col("hi"),
+                    F.sequence(
+                        grid_start,
+                        F.col("hi"),
+                        F.lit(_GRID_S).cast("long"),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
             ).alias("es"),
         )
     )
