@@ -2363,3 +2363,70 @@ def winnowing_fingerprints(spark, sf_dir):
     return docs.select(
         "doc_id", F.explode(mins).alias("fp")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training, iteration 0: the merge-candidate table. Byte-pair
+# encoding (Sennrich et al. 2016) trains by repeatedly merging the most
+# frequent adjacent symbol pair; the expensive part at corpus scale is this
+# very first pair count. The trick that makes it 100 TB-safe: aggregate the
+# corpus to its WORD-FREQUENCY table first (vocabulary-sized, map-side
+# combined), then explode character pairs over the distinct words only —
+# pair work is O(vocab * avg_word_len), independent of how often each word
+# repeats in the corpus. The final aggregate has at most alphabet^2 keys.
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 50
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+        WITH words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) >= 2
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT substr(word, i, 2) AS pair, wc
+            FROM (SELECT word, wc, unnest(range(1, length(word))) AS i
+                  FROM words)
+        )
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT {_BPE_TOPK}
+    """,
+    description="BPE tokenizer training, iteration 0: corpus-weighted "
+    "adjacent character-pair counts, the merge-candidate table every "
+    "subword tokenizer build starts from. Scale shape: corpus collapses "
+    "to the distinct-word frequency table FIRST (one partially-aggregated "
+    "groupBy), pairs explode over distinct words only (work independent "
+    "of corpus duplication), and the pair aggregate has <= alphabet^2 "
+    "keys; top-k is a TakeOrderedAndProject with a total (count desc, "
+    "pair asc) order so the selected set is deterministic",
+)
+def bpe_merge_candidates(spark, sf_dir):
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(_BPE_TOPK)
+    )

@@ -1555,3 +1555,19 @@ def test_audit_plans_truncated_at_checkpoint(spark):
     p = plan(spark, "minhash_error_eval")
     assert "ExistingRDD" in p, p
     assert "array_min" not in p, p
+
+
+def test_bpe_pairs_explode_after_word_aggregate(spark):
+    # BPE merge candidates must collapse the corpus to the distinct-word
+    # frequency table BEFORE exploding character pairs: the Generate's
+    # input has to be an aggregate, never the raw scan — otherwise pair
+    # work scales with corpus duplication instead of vocabulary size.
+    # Shape: token explode -> word-freq aggregate -> pair Generate whose
+    # DIRECT child is that aggregate -> pair aggregate -> top-k as
+    # TakeOrderedAndProject (never a global Sort), two exchanges total
+    # (word shuffle + pair shuffle).
+    p = plan(spark, "bpe_merge_candidates")
+    tree = p.split("\n\n", 1)[0]
+    assert re.search(r"Generate \(\d+\)\n\s*\+- HashAggregate", tree), tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree
