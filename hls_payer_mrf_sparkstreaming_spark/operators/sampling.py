@@ -23,7 +23,11 @@ from hls_payer_mrf_sparkstreaming_spark.functions.hashing import (
     md5u60,
     md5u60_sql,
 )
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import load, query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    load,
+    query,
+    scratch_persist,
+)
 
 # training-mix keep rates per language, in permille (English downsampled,
 # low-resource languages kept whole — the classic rebalancing shape)
@@ -370,3 +374,127 @@ def stratified_kfold(spark, sf_dir):
         .groupBy("lang", "fold")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# the log-ratio of a TARGET unigram LM to the RAW-corpus unigram LM over a
+# shared feature vocabulary, then keep the top quota. The target here is the
+# corpus's own English slice (the usual "select web data that looks like the
+# curated set" setup, with the curated set stood in by lang='en'). Gumbel
+# resampling is replaced by a deterministic (score desc, doc_id) top-k so
+# the selected set is a pure function of the data — same rationale as every
+# other sampler in this module.
+# ---------------------------------------------------------------------------
+
+_DSIR_V = 256  # shared feature vocabulary (top tokens of the raw corpus)
+_DSIR_QUOTA = 100  # selected documents
+_DSIR_NANO = 1_000_000_000
+
+
+@query(
+    "dsir_importance_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+            FROM t GROUP BY tok
+            ORDER BY c_r DESC, tok LIMIT {_DSIR_V}
+        ),
+        tot AS (
+            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+                   CAST(sum(c_t) AS BIGINT) AS t_t
+            FROM v
+        ),
+        lr AS (
+            SELECT tok,
+                   CAST(floor((ln((CAST(c_t AS DOUBLE) + 0.5)
+                                  / (t_t + {_DSIR_V * 0.5}))
+                             - ln((CAST(c_r AS DOUBLE) + 0.5)
+                                  / (t_r + {_DSIR_V * 0.5})))
+                              * {_DSIR_NANO}) AS BIGINT) AS lr_nano
+            FROM v CROSS JOIN tot
+        ),
+        s AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+                   CAST(sum(lr_nano) AS BIGINT) AS sum_lr_nano,
+                   CAST(floor(CAST(sum(lr_nano) AS DOUBLE) / count(*))
+                        AS BIGINT) AS avg_lr_nano
+            FROM t JOIN lr ON t.tok = lr.tok
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT * FROM s
+        ORDER BY avg_lr_nano DESC, doc_id LIMIT {_DSIR_QUOTA}
+    """,
+    description="DSIR-shaped importance selection: per-document log-ratio "
+    f"of target (lang='en') vs raw unigram LMs over the raw corpus's "
+    f"top-{_DSIR_V} feature vocabulary, smoothed +0.5, keep the top "
+    f"{_DSIR_QUOTA} by length-normalized score with a deterministic "
+    "(score desc, doc_id) order instead of Gumbel resampling. Scale "
+    "shape: ONE token aggregate computes both LMs' counts (partial agg, "
+    "vocab-sized result), log-ratios are floored into integer nano-units "
+    "inside the 256-row vocabulary table which joins the corpus "
+    "BROADCAST, and the per-doc re-aggregation plus a "
+    "TakeOrderedAndProject are the only wide ops — no shuffle ever "
+    "carries document text",
+)
+def dsir_importance_sample(spark, sf_dir):
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .transform(scratch_persist)
+    )
+    v = (
+        t.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("c_r"),
+            F.sum((F.col("lang") == "en").cast("long"))
+            .cast("long")
+            .alias("c_t"),
+        )
+        .orderBy(F.desc("c_r"), "tok")
+        .limit(_DSIR_V)
+    )
+    tot = v.agg(
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.sum("c_t").cast("long").alias("t_t"),
+    )
+    half_v = _DSIR_V * 0.5
+    lr = v.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_t").cast("double") + 0.5)
+                    / (F.col("t_t") + half_v)
+                )
+                - F.log(
+                    (F.col("c_r").cast("double") + 0.5)
+                    / (F.col("t_r") + half_v)
+                )
+            )
+            * _DSIR_NANO
+        )
+        .cast("long")
+        .alias("lr_nano"),
+    )
+    s = (
+        t.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_vocab_tokens"),
+            F.sum("lr_nano").cast("long").alias("sum_lr_nano"),
+            F.floor(F.sum("lr_nano").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("avg_lr_nano"),
+        )
+    )
+    return s.orderBy(F.desc("avg_lr_nano"), "doc_id").limit(_DSIR_QUOTA)

@@ -1571,3 +1571,13 @@ def test_bpe_pairs_explode_after_word_aggregate(spark):
     assert re.search(r"Generate \(\d+\)\n\s*\+- HashAggregate", tree), tree
     assert "TakeOrderedAndProject" in tree, tree
     assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree
+
+
+def test_dsir_vocab_is_broadcast_topk_not_sort(spark):
+    # the 256-row log-ratio vocabulary joins the corpus broadcast (never
+    # a SortMergeJoin that would shuffle document tokens), and the quota
+    # selection is a TakeOrderedAndProject, not a global Sort
+    p = plan(spark, "dsir_importance_sample")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
