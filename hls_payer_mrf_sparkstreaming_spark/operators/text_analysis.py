@@ -2430,3 +2430,155 @@ def bpe_merge_candidates(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training, iterations 1..K: the actual merge loop. Each
+# iteration counts adjacent SYMBOL pairs over the (space-delimited) symbol
+# sequences of the distinct-word table, picks the most frequent pair with a
+# total (count desc, pair asc) order, and rewrites every sequence by the
+# standard greedy leftmost non-overlapping string replace — symbols are
+# space-sentineled (' l o w ') so a merge can never match across a symbol
+# boundary. The corpus is touched exactly once (to build the word-frequency
+# table); each iteration after that is a vocabulary-sized aggregate plus a
+# ONE-ROW broadcast cross join carrying the chosen pair into the rewrite —
+# the shape that keeps full BPE training viable at 100 TB.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+
+def _bpe_pair_top1(wdf):
+    s = F.filter(F.split("seq", " "), lambda x: x != F.lit(""))
+    pairs = (
+        wdf.select(s.alias("s"), "wc")
+        .filter(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("s"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("s"), i + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(1)
+    )
+
+
+def _bpe_sql_pair_top1(src: str) -> str:
+    return f"""
+        SELECT bg.a || ' ' || bg.b AS pair,
+               CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM (
+            SELECT unnest(list_transform(range(1, len(s)),
+                          i -> struct_pack(a := s[i], b := s[i + 1]))) AS bg,
+                   wc
+            FROM (SELECT list_filter(string_split(seq, ' '),
+                                     x -> x <> '') AS s, wc
+                  FROM {src})
+            WHERE len(s) >= 2
+        )
+        GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 1
+    """
+
+
+def _bpe_sql_merge(src: str, pair_cte: str) -> str:
+    return f"""
+        SELECT replace(seq, ' ' || {pair_cte}.pair || ' ',
+                       ' ' || replace({pair_cte}.pair, ' ', '') || ' ')
+                   AS seq,
+               wc
+        FROM {src} CROSS JOIN {pair_cte}
+    """
+
+
+@query(
+    "bpe_train_steps",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+                   CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        ),
+        p1 AS ({_bpe_sql_pair_top1("w0")}),
+        w1 AS ({_bpe_sql_merge("w0", "p1")}),
+        p2 AS ({_bpe_sql_pair_top1("w1")}),
+        w2 AS ({_bpe_sql_merge("w1", "p2")}),
+        p3 AS ({_bpe_sql_pair_top1("w2")})
+        SELECT CAST(1 AS INT) AS step, pair,
+               replace(pair, ' ', '') AS merged, pair_count FROM p1
+        UNION ALL
+        SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), pair_count
+        FROM p2
+        UNION ALL
+        SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), pair_count
+        FROM p3
+    """,
+    description=f"BPE tokenizer training, the first {_BPE_STEPS} merge "
+    "iterations end-to-end: adjacent symbol-pair counts over space-"
+    "sentineled symbol sequences of the distinct-word frequency table, "
+    "deterministic (count desc, pair asc) winner per step, greedy "
+    "leftmost non-overlapping merge rewrite. Scale shape: the corpus is "
+    "scanned ONCE to build the word-frequency table; every iteration "
+    "after that is a vocabulary-sized aggregate plus a one-row broadcast "
+    "cross join (the chosen pair) into the sequence rewrite — no "
+    "per-iteration corpus rescan, no driver-side loop state beyond the "
+    "fixed plan",
+)
+def bpe_train_steps(spark, sf_dir):
+    w = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            ).alias("seq")
+        )
+        .groupBy("seq")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .transform(scratch_persist)
+    )
+    steps = []
+    for k in range(1, _BPE_STEPS + 1):
+        p = _bpe_pair_top1(w).transform(scratch_persist)
+        steps.append(
+            p.select(
+                F.lit(k).cast("int").alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "pair_count",
+            )
+        )
+        if k < _BPE_STEPS:
+            w = w.crossJoin(F.broadcast(p)).select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ).alias("seq"),
+                "wc",
+            )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out

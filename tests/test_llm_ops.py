@@ -1959,3 +1959,54 @@ def test_stats_ops_survive_degenerate_groups(spark, tmp_path):
     auc = E.queries()["auc_score"](spark, sf).collect()[0]
     # no purchase events at all -> single-class, AUC undefined
     assert auc.auc_den == 0 and auc.auc_nano is None
+
+
+def test_bpe_merge_rewrite_matches_duckdb_on_repeated_symbols(
+    spark, tmp_path
+):
+    # the merge rewrite relies on replace()'s greedy leftmost
+    # NON-OVERLAPPING scan being identical in Spark and DuckDB; repeated
+    # symbols ('aaaa' -> ' a a a a ') are exactly where an overlap-
+    # semantics divergence would show, so pin it on an adversarial corpus
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aaaa aaa aa aaaaa",
+                "abab ababab abba aabb",
+                "aaab baaa abaa aaba",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s", "s", "s"],
+            "n_chars": [17, 21, 19],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    got = (
+        E.queries()["bpe_train_steps"](spark, sf)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(E.oracle_sql()["bpe_train_steps"])
+        .df()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)]), (
+        got,
+        want,
+    )
+    # and the winning first merge must be the 'a a' pair by construction
+    assert got.loc[0, "pair"] == "a a"
