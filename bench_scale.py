@@ -99,6 +99,12 @@ QUERIES = [
     "dedup_cluster_sizes",
     "semantic_dedup",
     "corpus_overlap_sketch_only",
+    # round-10 second session: the tokenizer-training + DSIR selection
+    # family — corpus-token aggregates whose pair/ratio work must stay
+    # vocabulary-sized (independent of corpus duplication) at 10x data
+    "bpe_merge_candidates",
+    "bpe_train_steps",
+    "dsir_importance_sample",
 ]
 
 

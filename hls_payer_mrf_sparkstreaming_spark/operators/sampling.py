@@ -456,7 +456,11 @@ def dsir_importance_sample(spark, sf_dir):
         t.groupBy("tok")
         .agg(
             F.count("*").cast("long").alias("c_r"),
-            F.sum((F.col("lang") == "en").cast("long"))
+            # when(...).otherwise(0), not a bare cast of the comparison: a
+            # NULL lang makes the comparison NULL, and a token seen only
+            # in NULL-lang rows would sum to NULL where the oracle's
+            # count(*) FILTER yields 0
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
             .cast("long")
             .alias("c_t"),
         )

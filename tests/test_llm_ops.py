@@ -2010,3 +2010,49 @@ def test_bpe_merge_rewrite_matches_duckdb_on_repeated_symbols(
     )
     # and the winning first merge must be the 'a a' pair by construction
     assert got.loc[0, "pair"] == "a a"
+
+
+def test_dsir_null_lang_tokens_match_duckdb(spark, tmp_path):
+    # a token that appears ONLY in NULL-lang documents must still get a
+    # target count of 0 (not NULL) so Spark's log-ratio matches the
+    # oracle's count(*) FILTER semantics
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "alpha delta", "omega omega beta"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", None, None], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([16, 11, 16], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    got = (
+        E.queries()["dsir_importance_sample"](spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(E.oracle_sql()["dsir_importance_sample"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got, want = got[sorted(got.columns)], want[sorted(want.columns)]
+    assert len(got) == 3
+    assert got.equals(want), (got, want)
