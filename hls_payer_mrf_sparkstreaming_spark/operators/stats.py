@@ -2941,3 +2941,47 @@ def mutual_information(spark, sf_dir):
             "orders.o_orderstatus|orders.o_orderpriority",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the re-identification risk check a corpus release
+# runs before publication (Sweeney 2002): every combination of
+# quasi-identifier attributes whose equivalence class is smaller than k is
+# a linkage-attack surface and must be suppressed or generalized. Output is
+# the violating tail only, so the result scales with the quasi-identifier
+# key space, never with the row count.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+        SELECT CAST(c_nationkey AS INT) AS nationkey,
+               c_mktsegment AS mktsegment,
+               CAST(c_acctbal < 0 AS INT) AS neg_bal,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING count(*) < {_KANON_K}
+    """,
+    description=f"k-anonymity audit (k={_KANON_K}): equivalence-class "
+    "sizes over the quasi-identifier tuple (nation, market segment, "
+    "balance sign), reporting only classes below k — the linkage-attack "
+    "surface a dataset release must suppress or generalize. One "
+    "partially-aggregated groupBy at scan speed; the HAVING tail bounds "
+    "the result by the quasi-identifier key space, independent of row "
+    "count at 100 TB",
+)
+def k_anonymity_audit(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            (F.col("c_acctbal") < 0).cast("int").alias("neg_bal"),
+        )
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < _KANON_K)
+    )

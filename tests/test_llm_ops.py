@@ -2056,3 +2056,31 @@ def test_dsir_null_lang_tokens_match_duckdb(spark, tmp_path):
     got, want = got[sorted(got.columns)], want[sorted(want.columns)]
     assert len(got) == 3
     assert got.equals(want), (got, want)
+
+
+def test_bpe_pair_mass_conservation(spark, sf_dir):
+    # every word of length L contributes exactly (L-1) * frequency pair
+    # observations, so the FULL pair table's count mass must equal
+    # sum((len(word)-1) * freq) — run the un-limited aggregate and check
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import load
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    expect = words.agg(
+        F.sum(F.length("w") - 1).cast("long").alias("m")
+    ).collect()[0]["m"]
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    got = pairs.count()
+    assert got == expect
