@@ -2582,3 +2582,71 @@ def bpe_train_steps(spark, sf_dir):
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — tokens produced per whitespace word, by language.
+# THE standard multilingual tokenizer-efficiency metric (a tokenizer with
+# fertility 2.1 on one language and 1.2 on another gives the first language
+# ~1.75x less content per context window and ~1.75x higher serving cost);
+# every vocabulary/tokenizer decision for a multilingual corpus starts from
+# this table.
+# ---------------------------------------------------------------------------
+
+_FERT_MICRO = 1_000_000
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                        AS BIGINT) AS n_bpe,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(floor(CAST(sum(n_bpe) AS DOUBLE) * {_FERT_MICRO}
+                          / sum(n_ws)) AS BIGINT) AS fertility_micro,
+               CAST(floor(CAST(sum(n_chars) AS DOUBLE) * {_FERT_MICRO}
+                          / sum(n_bpe)) AS BIGINT) AS chars_per_token_micro
+        FROM t GROUP BY lang
+    """,
+    description="tokenizer fertility by language: BPE-style tokens per "
+    "whitespace word plus characters per token, in exact integer "
+    "micro-units — the tokenizer-efficiency table that decides whether a "
+    "multilingual vocabulary taxes low-resource languages. Pure-regexp "
+    "per-doc counts in codegen followed by ONE partially-aggregated "
+    "groupBy on lang (a handful of keys) — scan-bound at 100 TB",
+)
+def tokenizer_fertility(spark, sf_dir):
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.floor(
+            F.sum("n_bpe").cast("double") * _FERT_MICRO / F.sum("n_ws")
+        )
+        .cast("long")
+        .alias("fertility_micro"),
+        F.floor(
+            F.sum("n_chars").cast("double") * _FERT_MICRO / F.sum("n_bpe")
+        )
+        .cast("long")
+        .alias("chars_per_token_micro"),
+    )
