@@ -393,6 +393,55 @@ _DSIR_QUOTA = 100  # selected documents
 _DSIR_NANO = 1_000_000_000
 
 
+def dsir_log_ratio_table(t: "DataFrame") -> "DataFrame":
+    """Frozen reference log-ratio table from a (lang, tok) relation.
+
+    Returns the per-token ``(tok, lr_nano)`` table the DSIR score sums —
+    factored out so the streaming corpus gate
+    ([[streaming/corpus_gate.py]]) can score incoming drops against a
+    reference LM built ONCE from a static corpus.
+    """
+    v = (
+        t.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("c_r"),
+            # when(...).otherwise(0), not a bare cast of the comparison: a
+            # NULL lang makes the comparison NULL, and a token seen only
+            # in NULL-lang rows would sum to NULL where the oracle's
+            # count(*) FILTER yields 0
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("c_t"),
+        )
+        .orderBy(F.desc("c_r"), "tok")
+        .limit(_DSIR_V)
+    )
+    tot = v.agg(
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.sum("c_t").cast("long").alias("t_t"),
+    )
+    half_v = _DSIR_V * 0.5
+    return v.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_t").cast("double") + 0.5)
+                    / (F.col("t_t") + half_v)
+                )
+                - F.log(
+                    (F.col("c_r").cast("double") + 0.5)
+                    / (F.col("t_r") + half_v)
+                )
+            )
+            * _DSIR_NANO
+        )
+        .cast("long")
+        .alias("lr_nano"),
+    )
+
+
+
 @query(
     "dsir_importance_sample",
     oracle=f"""
@@ -452,44 +501,7 @@ def dsir_importance_sample(spark, sf_dir):
         )
         .transform(scratch_persist)
     )
-    v = (
-        t.groupBy("tok")
-        .agg(
-            F.count("*").cast("long").alias("c_r"),
-            # when(...).otherwise(0), not a bare cast of the comparison: a
-            # NULL lang makes the comparison NULL, and a token seen only
-            # in NULL-lang rows would sum to NULL where the oracle's
-            # count(*) FILTER yields 0
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-            .cast("long")
-            .alias("c_t"),
-        )
-        .orderBy(F.desc("c_r"), "tok")
-        .limit(_DSIR_V)
-    )
-    tot = v.agg(
-        F.sum("c_r").cast("long").alias("t_r"),
-        F.sum("c_t").cast("long").alias("t_t"),
-    )
-    half_v = _DSIR_V * 0.5
-    lr = v.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.floor(
-            (
-                F.log(
-                    (F.col("c_t").cast("double") + 0.5)
-                    / (F.col("t_t") + half_v)
-                )
-                - F.log(
-                    (F.col("c_r").cast("double") + 0.5)
-                    / (F.col("t_r") + half_v)
-                )
-            )
-            * _DSIR_NANO
-        )
-        .cast("long")
-        .alias("lr_nano"),
-    )
+    lr = dsir_log_ratio_table(t)
     s = (
         t.join(F.broadcast(lr), "tok")
         .groupBy("doc_id", "lang")
@@ -502,3 +514,60 @@ def dsir_importance_sample(spark, sf_dir):
         )
     )
     return s.orderBy(F.desc("avg_lr_nano"), "doc_id").limit(_DSIR_QUOTA)
+
+
+@query(
+    "dsir_threshold_gate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+            FROM t GROUP BY tok
+            ORDER BY c_r DESC, tok LIMIT {_DSIR_V}
+        ),
+        tot AS (
+            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+                   CAST(sum(c_t) AS BIGINT) AS t_t
+            FROM v
+        ),
+        lr AS (
+            SELECT tok,
+                   CAST(floor((ln((CAST(c_t AS DOUBLE) + 0.5)
+                                  / (t_t + {_DSIR_V * 0.5}))
+                             - ln((CAST(c_r AS DOUBLE) + 0.5)
+                                  / (t_r + {_DSIR_V * 0.5})))
+                              * {_DSIR_NANO}) AS BIGINT) AS lr_nano
+            FROM v CROSS JOIN tot
+        )
+        SELECT t.doc_id,
+               CAST(floor(CAST(sum(lr_nano) AS DOUBLE) / count(*))
+                    AS BIGINT) AS avg_lr_nano
+        FROM t JOIN lr ON t.tok = lr.tok
+        GROUP BY t.doc_id
+        HAVING avg_lr_nano >= 0
+    """,
+    description="DSIR threshold gate — the batch twin of the streaming "
+    "corpus gate ([[streaming/corpus_gate.py]]): admit every document "
+    "whose length-normalized target-vs-raw log-ratio clears 0, rather "
+    "than taking a fixed quota. Same frozen 256-row broadcast log-ratio "
+    "table and integer nano-unit scoring as dsir_importance_sample, so "
+    "the admitted set is a pure function of the data; this oracle row is "
+    "what certifies the micro-batch gate's scoring semantics",
+)
+def dsir_threshold_gate(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_gate import (
+        dsir_gate_batch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    lr = dsir_log_ratio_table(t)
+    return dsir_gate_batch(
+        docs.select("doc_id", "text"), lr, min_avg_nano=0
+    ).select("doc_id", "avg_lr_nano")

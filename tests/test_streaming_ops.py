@@ -845,3 +845,70 @@ def test_streamed_cusum_partials_equal_batch(spark, sf_dir, tmp_path):
         for r in all_queries()["cusum_changepoint"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_streamed_dsir_gate_equals_batch(spark, sf_dir, tmp_path):
+    """DSIR gate over three document drops: the streamed admitted set must
+    equal the batch gate on the union, admission must be a pure function
+    of the frozen reference table (drop order can't matter), and the
+    gate must be non-vacuous (some admitted, some rejected)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.sampling import (
+        dsir_log_ratio_table,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_gate import (
+        dsir_gate_batch,
+        stream_dsir_gate,
+    )
+
+    # frozen reference LM from the static corpus
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = ref.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    lr = dsir_log_ratio_table(t).cache()
+    lr.count()
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in ref.select("doc_id", "text").limit(30).collect()
+    ]
+    drops = [docs[:10], docs[10:20], docs[20:30]]
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    for i, rows in enumerate(drops):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        part = next(
+            p for p in os.listdir(staged) if p.endswith(".parquet")
+        )
+        flat = str(in_dir / f"drop{i}.parquet")
+        os.rename(os.path.join(staged, part), flat)
+        os.utime(flat, (1_000 + i, 1_000 + i))
+
+    out = tmp_path / "gate_out"
+    q = stream_dsir_gate(
+        spark, str(in_dir), str(out), str(tmp_path / "ck_gate"), lr
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    union = spark.createDataFrame(
+        [r for rows in drops for r in rows], "doc_id: long, text: string"
+    )
+    want = {
+        (r["doc_id"], r["avg_lr_nano"])
+        for r in dsir_gate_batch(union, lr).collect()
+    }
+    got = {
+        (r["doc_id"], r["avg_lr_nano"])
+        for r in spark.read.parquet(str(out / "docs")).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < 30, len(got)
+    lr.unpersist()
