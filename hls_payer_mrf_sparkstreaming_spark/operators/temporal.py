@@ -2439,3 +2439,164 @@ def theil_sen_slope(spark, sf_dir):
         .cast("long")
         .alias("theil_sen_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search, PAA/SAX-style (Keogh et al.; cf. "Time
+# Series Similarity Search for Streaming Data in Distributed Systems",
+# EDBT 2019): every user's spend series is reduced to a fixed-length
+# Piecewise Aggregate Approximation (segment means over the user's own time
+# span), candidate pairs are generated ONLY within the same SAX-ish shape
+# bucket (the above/below-mean bit pattern of the PAA vector), and exact
+# centered-L2 distance ranks the survivors. The quadratic all-pairs join is
+# replaced by a bucket self-join — the same banding discipline as the LSH
+# dedup family, applied to time series.
+# ---------------------------------------------------------------------------
+
+_PAA_S = 8  # PAA segments per user series
+_PAA_TOPK = 20
+
+
+@query(
+    "ts_paa_similarity_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS es,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        bnd AS (
+            SELECT user_id, min(es) AS lo, max(es) AS hi
+            FROM e GROUP BY 1
+        ),
+        seg AS (
+            SELECT e.user_id,
+                   CAST(floor(CAST((e.es - bnd.lo) * {_PAA_S} AS DOUBLE)
+                              / (bnd.hi - bnd.lo + 1)) AS BIGINT) AS s,
+                   CAST(floor(CAST(sum(e.cents) AS DOUBLE) / count(*))
+                        AS BIGINT) AS m
+            FROM e JOIN bnd USING (user_id)
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT user_id, list(m ORDER BY s) AS ms
+            FROM seg GROUP BY 1 HAVING count(*) = {_PAA_S}
+        ),
+        v AS (
+            SELECT user_id,
+                   list_transform(ms, m -> {_PAA_S} * m - list_sum(ms))
+                       AS c
+            FROM u
+        ),
+        sx AS (
+            SELECT user_id, c,
+                   array_to_string(list_transform(range(1, 4 + 1),
+                       i -> CASE WHEN c[2 * i - 1] + c[2 * i] > 0
+                            THEN '1' ELSE '0' END), '')
+                       AS shape_code
+            FROM v
+        )
+        SELECT a.user_id AS u1, b.user_id AS u2, a.shape_code AS shape_code,
+               CAST(list_sum(list_transform(range(1, {_PAA_S} + 1),
+                    i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))
+                    AS BIGINT) AS d2
+        FROM sx a JOIN sx b
+          ON a.shape_code = b.shape_code AND a.user_id < b.user_id
+        ORDER BY d2, u1, u2 LIMIT {_PAA_TOPK}
+    """,
+    description=f"time-series similarity search: {_PAA_S}-segment PAA "
+    "per user (exact integer segment means over the user's own span), "
+    "SAX-ish shape bucketing (half-resolution above/below-mean bit "
+    "pattern over segment pairs — the coarser word keeps recall at small "
+    "corpora), exact "
+    "centered-L2 ranking WITHIN buckets only, top-k pairs. Scale shape: "
+    "candidates come from a bucket self-join on the shape code — never "
+    "an all-pairs join — carrying only (user, 8-int PAA vector); the "
+    "final ranking is a TakeOrderedAndProject. The same "
+    "banding-before-distance discipline as the LSH dedup family, "
+    "applied to series (EDBT 2019's streaming-similarity setting)",
+)
+def ts_paa_similarity_topk(spark, sf_dir):
+    S = _PAA_S
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        # unix_micros DIV 1e6 matches DuckDB's epoch_us(ts) // 1000000
+        # (both integer ops; timestamps are post-1970 so floor == trunc)
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
+            "es"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bnd = e.groupBy("user_id").agg(
+        F.min("es").alias("lo"), F.max("es").alias("hi")
+    )
+    seg = (
+        e.join(bnd, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                ((F.col("es") - F.col("lo")) * S).cast("double")
+                / (F.col("hi") - F.col("lo") + 1)
+            )
+            .cast("long")
+            .alias("s"),
+            "cents",
+        )
+        .groupBy("user_id", "s")
+        .agg(
+            F.floor(F.sum("cents").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    u = (
+        seg.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "m"))).alias("sm"),
+            F.count("*").alias("nseg"),
+        )
+        .filter(F.col("nseg") == S)
+        .select(
+            "user_id", F.transform("sm", lambda x: x["m"]).alias("ms")
+        )
+    )
+    msum = F.aggregate(
+        "ms", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    v = u.select(
+        "user_id",
+        F.transform("ms", lambda m: S * m - msum).alias("c"),
+    )
+    half = F.transform(
+        F.sequence(F.lit(1), F.lit(S // 2)),
+        lambda i: F.when(
+            F.element_at("c", 2 * i - 1) + F.element_at("c", 2 * i) > 0,
+            "1",
+        ).otherwise("0"),
+    )
+    sx = v.select("user_id", "c", F.array_join(half, "").alias("shape_code"))
+    a = sx.select(
+        F.col("user_id").alias("u1"),
+        F.col("c").alias("ca"),
+        "shape_code",
+    )
+    b = sx.select(
+        F.col("user_id").alias("u2"),
+        F.col("c").alias("cb"),
+        F.col("shape_code").alias("code_b"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("shape_code") == F.col("code_b"))
+            & (F.col("u1") < F.col("u2")),
+        )
+        .select("u1", "u2", "shape_code", d2.cast("long").alias("d2"))
+        .orderBy("d2", "u1", "u2")
+        .limit(_PAA_TOPK)
+    )

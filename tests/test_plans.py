@@ -1581,3 +1581,13 @@ def test_dsir_vocab_is_broadcast_topk_not_sort(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_ts_paa_candidates_are_bucket_join_topk(spark):
+    # candidate pairs must come from an equi-join on the shape code —
+    # never a cartesian/broadcast-nested-loop all-pairs — and the final
+    # ranking must be a TakeOrderedAndProject, not a global Sort
+    p = plan(spark, "ts_paa_similarity_topk")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
