@@ -2985,3 +2985,48 @@ def k_anonymity_audit(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("group_size"))
         .filter(F.col("group_size") < _KANON_K)
     )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+        SELECT CAST(c_nationkey AS INT) AS nationkey,
+               c_mktsegment AS mktsegment,
+               CAST(c_acctbal < 0 AS INT) AS neg_bal,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                   AS n_sensitive,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM customer c JOIN orders o ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3
+        HAVING count(DISTINCT o_orderpriority) < {_LDIV_L}
+    """,
+    description=f"l-diversity audit (l={_LDIV_L}), the attribute-"
+    "disclosure companion to k_anonymity_audit (Machanavajjhala et al. "
+    "2007): an equivalence class can be large enough for k-anonymity yet "
+    "leak its sensitive attribute if every member shares it — report "
+    "classes whose sensitive attribute (order priority) takes fewer than "
+    "l distinct values. Plan: the fact join shuffles on the key once, "
+    "the distinct-count aggregate is two-level partial, and the HAVING "
+    "tail is bounded by the quasi-identifier key space",
+)
+def l_diversity_audit(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            (F.col("c_acctbal") < 0).cast("int").alias("neg_bal"),
+        )
+        .agg(
+            F.count_distinct("o_orderpriority")
+            .cast("long")
+            .alias("n_sensitive"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .filter(F.col("n_sensitive") < _LDIV_L)
+    )
