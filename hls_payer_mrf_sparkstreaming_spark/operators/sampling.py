@@ -393,6 +393,36 @@ _DSIR_QUOTA = 100  # selected documents
 _DSIR_NANO = 1_000_000_000
 
 
+def _dsir_sql_ctes() -> str:
+    """Shared oracle CTE chain (tokens -> vocab -> totals -> log-ratio
+    table) for both DSIR operators — one definition so the sampler's and
+    the threshold gate's scoring can never silently diverge."""
+    return f"""t AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+            FROM t GROUP BY tok
+            ORDER BY c_r DESC, tok LIMIT {_DSIR_V}
+        ),
+        tot AS (
+            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+                   CAST(sum(c_t) AS BIGINT) AS t_t
+            FROM v
+        ),
+        lr AS (
+            SELECT tok,
+                   CAST(floor((ln((CAST(c_t AS DOUBLE) + 0.5)
+                                  / (t_t + {_DSIR_V * 0.5}))
+                             - ln((CAST(c_r AS DOUBLE) + 0.5)
+                                  / (t_r + {_DSIR_V * 0.5})))
+                              * {_DSIR_NANO}) AS BIGINT) AS lr_nano
+            FROM v CROSS JOIN tot
+        )"""
+
+
 def dsir_log_ratio_table(t: "DataFrame") -> "DataFrame":
     """Frozen reference log-ratio table from a (lang, tok) relation.
 
@@ -445,30 +475,7 @@ def dsir_log_ratio_table(t: "DataFrame") -> "DataFrame":
 @query(
     "dsir_importance_sample",
     oracle=f"""
-        WITH t AS (
-            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-            FROM documents
-        ),
-        v AS (
-            SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
-                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c_t
-            FROM t GROUP BY tok
-            ORDER BY c_r DESC, tok LIMIT {_DSIR_V}
-        ),
-        tot AS (
-            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
-                   CAST(sum(c_t) AS BIGINT) AS t_t
-            FROM v
-        ),
-        lr AS (
-            SELECT tok,
-                   CAST(floor((ln((CAST(c_t AS DOUBLE) + 0.5)
-                                  / (t_t + {_DSIR_V * 0.5}))
-                             - ln((CAST(c_r AS DOUBLE) + 0.5)
-                                  / (t_r + {_DSIR_V * 0.5})))
-                              * {_DSIR_NANO}) AS BIGINT) AS lr_nano
-            FROM v CROSS JOIN tot
-        ),
+        WITH {_dsir_sql_ctes()},
         s AS (
             SELECT t.doc_id, t.lang,
                    CAST(count(*) AS BIGINT) AS n_vocab_tokens,
@@ -519,30 +526,7 @@ def dsir_importance_sample(spark, sf_dir):
 @query(
     "dsir_threshold_gate",
     oracle=f"""
-        WITH t AS (
-            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-            FROM documents
-        ),
-        v AS (
-            SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
-                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS c_t
-            FROM t GROUP BY tok
-            ORDER BY c_r DESC, tok LIMIT {_DSIR_V}
-        ),
-        tot AS (
-            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
-                   CAST(sum(c_t) AS BIGINT) AS t_t
-            FROM v
-        ),
-        lr AS (
-            SELECT tok,
-                   CAST(floor((ln((CAST(c_t AS DOUBLE) + 0.5)
-                                  / (t_t + {_DSIR_V * 0.5}))
-                             - ln((CAST(c_r AS DOUBLE) + 0.5)
-                                  / (t_r + {_DSIR_V * 0.5})))
-                              * {_DSIR_NANO}) AS BIGINT) AS lr_nano
-            FROM v CROSS JOIN tot
-        )
+        WITH {_dsir_sql_ctes()}
         SELECT t.doc_id,
                CAST(floor(CAST(sum(lr_nano) AS DOUBLE) / count(*))
                     AS BIGINT) AS avg_lr_nano
@@ -564,9 +548,12 @@ def dsir_threshold_gate(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
+    # persisted: dsir_log_ratio_table consumes the explode twice (vocab +
+    # totals) and the gate scores against it again — same discipline as
+    # dsir_importance_sample
     t = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
+    ).transform(scratch_persist)
     lr = dsir_log_ratio_table(t)
     return dsir_gate_batch(
         docs.select("doc_id", "text"), lr, min_avg_nano=0

@@ -2463,7 +2463,7 @@ _PAA_TOPK = 20
         WITH e AS (
             SELECT user_id, epoch_us(ts) // 1000000 AS es,
                    CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         bnd AS (
             SELECT user_id, min(es) AS lo, max(es) AS hi
@@ -2518,14 +2518,21 @@ _PAA_TOPK = 20
 )
 def ts_paa_similarity_topk(spark, sf_dir):
     S = _PAA_S
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        # unix_micros DIV 1e6 matches DuckDB's epoch_us(ts) // 1000000
-        # (both integer ops; timestamps are post-1970 so floor == trunc)
-        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
-            "es"
-        ),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    # NULL measurements are dropped on BOTH sides: Spark's F.aggregate
+    # folds propagate a NULL element into the whole sum, where DuckDB's
+    # list_sum skips it — filtering keeps the engines on the same series
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            # unix_micros DIV 1e6 matches DuckDB's epoch_us // 1000000
+            # (integer ops; timestamps are post-1970 so floor == trunc)
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
+                "es"
+            ),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
     )
     bnd = e.groupBy("user_id").agg(
         F.min("es").alias("lo"), F.max("es").alias("hi")

@@ -2436,10 +2436,17 @@ def bpe_merge_candidates(spark, sf_dir):
 # BPE tokenizer training, iterations 1..K: the actual merge loop. Each
 # iteration counts adjacent SYMBOL pairs over the (space-delimited) symbol
 # sequences of the distinct-word table, picks the most frequent pair with a
-# total (count desc, pair asc) order, and rewrites every sequence by the
-# standard greedy leftmost non-overlapping string replace — symbols are
+# total (count desc, pair asc) order, and rewrites every sequence by a
+# single-pass sentinel-delimited string replace — symbols are
 # space-sentineled (' l o w ') so a merge can never match across a symbol
-# boundary. The corpus is touched exactly once (to build the word-frequency
+# boundary. NOTE on semantics: because the matched pattern consumes the
+# trailing sentinel that the next occurrence would need as its leading
+# sentinel, a RUN of the winning symbol ('aaaa' -> ' a a a a ') merges a
+# maximal non-overlapping SUBSET per round, leaving interleaved singles
+# for later rounds — e.g. 'aaaa' becomes [aa, a, a] after one round, not
+# canonical BPE's [aa, aa]. This is the corpus-level SQL approximation of
+# BPE's per-word greedy scan, exactly identical across both engines
+# (pinned by the repeated-symbol test in tests/test_llm_ops.py). The corpus is touched exactly once (to build the word-frequency
 # table); each iteration after that is a vocabulary-sized aggregate plus a
 # ONE-ROW broadcast cross join carrying the chosen pair into the rewrite —
 # the shape that keeps full BPE training viable at 100 TB.
@@ -2530,8 +2537,10 @@ def _bpe_sql_merge(src: str, pair_cte: str) -> str:
     description=f"BPE tokenizer training, the first {_BPE_STEPS} merge "
     "iterations end-to-end: adjacent symbol-pair counts over space-"
     "sentineled symbol sequences of the distinct-word frequency table, "
-    "deterministic (count desc, pair asc) winner per step, greedy "
-    "leftmost non-overlapping merge rewrite. Scale shape: the corpus is "
+    "deterministic (count desc, pair asc) winner per step, single-pass "
+    "sentinel-delimited replace rewrite (merges a maximal non-overlapping "
+    "subset of a repeat run per round — the SQL approximation of BPE's "
+    "per-word greedy scan, engine-identical by test). Scale shape: the corpus is "
     "scanned ONCE to build the word-frequency table; every iteration "
     "after that is a vocabulary-sized aggregate plus a one-row broadcast "
     "cross join (the chosen pair) into the sequence rewrite — no "
@@ -2613,8 +2622,10 @@ _FERT_MICRO = 1_000_000
                CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
                CAST(floor(CAST(sum(n_bpe) AS DOUBLE) * {_FERT_MICRO}
                           / sum(n_ws)) AS BIGINT) AS fertility_micro,
-               CAST(floor(CAST(sum(n_chars) AS DOUBLE) * {_FERT_MICRO}
-                          / sum(n_bpe)) AS BIGINT) AS chars_per_token_micro
+               CASE WHEN sum(n_bpe) = 0 THEN NULL ELSE
+                   CAST(floor(CAST(sum(n_chars) AS DOUBLE) * {_FERT_MICRO}
+                              / sum(n_bpe)) AS BIGINT)
+               END AS chars_per_token_micro
         FROM t GROUP BY lang
     """,
     description="tokenizer fertility by language: BPE-style tokens per "
@@ -2644,9 +2655,17 @@ def tokenizer_fertility(spark, sf_dir):
         )
         .cast("long")
         .alias("fertility_micro"),
-        F.floor(
-            F.sum("n_chars").cast("double") * _FERT_MICRO / F.sum("n_bpe")
+        # guard: a lang whose docs are all empty/whitespace has zero BPE
+        # tokens — ANSI mode would abort on the divide, and the oracle's
+        # CASE yields NULL
+        F.when(
+            F.sum("n_bpe") > 0,
+            F.floor(
+                F.sum("n_chars").cast("double")
+                * _FERT_MICRO
+                / F.sum("n_bpe")
+            ).cast("long"),
         )
-        .cast("long")
+        .otherwise(F.lit(None).cast("long"))
         .alias("chars_per_token_micro"),
     )

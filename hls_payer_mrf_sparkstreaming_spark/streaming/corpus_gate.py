@@ -74,6 +74,12 @@ def stream_dsir_gate(
         in_dir
     )
 
+    # materialize the reference table ONCE: an unpersisted lr would
+    # re-evaluate its full lineage (reference-corpus tokenize + two
+    # aggregate passes) inside every micro-batch's broadcast
+    lr = lr.persist()
+    lr.count()
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         admitted = dsir_gate_batch(batch, lr, min_avg_nano)
         admitted.write.mode("overwrite").parquet(

@@ -46,6 +46,9 @@ _ALWAYS = [
     "anomaly_mad",
     "retention_cohorts",
     "m4_downsample",
+    # r10 second session: review caught an unguarded ANSI divide in the
+    # fertility ratio (zero BPE tokens in a lang group)
+    "tokenizer_fertility",
 ]
 
 

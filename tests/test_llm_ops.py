@@ -2012,6 +2012,30 @@ def test_bpe_merge_rewrite_matches_duckdb_on_repeated_symbols(
     assert got.loc[0, "pair"] == "a a"
 
 
+def test_bpe_rewrite_run_semantics_documented(spark, tmp_path):
+    # the single-pass replace merges a maximal non-overlapping SUBSET of a
+    # repeat run per round ('aaaa' -> [aa, a, a], not canonical BPE's
+    # [aa, aa]) — pin the documented behavior so a silent change to the
+    # rewrite (e.g. iterating replace to a fixpoint) fails loudly here
+    # and in the oracle twin rather than shipping a semantics drift
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    seq = spark.createDataFrame(
+        [(" a a a a ",)], "seq: string"
+    ).select(
+        F.replace(F.col("seq"), F.lit(" a a "), F.lit(" aa ")).alias("r")
+    )
+    assert seq.collect()[0]["r"] == " aa a a "
+    import duckdb
+
+    got = duckdb.connect().execute(
+        "SELECT replace(' a a a a ', ' a a ', ' aa ')"
+    ).fetchone()[0]
+    assert got == " aa a a "
+
+
 def test_dsir_null_lang_tokens_match_duckdb(spark, tmp_path):
     # a token that appears ONLY in NULL-lang documents must still get a
     # target count of 0 (not NULL) so Spark's log-ratio matches the
@@ -2084,3 +2108,48 @@ def test_bpe_pair_mass_conservation(spark, sf_dir):
     )
     got = pairs.count()
     assert got == expect
+
+
+def test_fertility_zero_bpe_lang_matches_duckdb(spark, tmp_path):
+    # a language whose docs are all whitespace produces zero BPE tokens:
+    # the ratio must come back NULL on both engines, not abort under
+    # ANSI mode (the crash class the degenerate sweep exists for)
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["   ", "hello world"], pa.string()),
+            "lang": pa.array(["zz", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([3, 11], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    got = (
+        E.queries()["tokenizer_fertility"](spark, sf)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(E.oracle_sql()["tokenizer_fertility"])
+        .df()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    zz = got[got["lang"] == "zz"].iloc[0]
+    assert zz["bpe_tokens"] == 0
+    import pandas as pd
+
+    assert pd.isna(zz["chars_per_token_micro"])
