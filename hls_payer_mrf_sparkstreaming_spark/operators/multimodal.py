@@ -446,3 +446,120 @@ def multimodal_tile_stats(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return tile_stats(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash family) over binary payloads — the image-dedup
+# primitive: 64 region means over the blob (the stand-in for an 8x8
+# downsampled grayscale image), one bit per region (above/below the whole-
+# payload mean). Identical blobs hash identically; near-identical payloads
+# differ in few bits, so downstream near-dup matching is exactly the
+# hamming-banded machinery simhash_hamming_pairs already implements for
+# text. The kernel is the real plumbing: swap the byte-block means for a
+# DCT over decoded pixels and the contract (blob in, 64-bit hash out) is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+_PHASH_BITS = 64
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+        StructField("n_set_bits", LongType()),
+    ]
+)
+
+
+def phash_blobs(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched numpy aHash kernel over a (doc_id, blob) DataFrame.
+
+    Exact integer arithmetic throughout (milli-unit floor-divided means)
+    so the distributed Python boundary hash-checks against the DuckDB
+    replay. Payloads shorter than 64 bytes are dropped (no full grid).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, pops = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                nb = len(a)
+                if nb < _PHASH_BITS:
+                    continue
+                doc_mean_milli = int(a.sum()) * 1000 // nb
+                cuts = [
+                    (i * nb) // _PHASH_BITS
+                    for i in range(_PHASH_BITS + 1)
+                ]
+                bits = []
+                for i in range(_PHASH_BITS):
+                    seg = a[cuts[i] : cuts[i + 1]]
+                    bm = int(seg.sum()) * 1000 // len(seg)
+                    bits.append("1" if bm > doc_mean_milli else "0")
+                ids.append(doc_id)
+                hashes.append("".join(bits))
+                pops.append(sum(1 for b in bits if b == "1"))
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": hashes, "n_set_bits": pops}
+            )
+
+    return blobs.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                   list_transform(range(1, octet_length(encode(text)) + 1),
+                       j -> CAST(unicode(substring(text, j, 1)) AS BIGINT))
+                       AS bl
+            FROM documents
+            WHERE octet_length(encode(text)) >= {_PHASH_BITS}
+        ),
+        m AS (
+            SELECT doc_id, nb, bl,
+                   CAST(list_sum(bl) * 1000 // nb AS BIGINT)
+                       AS doc_mean_milli
+            FROM b
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, {_PHASH_BITS}), i ->
+                   CASE WHEN
+                       CAST(list_sum(bl[(i * nb) // {_PHASH_BITS} + 1
+                                        : ((i + 1) * nb) // {_PHASH_BITS}])
+                            * 1000
+                            // (((i + 1) * nb) // {_PHASH_BITS}
+                                - (i * nb) // {_PHASH_BITS})
+                            AS BIGINT) > doc_mean_milli
+                   THEN '1' ELSE '0' END), '') AS phash,
+               CAST(len(list_filter(list_transform(range(0, {_PHASH_BITS}),
+                   i -> CASE WHEN
+                       CAST(list_sum(bl[(i * nb) // {_PHASH_BITS} + 1
+                                        : ((i + 1) * nb) // {_PHASH_BITS}])
+                            * 1000
+                            // (((i + 1) * nb) // {_PHASH_BITS}
+                                - (i * nb) // {_PHASH_BITS})
+                            AS BIGINT) > doc_mean_milli
+                   THEN 1 ELSE 0 END), x -> x = 1)) AS BIGINT)
+                   AS n_set_bits
+        FROM m
+    """,
+    description=f"perceptual hash (aHash) over binary payloads: "
+    f"{_PHASH_BITS} region means per blob, one bit per region vs the "
+    "whole-payload mean, all in exact integer milli-units — the "
+    "image-dedup primitive whose kernel swaps byte-block means for a "
+    "DCT over decoded pixels in production (same blob-in/hash-out "
+    "contract). Arrow-batched numpy mapInPandas, hash-checked against a "
+    "DuckDB replay over code points (ASCII corpus: byte == code point); "
+    "near-match grouping at scale reuses the hamming-banded self-join "
+    "simhash_hamming_pairs implements",
+)
+def multimodal_phash(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return phash_blobs(blobs)
