@@ -2153,3 +2153,33 @@ def test_fertility_zero_bpe_lang_matches_duckdb(spark, tmp_path):
     import pandas as pd
 
     assert pd.isna(zz["chars_per_token_micro"])
+
+
+def test_label_prop_communities_refine_connected_components(spark, sf_dir):
+    # labels only travel along edges, so two nodes sharing a label-prop
+    # community after K rounds must be in the same connected component —
+    # communities REFINE the dedup clusters, never straddle them
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    comm = {
+        r["doc_id"]: r["community"]
+        for r in qs["graph_label_prop"].fn(spark, sf_dir).collect()
+    }
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_cluster"].fn(spark, sf_dir).collect()
+    }
+    by_comm = {}
+    for doc, c in comm.items():
+        by_comm.setdefault(c, set()).add(cc[doc])
+    straddlers = {c: ccs for c, ccs in by_comm.items() if len(ccs) > 1}
+    assert not straddlers, straddlers
+    # refinement on the SHARED node set (dedup_cluster also covers
+    # singleton docs that never enter the edge graph): at least as many
+    # communities as components among the edge endpoints
+    cc_sub = {cc[d] for d in comm}
+    assert len(set(comm.values())) >= len(cc_sub)
+    assert len(comm) > 0
