@@ -2607,3 +2607,91 @@ def ts_paa_similarity_topk(spark, sf_dir):
         .orderBy("d2", "u1", "u2")
         .limit(_PAA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — the baseline every forecasting effort
+# must beat (M-competition discipline): predict each hour's value with the
+# value from the same hour one day earlier, and report exact-integer MAE
+# and bias per series. The join-on-shifted-bucket form (not lag-over-rows)
+# keeps the alignment TIME-exact under sparse series: a missing hour
+# yields no forecast pair instead of silently pairing with the wrong hour.
+# ---------------------------------------------------------------------------
+
+_SNAIVE_LAG_H = 24
+
+
+@query(
+    "seasonal_naive_eval",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hb,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT a.event_type, a.cents AS actual, b.cents AS forecast
+            FROM h a JOIN h b
+              ON a.event_type = b.event_type
+             AND b.hb = a.hb - {_SNAIVE_LAG_H}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(floor(CAST(sum(abs(actual - forecast)) * 1000
+                               AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mae_milli_cents,
+               CAST(floor(CAST(sum(actual - forecast) * 1000
+                               AS DOUBLE) / count(*)) AS BIGINT)
+                   AS bias_milli_cents
+        FROM j GROUP BY event_type
+    """,
+    description=f"seasonal-naive forecast backtest: predict each hour "
+    f"from the same hour {_SNAIVE_LAG_H} h earlier and report per-series "
+    "MAE and bias in exact integer milli-cents (double-floor division, "
+    "identical on both engines since the bias can be negative) — the "
+    "baseline any forecasting model must beat. Plan: one partial-agg "
+    "hourly rollup, then a self-join on (series, shifted bucket) — both "
+    "sides hash-partitioned on the same key, so the alignment is one "
+    "co-located shuffle and stays TIME-exact under sparse series (a "
+    "missing hour yields no pair, never a misaligned one)",
+)
+def seasonal_naive_eval(spark, sf_dir):
+    h = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("hb"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    a = h.select("event_type", "hb", F.col("cents").alias("actual"))
+    b = h.select(
+        "event_type",
+        (F.col("hb") + _SNAIVE_LAG_H).alias("hb"),
+        F.col("cents").alias("forecast"),
+    )
+    j = a.join(b, ["event_type", "hb"])
+    diff = F.col("actual") - F.col("forecast")
+    return (
+        j.select("event_type", diff.alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.floor(
+                (F.sum(F.abs(F.col("d"))) * 1000).cast("double")
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mae_milli_cents"),
+            F.floor(
+                (F.sum("d") * 1000).cast("double") / F.count("*")
+            )
+            .cast("long")
+            .alias("bias_milli_cents"),
+        )
+    )
