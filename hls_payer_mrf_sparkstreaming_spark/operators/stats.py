@@ -3030,3 +3030,87 @@ def l_diversity_audit(spark, sf_dir):
         )
         .filter(F.col("n_sensitive") < _LDIV_L)
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the data-quality gate a warehouse load runs
+# before anything downstream trusts the keys: per declared FK relationship,
+# how many child rows have no parent. The degenerate-corpus sweep ships
+# broken FK edges on purpose; this operator is what surfaces them in
+# production instead of a wrong join silently dropping rows.
+# ---------------------------------------------------------------------------
+
+_RI_RELATIONSHIPS = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    (
+        "lineitem->supplier",
+        "lineitem",
+        "l_suppkey",
+        "supplier",
+        "s_suppkey",
+    ),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _RI_RELATIONSHIPS:
+        parts.append(f"""
+        SELECT '{name}' AS relationship,
+               CAST((SELECT count(*) FROM {child}) AS BIGINT)
+                   AS n_child_rows,
+               CAST((SELECT count(*) FROM {child} c
+                     WHERE c.{ck} IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                       WHERE p.{pk} = c.{ck})) AS BIGINT)
+                   AS n_orphans,
+               CAST((SELECT count(*) FROM {child} WHERE {ck} IS NULL)
+                   AS BIGINT) AS n_null_keys""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=_ri_oracle(),
+    description="referential-integrity audit over the star schema's five "
+    "FK relationships: child rows, orphans (non-null key with no parent), "
+    "and NULL keys per relationship — the load-time data-quality gate "
+    "that surfaces broken edges before an inner join silently drops "
+    "them. Each check is one LEFT ANTI join on the key (co-partitioned "
+    "hash shuffle; at scale the small parent side broadcasts, and a "
+    "bloom_prefilter twin cuts the shuffle for selective parents); the "
+    "report is five rows regardless of corpus size",
+)
+def referential_integrity_audit(spark, sf_dir):
+    rows = []
+    for name, child, ck, parent, pk in _RI_RELATIONSHIPS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        n_child = c.agg(F.count("*").cast("long").alias("n"))
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        nulls = c.filter(F.col(ck).isNull()).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        rows.append(
+            n_child.crossJoin(
+                orphans.withColumnRenamed("n", "n_orphans")
+            )
+            .crossJoin(nulls.withColumnRenamed("n", "n_null_keys"))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n").alias("n_child_rows"),
+                "n_orphans",
+                "n_null_keys",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

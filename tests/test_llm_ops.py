@@ -2183,3 +2183,39 @@ def test_label_prop_communities_refine_connected_components(spark, sf_dir):
     cc_sub = {cc[d] for d in comm}
     assert len(set(comm.values())) >= len(cc_sub)
     assert len(comm) > 0
+
+
+def test_referential_integrity_audit_finds_broken_edges(spark, tmp_path):
+    # a 3-row slice of each table breaks FK edges by construction (the
+    # degenerate-sweep trick): the audit must report non-zero orphans and
+    # still hash-match DuckDB on the same slice
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 3) TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    got = (
+        E.queries()["referential_integrity_audit"](spark, sf)
+        .toPandas()
+        .sort_values("relationship")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.execute(E.oracle_sql()["referential_integrity_audit"])
+        .df()
+        .sort_values("relationship")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    assert got["n_orphans"].sum() > 0, got.to_string()
