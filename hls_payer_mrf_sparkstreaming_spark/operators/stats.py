@@ -3114,3 +3114,68 @@ def referential_integrity_audit(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit — the third leg of the data-quality gate
+# (referential_integrity_audit: edges; k/l-anonymity: disclosure; this:
+# key identity). Duplicate keys upstream silently multiply every
+# downstream join; the audit reports the excess row count and the worst
+# multiplicity per declared key.
+# ---------------------------------------------------------------------------
+
+_PK_KEYS = [
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for t, keys in _PK_KEYS:
+        kexpr = ", ".join(keys)
+        parts.append(f"""
+        SELECT '{t}' AS tbl,
+               CAST((SELECT count(*) FROM {t}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM {t})
+                    - (SELECT count(*) FROM
+                       (SELECT DISTINCT {kexpr} FROM {t})) AS BIGINT)
+                   AS n_excess_rows,
+               CAST((SELECT max(c) FROM
+                     (SELECT count(*) AS c FROM {t} GROUP BY {kexpr}))
+                    AS BIGINT) AS max_multiplicity""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "pk_uniqueness_audit",
+    oracle=_pk_oracle(),
+    description="primary-key uniqueness audit over every declared key "
+    "(composite keys included): excess rows beyond distinct keys and the "
+    "worst per-key multiplicity, per table — duplicate keys multiply "
+    "every downstream join silently, so this is the first gate a load "
+    "runs. Per table: one partially-aggregated groupBy on the key "
+    "producing per-key counts, reduced to two scalars — the report is "
+    "eight rows at any corpus size",
+)
+def pk_uniqueness_audit(spark, sf_dir):
+    rows = []
+    for t, keys in _PK_KEYS:
+        d = load(spark, sf_dir, t)
+        per_key = d.groupBy(*keys).agg(F.count("*").alias("c"))
+        agg = per_key.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            (F.sum("c") - F.count("*")).cast("long").alias("n_excess_rows"),
+            F.max("c").cast("long").alias("max_multiplicity"),
+        )
+        rows.append(agg.select(F.lit(t).alias("tbl"), "*"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
