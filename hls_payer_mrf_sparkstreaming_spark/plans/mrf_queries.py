@@ -777,3 +777,142 @@ def mrf_network_overlap(spark, sf_dir):
         .cast("long")
         .alias("jaccard_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-outlier detection — the billing-integrity question on top of the
+# dispersion views (mrf_rate_spread/mrf_rate_percentiles): which negotiated
+# rates sit implausibly far from their procedure's typical price? Robust
+# center/scale (median + MAD) instead of mean/stddev, so a single wild rate
+# cannot mask itself by inflating the threshold. All statistics are exact
+# integer cents via rank-based LOWER medians (the value at row_number
+# (n+1)//2 of the sorted series) — deterministic on both engines with no
+# percentile interpolation.
+# ---------------------------------------------------------------------------
+
+
+def _rate_outliers_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_path()}')
+        ),
+        rates AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(item.negotiated_rates) AS r
+            FROM items
+        ),
+        pr AS (
+            SELECT billing_code, unnest(r.negotiated_prices) AS p FROM rates
+        ),
+        c AS (
+            SELECT billing_code,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        ),
+        ranked AS (
+            SELECT billing_code, cents,
+                   row_number() OVER (PARTITION BY billing_code
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY billing_code) AS n
+            FROM c
+        ),
+        med AS (
+            SELECT billing_code, cents AS med_cents
+            FROM ranked WHERE rn = (n + 1) // 2
+        ),
+        dev AS (
+            SELECT c.billing_code, c.cents,
+                   abs(c.cents - m.med_cents) AS d, m.med_cents
+            FROM c JOIN med m USING (billing_code)
+        ),
+        dranked AS (
+            SELECT billing_code, d,
+                   row_number() OVER (PARTITION BY billing_code
+                                      ORDER BY d) AS rn,
+                   count(*) OVER (PARTITION BY billing_code) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT billing_code, d AS mad_cents
+            FROM dranked WHERE rn = (n + 1) // 2
+        )
+        SELECT dev.billing_code AS billing_code,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               CAST(max(dev.med_cents) AS BIGINT) AS med_cents,
+               CAST(max(mad.mad_cents) AS BIGINT) AS mad_cents,
+               CAST(count(*) FILTER (dev.d > 3 * mad.mad_cents) AS BIGINT)
+                   AS n_outliers,
+               CAST(max(dev.d) AS BIGINT) AS max_abs_dev_cents
+        FROM dev JOIN mad USING (billing_code)
+        GROUP BY 1
+    """
+
+
+@query(
+    "mrf_rate_outliers",
+    oracle=_rate_outliers_oracle(),
+    description="negotiated-rate outlier report per billing code: robust "
+    "median + MAD in exact integer cents (rank-based lower medians — no "
+    "percentile interpolation, so both engines pick the identical "
+    "element), counting rates beyond 3 MAD — the billing-integrity "
+    "screen a transparency dataset feeds. With MAD = 0 (a majority-"
+    "constant price), ANY deviation flags, the conservative reading. "
+    "Plan: the silver codes->prices lineage reduces to (code, cents) "
+    "once, then two window passes and the final aggregate all share ONE "
+    "hash partitioning on billing_code — three window/agg stages, one "
+    "shuffle",
+)
+def mrf_rate_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    c = (
+        t.codes.select("sk_in_network_id", "billing_code")
+        .join(t.prices, "sk_in_network_id")
+        .select(
+            "billing_code",
+            F.round(F.col("negotiated_rate") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wcode = Window.partitionBy("billing_code")
+    ranked = c.select(
+        "billing_code",
+        "cents",
+        F.row_number().over(wcode.orderBy("cents")).alias("rn"),
+        F.count("*").over(wcode).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("billing_code", F.col("cents").alias("med_cents"))
+    dev = c.join(med, "billing_code").select(
+        "billing_code",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+    )
+    dranked = dev.select(
+        "billing_code",
+        "d",
+        F.row_number().over(wcode.orderBy("d")).alias("rn"),
+        F.count("*").over(wcode).alias("n"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("billing_code", F.col("d").alias("mad_cents"))
+    return (
+        dev.join(mad, "billing_code")
+        .groupBy("billing_code")
+        .agg(
+            F.count("*").cast("long").alias("n_prices"),
+            F.max("med_cents").cast("long").alias("med_cents"),
+            F.max("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("d").cast("long").alias("max_abs_dev_cents"),
+        )
+    )
