@@ -916,3 +916,125 @@ def mrf_rate_outliers(spark, sf_dir):
             F.max("d").cast("long").alias("max_abs_dev_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Provider price positioning — the payer-side negotiation view: which
+# provider groups sit systematically ABOVE their procedures' typical price?
+# A negotiated_rates entry carries a LIST of provider groups and a LIST of
+# prices; the relationship is a CROSS within the rate object (every linked
+# group negotiates every listed price — the same semantics as the gold
+# shoppable join), so links join par_providers x prices on the rate
+# surrogate key. Every linked rate is compared against its billing code's
+# robust median (same rank-based lower median as mrf_rate_outliers) and
+# reported per provider group in exact integer units.
+# ---------------------------------------------------------------------------
+
+
+def _provider_position_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item,
+                   generate_subscripts(in_network, 1) AS item_idx
+            FROM read_json('{fixture_path()}')
+        ),
+        rates AS (
+            SELECT item_idx, item.billing_code AS billing_code,
+                   unnest(item.negotiated_rates) AS r,
+                   generate_subscripts(item.negotiated_rates, 1) AS rate_idx
+            FROM items
+        ),
+        refs AS (
+            SELECT item_idx, rate_idx, billing_code,
+                   unnest(r.provider_references) AS provider_reference_id
+            FROM rates
+        ),
+        prices AS (
+            SELECT item_idx, rate_idx, billing_code,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM (SELECT item_idx, rate_idx, billing_code,
+                         unnest(r.negotiated_prices) AS p
+                  FROM rates) x
+            WHERE p.negotiated_type = 'negotiated'
+        ),
+        c AS (
+            SELECT refs.provider_reference_id, prices.billing_code,
+                   prices.cents
+            FROM refs JOIN prices USING (item_idx, rate_idx)
+        ),
+        ranked AS (
+            SELECT billing_code, cents,
+                   row_number() OVER (PARTITION BY billing_code
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY billing_code) AS n
+            FROM prices
+        ),
+        med AS (
+            SELECT billing_code, cents AS med_cents
+            FROM ranked WHERE rn = (n + 1) // 2
+        )
+        SELECT c.provider_reference_id AS provider_reference_id,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(*) FILTER (c.cents > m.med_cents) AS BIGINT)
+                   AS n_above_med,
+               CAST(count(*) FILTER (c.cents > m.med_cents) * 10000
+                    // count(*) AS BIGINT) AS above_share_bps
+        FROM c JOIN med m USING (billing_code)
+        GROUP BY 1
+    """
+
+
+@query(
+    "mrf_provider_price_position",
+    oracle=_provider_position_oracle(),
+    description="provider price positioning: per provider group, the "
+    "share of its linked negotiated rates sitting ABOVE the billing "
+    "code's rank-based median, in exact basis points — the payer-side "
+    "negotiation screen (which groups price systematically high across "
+    "procedures?). Links are par_providers x prices on the rate "
+    "surrogate key — the CROSS-within-rate-object semantics of the CMS "
+    "schema, identical to the gold shoppable join. Plan: per-code "
+    "medians reduce BEFORE the provider join (one row per code "
+    "crosses), then one partial-agg groupBy on the provider id; the "
+    "silver parse is shared via the session cache",
+)
+def mrf_provider_price_position(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    cents = F.round(F.col("negotiated_rate") * 100).cast("long")
+    prices = t.prices.join(
+        t.codes.select("sk_in_network_id", "billing_code"),
+        "sk_in_network_id",
+    ).select("sk_rate_id", "billing_code", cents.alias("cents"))
+    c = t.par_providers.join(prices, "sk_rate_id").select(
+        "provider_reference_id", "billing_code", "cents"
+    )
+    wcode = Window.partitionBy("billing_code")
+    ranked = prices.select(
+        "billing_code",
+        "cents",
+        F.row_number().over(wcode.orderBy("cents")).alias("rn"),
+        F.count("*").over(wcode).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "billing_code", F.col("cents").alias("med_cents")
+    )
+    return (
+        c.join(med, "billing_code")
+        .groupBy("provider_reference_id")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.sum(
+                F.when(F.col("cents") > F.col("med_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above_med"),
+            F.expr(
+                "sum(CASE WHEN cents > med_cents THEN 1 ELSE 0 END) "
+                "* 10000 div count(*)"
+            )
+            .cast("long")
+            .alias("above_share_bps"),
+        )
+    )
