@@ -1038,3 +1038,120 @@ def mrf_provider_price_position(spark, sf_dir):
             .alias("above_share_bps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Professional vs institutional pricing gap — the site-of-service question
+# (is the SAME procedure negotiated at a premium when billed by a facility
+# vs a clinician?): per billing code with both billing classes present,
+# the rank-based median cents per class and the gap in basis points of the
+# institutional median. Same exact-integer lower-median discipline as
+# mrf_rate_outliers, partitioned by (code, class).
+# ---------------------------------------------------------------------------
+
+
+def _class_gap_oracle() -> str:
+    return f"""
+        WITH pr AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(r.negotiated_prices) AS p
+            FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                  FROM (SELECT unnest(in_network) AS item
+                        FROM read_json('{fixture_path()}')) ) x
+        ),
+        c AS (
+            SELECT billing_code, p.billing_class AS billing_class,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        ),
+        ranked AS (
+            SELECT billing_code, billing_class, cents,
+                   row_number() OVER (PARTITION BY billing_code,
+                                      billing_class ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY billing_code,
+                                  billing_class) AS n
+            FROM c
+        ),
+        med AS (
+            SELECT billing_code, billing_class, cents AS med_cents,
+                   n AS n_prices
+            FROM ranked WHERE rn = (n + 1) // 2
+        )
+        SELECT p.billing_code AS billing_code,
+               CAST(p.n_prices AS BIGINT) AS n_professional,
+               CAST(i.n_prices AS BIGINT) AS n_institutional,
+               CAST(p.med_cents AS BIGINT) AS prof_med_cents,
+               CAST(i.med_cents AS BIGINT) AS inst_med_cents,
+               CAST(floor(CAST((p.med_cents - i.med_cents) * 10000
+                               AS DOUBLE) / i.med_cents)
+                    AS BIGINT) AS gap_bps
+        FROM (SELECT * FROM med WHERE billing_class = 'professional') p
+        JOIN (SELECT * FROM med WHERE billing_class = 'institutional') i
+          USING (billing_code)
+    """
+
+
+@query(
+    "mrf_billing_class_gap",
+    oracle=_class_gap_oracle(),
+    description="professional vs institutional pricing gap per billing "
+    "code — the site-of-service premium question: rank-based median "
+    "cents per (code, class) in exact integers, codes carrying BOTH "
+    "classes joined into a gap in basis points of the institutional "
+    "median (negative = clinician billing cheaper). gap_bps floors a "
+    "POSSIBLY-NEGATIVE quotient, where DuckDB's integer // truncates "
+    "toward zero and Spark's floor does not — both sides therefore use "
+    "the identical double-floor form. Plan: one (code, class) window pass over the shared "
+    "silver parse, medians reduce to one row per (code, class) before "
+    "the self-join on billing_code",
+)
+def mrf_billing_class_gap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    c = t.prices.join(
+        t.codes.select("sk_in_network_id", "billing_code"),
+        "sk_in_network_id",
+    ).select(
+        "billing_code",
+        "billing_class",
+        F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("billing_code", "billing_class")
+    ranked = c.select(
+        "billing_code",
+        "billing_class",
+        "cents",
+        F.row_number().over(w.orderBy("cents")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "billing_code",
+        "billing_class",
+        F.col("cents").alias("med_cents"),
+        F.col("n").alias("n_prices"),
+    )
+    prof = med.filter(F.col("billing_class") == "professional").select(
+        "billing_code",
+        F.col("n_prices").alias("n_professional"),
+        F.col("med_cents").alias("prof_med_cents"),
+    )
+    inst = med.filter(F.col("billing_class") == "institutional").select(
+        "billing_code",
+        F.col("n_prices").alias("n_institutional"),
+        F.col("med_cents").alias("inst_med_cents"),
+    )
+    return prof.join(inst, "billing_code").select(
+        "billing_code",
+        "n_professional",
+        "n_institutional",
+        "prof_med_cents",
+        "inst_med_cents",
+        F.floor(
+            (F.col("prof_med_cents") - F.col("inst_med_cents"))
+            * 10000.0
+            / F.col("inst_med_cents")
+        )
+        .cast("long")
+        .alias("gap_bps"),
+    )
