@@ -1155,3 +1155,93 @@ def mrf_billing_class_gap(spark, sf_dir):
         .cast("long")
         .alias("gap_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modifier mix — what do billing-code modifiers do to negotiated prices?
+# Per modifier (NULL = unmodified base code): price count, distinct codes,
+# and the rank-based median cents. Modifiers are the last pricing dimension
+# in the price table (code, class, provider, modifier); auditors read this
+# to spot modifiers that systematically re-price a procedure.
+# ---------------------------------------------------------------------------
+
+
+def _modifier_mix_oracle() -> str:
+    return f"""
+        WITH pr AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(r.negotiated_prices) AS p
+            FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                  FROM (SELECT unnest(in_network) AS item
+                        FROM read_json('{fixture_path()}')) ) x
+        ),
+        c AS (
+            SELECT billing_code,
+                   p.billing_code_modifier AS modifier,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        ),
+        ranked AS (
+            SELECT modifier, cents,
+                   row_number() OVER (PARTITION BY modifier
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY modifier) AS n
+            FROM c
+        ),
+        med AS (
+            SELECT modifier, cents AS med_cents
+            FROM ranked WHERE rn = (n + 1) // 2
+        )
+        SELECT c.modifier AS modifier,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               CAST(count(DISTINCT c.billing_code) AS BIGINT) AS n_codes,
+               CAST(max(m.med_cents) AS BIGINT) AS med_cents
+        FROM c LEFT JOIN med m
+          ON c.modifier IS NOT DISTINCT FROM m.modifier
+        GROUP BY 1
+    """
+
+
+@query(
+    "mrf_modifier_mix",
+    oracle=_modifier_mix_oracle(),
+    description="billing-code-modifier mix: per modifier (NULL = the "
+    "unmodified base code), price count, distinct codes covered, and the "
+    "rank-based median in exact integer cents — the audit view for "
+    "modifiers that systematically re-price procedures. NULL-safe "
+    "grouping via null-tolerant equality on the median join so the "
+    "unmodified bucket groups identically on both engines. Plan: one "
+    "window pass partitioned by modifier (a handful of partitions) over "
+    "the shared silver parse, then one partial-agg groupBy",
+)
+def mrf_modifier_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    c = t.prices.join(
+        t.codes.select("sk_in_network_id", "billing_code"),
+        "sk_in_network_id",
+    ).select(
+        "billing_code",
+        F.col("billing_code_modifier").alias("modifier"),
+        F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("modifier")
+    ranked = c.select(
+        "modifier",
+        "cents",
+        F.row_number().over(w.orderBy("cents")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("modifier").alias("m_mod"), F.col("cents").alias("med_cents")
+    )
+    return (
+        c.join(med, c["modifier"].eqNullSafe(med["m_mod"]), "left")
+        .groupBy("modifier")
+        .agg(
+            F.count("*").cast("long").alias("n_prices"),
+            F.count_distinct("billing_code").cast("long").alias("n_codes"),
+            F.max("med_cents").cast("long").alias("med_cents"),
+        )
+    )
