@@ -1177,7 +1177,7 @@ def _modifier_mix_oracle() -> str:
         ),
         c AS (
             SELECT billing_code,
-                   p.billing_code_modifier AS modifier,
+                   array_to_string(p.billing_code_modifier, '+') AS modifier,
                    CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
             FROM pr WHERE p.negotiated_type = 'negotiated'
         ),
@@ -1223,7 +1223,10 @@ def mrf_modifier_mix(spark, sf_dir):
         "sk_in_network_id",
     ).select(
         "billing_code",
-        F.col("billing_code_modifier").alias("modifier"),
+        # scalar output contract: the driver hash canonicalization takes
+        # scalars only, so the modifier LIST becomes a '+'-joined string
+        # (NULL array stays NULL = the unmodified base bucket)
+        F.array_join("billing_code_modifier", "+").alias("modifier"),
         F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
     )
     w = Window.partitionBy("modifier")
