@@ -484,6 +484,10 @@ def phash_blobs(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, hashes, pops = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:
+                    # NULL payloads drop, matching the oracle's implicit
+                    # NULL filter (octet_length(NULL) >= 64 is NULL).
+                    continue
                 a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
                 nb = len(a)
                 if nb < _PHASH_BITS:

@@ -3169,9 +3169,14 @@ def pk_uniqueness_audit(spark, sf_dir):
     for t, keys in _PK_KEYS:
         d = load(spark, sf_dir, t)
         per_key = d.groupBy(*keys).agg(F.count("*").alias("c"))
+        # coalesce the sums so an EMPTY table reports 0/0 like the
+        # oracle's count(*)-based form (max_multiplicity stays NULL on
+        # both engines) — ungrouped sum over zero rows is NULL in Spark
         agg = per_key.agg(
-            F.sum("c").cast("long").alias("n_rows"),
-            (F.sum("c") - F.count("*")).cast("long").alias("n_excess_rows"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("c") - F.count("*"), F.lit(0))
+            .cast("long")
+            .alias("n_excess_rows"),
             F.max("c").cast("long").alias("max_multiplicity"),
         )
         rows.append(agg.select(F.lit(t).alias("tbl"), "*"))

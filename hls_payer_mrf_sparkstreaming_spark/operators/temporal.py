@@ -2490,7 +2490,7 @@ _PAA_TOPK = 20
         ),
         sx AS (
             SELECT user_id, c,
-                   array_to_string(list_transform(range(1, 4 + 1),
+                   array_to_string(list_transform(range(1, {_PAA_S // 2} + 1),
                        i -> CASE WHEN c[2 * i - 1] + c[2 * i] > 0
                             THEN '1' ELSE '0' END), '')
                        AS shape_code

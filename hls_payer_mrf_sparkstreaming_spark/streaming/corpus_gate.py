@@ -76,7 +76,11 @@ def stream_dsir_gate(
 
     # materialize the reference table ONCE: an unpersisted lr would
     # re-evaluate its full lineage (reference-corpus tokenize + two
-    # aggregate passes) inside every micro-batch's broadcast
+    # aggregate passes) inside every micro-batch's broadcast. The persist
+    # is PAIRED with an unpersist on stream termination (listener below)
+    # — the gate owns the cache for exactly the query's lifetime, so a
+    # host session that runs many gates doesn't accumulate one cached
+    # reference table per finished stream (advice r10).
     lr = lr.persist()
     lr.count()
 
@@ -86,9 +90,41 @@ def stream_dsir_gate(
             _batch_dir(f"{out_dir}/docs", checkpoint_dir, batch_id)
         )
 
-    return (
+    query = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _unpersist_on_termination(spark, query, lr)
+    return query
+
+
+def _unpersist_on_termination(spark, query, df: DataFrame) -> None:
+    """Release ``df``'s cache when ``query`` terminates (success or
+    error). Listener callbacks run on the streaming listener-bus thread,
+    where unpersist is safe (it only drops storage; lineage survives, so
+    a caller that still holds ``df`` just recomputes)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != qid:
+                return
+            try:
+                df.unpersist()
+            finally:
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Release())

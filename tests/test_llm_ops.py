@@ -2219,3 +2219,87 @@ def test_referential_integrity_audit_finds_broken_edges(spark, tmp_path):
     )
     assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
     assert got["n_orphans"].sum() > 0, got.to_string()
+
+
+def _hot_block_corpus(tmp_path_factory):
+    """Synthetic documents table with a planted boilerplate hot block:
+    120 templated docs share a 60-token prefix (their min-shingle
+    collides into one quadratic block) plus a 3-doc organic tail whose
+    blocks stay tiny."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("hotblk"))
+    shared = " ".join(f"tok{i}" for i in range(60))
+    ids, texts = [], []
+    for i in range(120):
+        ids.append(1000 + i)
+        texts.append(f"{shared} uniq{i}")
+    # a small organic block: an exact near-dup pair + one unrelated doc
+    ids += [2001, 2002, 2003]
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+    return out
+
+
+def test_containment_block_cap_engages_on_planted_hot_block(
+    spark, tmp_path_factory, monkeypatch
+):
+    """VERDICT r10 task 1: the 1-perm-MinHash block cap must (a) bound the
+    candidate volume of a planted boilerplate block and (b) leave every
+    pair in below-cap blocks bit-identical to the uncapped run."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    sf = _hot_block_corpus(tmp_path_factory)
+    qs = all_queries()
+
+    # the audit sees the hot block coming WITHOUT running the self-join
+    audit = qs["containment_block_skew"].fn(spark, sf).collect()[0]
+    assert audit["max_block"] >= 100, audit
+    assert audit["cand_pairs"] >= 100 * 99 // 2, audit
+    # at the production default (4096) the planted block is still legal
+    assert audit["n_blocks_over_cap"] == 0, audit
+
+    def pairs(cap_env):
+        if cap_env is None:
+            monkeypatch.delenv(
+                "SPARK_GRAFT_CONTAINMENT_BLOCK_CAP", raising=False
+            )
+        else:
+            monkeypatch.setenv(
+                "SPARK_GRAFT_CONTAINMENT_BLOCK_CAP", str(cap_env)
+            )
+        return {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in qs["dedup_containment"].fn(spark, sf).collect()
+        }
+
+    uncapped = pairs(None)
+    capped = pairs(8)
+
+    tmpl_uncapped = {p for p in uncapped if p[0] >= 1000 and p[1] < 2000}
+    tmpl_capped = {p for p in capped if p[0] >= 1000 and p[1] < 2000}
+    # uncapped: the planted block really is quadratic (~C(115, 2) pairs)
+    assert len(tmpl_uncapped) >= 100 * 99 // 2
+    # capped at 8: survivors are hash-mod sampled to ~cap, so the pair
+    # volume collapses by orders of magnitude (binomial slack: <= C(32,2))
+    assert 0 < len(tmpl_capped) <= 32 * 31 // 2, len(tmpl_capped)
+    assert tmpl_capped < tmpl_uncapped
+    # below-cap blocks are untouched: the organic pair survives with the
+    # identical score, and no below-cap pair appears or disappears
+    organic_capped = {p: v for p, v in capped.items() if p[0] >= 2000}
+    organic_uncapped = {p: v for p, v in uncapped.items() if p[0] >= 2000}
+    assert organic_capped == organic_uncapped
+    assert organic_capped[(2001, 2002)] == 1.0

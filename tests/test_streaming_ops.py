@@ -898,6 +898,17 @@ def test_streamed_dsir_gate_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     assert not q.isActive
 
+    # the gate pairs its lr.persist() with an unpersist on termination
+    # (listener-bus thread, so poll briefly); without it every finished
+    # gate leaks one cached reference table into the host session
+    import time
+
+    for _ in range(100):
+        if not (lr.storageLevel.useMemory or lr.storageLevel.useDisk):
+            break
+        time.sleep(0.1)
+    assert not (lr.storageLevel.useMemory or lr.storageLevel.useDisk)
+
     union = spark.createDataFrame(
         [r for rows in drops for r in rows], "doc_id: long, text: string"
     )
