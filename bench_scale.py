@@ -105,6 +105,11 @@ QUERIES = [
     "bpe_merge_candidates",
     "bpe_train_steps",
     "dsir_importance_sample",
+    # round-11: the containment family got its skew audit + block cap
+    # (VERDICT r10 task 1) — track both the guarded generator and the
+    # audit that certifies it
+    "dedup_containment",
+    "containment_block_skew",
 ]
 
 

@@ -567,3 +567,108 @@ def multimodal_phash(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return phash_blobs(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing — the batching primitive for image training
+# (LAION/SDXL-style): variable-aspect images can't share a tensor batch, so
+# each image snaps to the nearest ratio in a fixed ladder and batches form
+# within a bucket. The assignment must be exact-integer (no float log-ratio
+# distances) so the distributed result hash-checks against the oracle.
+# ---------------------------------------------------------------------------
+
+# (bw, bh) ladder; _ASPECT_SCALE is a common multiple of every bh so the
+# cross-multiplied distance |w*bh - h*bw| * (SCALE/bh) compares exactly
+# across buckets without rationals
+_ASPECT_LADDER = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (2, 1), (1, 2)]
+_ASPECT_SCALE = 144
+
+
+def _aspect_costs_sql(w: str, h: str) -> list[str]:
+    return [
+        f"(abs({w} * {bh} - {h} * {bw}) * {_ASPECT_SCALE // bh})"
+        for bw, bh in _ASPECT_LADDER
+    ]
+
+
+def _aspect_label_sql(w: str, h: str) -> str:
+    costs = _aspect_costs_sql(w, h)
+    m = "least(" + ", ".join(costs) + ")"
+    whens = " ".join(
+        f"WHEN {c} = {m} THEN '{bw}:{bh}'"
+        for c, (bw, bh) in zip(costs, _ASPECT_LADDER)
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "multimodal_aspect_bucket",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               range(1, least(length(text), 64) + 1),
+                               j -> CAST(unicode(substring(text, j, 1))
+                                         AS BIGINT))),
+                       (a, b) -> (a * 131 + b) & 2147483647) AS hv
+            FROM documents
+        ),
+        wh AS (
+            SELECT doc_id,
+                   CAST(64 + hv % 1024 AS BIGINT) AS w,
+                   CAST(64 + (hv // 1024) % 1024 AS BIGINT) AS h
+            FROM h
+        )
+        SELECT {_aspect_label_sql('w', 'h')} AS aspect_bucket,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(w * h) AS BIGINT) AS total_pixels,
+               CAST(sum(w) AS BIGINT) AS sum_width,
+               CAST(sum(h) AS BIGINT) AS sum_height
+        FROM wh GROUP BY 1
+    """,
+    description="aspect-ratio bucketing over the decoded image metadata "
+    "(the batching primitive for variable-aspect image training: a "
+    "tensor batch must share a shape, so every image snaps to the "
+    "nearest ratio in a fixed 7-entry ladder and batches form within a "
+    "bucket). Nearest = argmin over EXACT cross-multiplied integer "
+    "distances |w*bh - h*bw| scaled to a common denominator — no float "
+    "log-ratio, so the distributed assignment hash-matches the DuckDB "
+    "replay bit for bit; ties take the earliest ladder entry. Dimensions "
+    "come from the same Arrow-batched mapInPandas decode pipeline as "
+    "multimodal_decode (stub kernel replayed byte-exactly by the "
+    "oracle); the aggregate shuffles 7 buckets of partial sums, never "
+    "pixels",
+)
+def multimodal_aspect_bucket(spark, sf_dir):
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    wh = decode_blobs(blobs).select("doc_id", "width", "height")
+    costs = [
+        F.abs(F.col("width") * bh - F.col("height") * bw)
+        * (_ASPECT_SCALE // bh)
+        for bw, bh in _ASPECT_LADDER
+    ]
+    m = F.least(*costs)
+    expr = None
+    for c, (bw, bh) in zip(costs, _ASPECT_LADDER):
+        branch = (c == m, F.lit(f"{bw}:{bh}"))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return (
+        wh.select(
+            expr.alias("aspect_bucket"),
+            "width",
+            "height",
+        )
+        .groupBy("aspect_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("width") * F.col("height"))
+            .cast("long")
+            .alias("total_pixels"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+        )
+    )

@@ -1444,9 +1444,26 @@ def _sketch_vs_exact_twin(spark, sf_dir):
     "shuffle-light by tests/test_plans.py",
 )
 def corpus_overlap_sketch_only(spark, sf_dir):
-    v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
+    # r11 hot-path rework: _gram_stream hashes every gram inside an
+    # ArrayTransform + array_distinct — higher-order functions are
+    # CodegenFallback (interpreted per element), which profiling showed
+    # as the dominant cost at 10x data. Per-bucket MIN is duplicate-
+    # invariant, so the sketch needs NO per-doc distinct; exploding the
+    # start indices FIRST moves the md5/conv per gram into whole-stage
+    # codegen and the only remaining array op is the explode itself.
+    # Values are unchanged (same md5s, min unaffected by duplicates) —
+    # the oracle's list_distinct is equally inert.
+    docs = rebalance(load(spark, sf_dir, "documents")).select(
+        "source", F.split("text", " ").alias("t")
+    )
+    starts = F.when(
+        F.size("t") >= _DECON_N,
+        F.sequence(F.lit(1), F.size("t") - (_DECON_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    h = F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), _DECON_N)))
+    v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     return (
-        _gram_stream(spark, sf_dir)
+        docs.select("source", "t", F.explode(starts).alias("i"))
         .select(
             "source",
             v.alias("v"),
@@ -2668,4 +2685,142 @@ def tokenizer_fertility(spark, sf_dir):
         )
         .otherwise(F.lit(None).cast("long"))
         .alias("chars_per_token_micro"),
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+        WITH d AS (
+            SELECT source, len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        g AS (
+            SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source
+        ),
+        s AS (
+            SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                        AS BIGINT) AS isq
+            FROM g
+        ),
+        t AS (
+            SELECT sum(n_tokens) AS total, sum(isq) AS total_isq FROM s
+        )
+        SELECT source, n_tokens,
+               CAST(n_tokens * 1000000 // total AS BIGINT)
+                   AS proportional_ppm,
+               CAST(isq * 1000000 // total_isq AS BIGINT)
+                   AS temperature_ppm
+        FROM s CROSS JOIN t
+    """,
+    description="temperature-flattened sampling weights per source "
+    "(the multilingual/multi-domain rebalancing mT5 popularized: "
+    "sampling proportional to n^alpha with alpha=0.5 upweights small "
+    "domains a proportional mix would starve). alpha=0.5 is chosen "
+    "deliberately: sqrt is IEEE-correctly-rounded in BOTH engines, so "
+    "floor(sqrt(n)) is cross-engine deterministic where a pow(n, 0.7) "
+    "would hash-diverge in the last ulp; every weight is then pure "
+    "integer arithmetic (ppm via integer division over integer sums, "
+    "which are order-free where float sums are not). One partial-agg "
+    "groupBy plus a broadcast two-scalar total — the report is "
+    "|sources| rows at any corpus size",
+)
+def corpus_temperature_mix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    s = (
+        d.groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+        .withColumn(
+            "isq",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("total"), F.sum("isq").alias("total_isq")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 DIV total")
+        .cast("long")
+        .alias("proportional_ppm"),
+        F.expr("isq * 1000000 DIV total_isq")
+        .cast("long")
+        .alias("temperature_ppm"),
+    )
+
+
+@query(
+    "text_code_detect",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(replace(text, '{', ''))
+                        + length(text) - length(replace(text, '}', ''))
+                        AS BIGINT) AS n_braces,
+                   CAST(length(text) - length(replace(text, ';', ''))
+                        AS BIGINT) AS n_semis,
+                   CAST(length(text) - length(replace(text, '=', ''))
+                        AS BIGINT) AS n_eq,
+                   CAST(length(text) - length(replace(text, '(', ''))
+                        AS BIGINT) AS n_paren
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_braces, n_semis,
+               CAST((n_braces * 4 + n_semis * 3 + n_eq * 2 + n_paren)
+                    * 1000000 // greatest(n_chars, 1) AS BIGINT)
+                   AS code_score_ppm,
+               (n_braces * 4 + n_semis * 3 + n_eq * 2 + n_paren)
+                   * 1000000 // greatest(n_chars, 1) >= 20000 AS is_code
+        FROM c
+    """,
+    description="code-vs-prose detection per document (training corpora "
+    "route code and prose to different tokenization/mixing policies, so "
+    "the classifier must run corpus-wide): weighted density of "
+    "syntax-punctuation signals — braces, semicolons, assignment, "
+    "parens — in exact ppm via occurrence counts from length deltas "
+    "(length minus length-after-replace, identical primitive in both "
+    "engines; no regex engine semantics to diverge on). Pure "
+    "whole-stage-codegen string expressions over one scan, no shuffle "
+    "at all; the 2% threshold flags code-like docs for routing",
+)
+def text_code_detect(spark, sf_dir):
+    t = F.col("text")
+
+    def occ(ch):
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        ).cast("long")
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        (occ("{") + occ("}")).alias("n_braces"),
+        occ(";").alias("n_semis"),
+        occ("=").alias("n_eq"),
+        occ("(").alias("n_paren"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_braces",
+        "n_semis",
+        F.expr(
+            "(n_braces * 4 + n_semis * 3 + n_eq * 2 + n_paren) "
+            "* 1000000 DIV greatest(n_chars, 1)"
+        )
+        .cast("long")
+        .alias("code_score_ppm"),
+        (
+            F.expr(
+                "(n_braces * 4 + n_semis * 3 + n_eq * 2 + n_paren) "
+                "* 1000000 DIV greatest(n_chars, 1)"
+            )
+            >= 20000
+        ).alias("is_code"),
     )

@@ -475,7 +475,42 @@ def test_no_unmanaged_persist_in_package():
     }, counts
 
 
-def test_readme_counts_are_current():
+def test_bench_median_snapshot_matches_details_and_registry():
+    # VERDICT r10: the committed bench_medians.json had drifted from the
+    # bench_details.json sidecar it is supposed to be derived from (one
+    # op 8x off, one op missing) — anyone diffing committed medians
+    # across rounds read phantom regressions. Pin the derivation: every
+    # committed median must sit inside the details snapshot's recorded
+    # spread band, and the snapshot must cover exactly the registry.
+    import json
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "bench_medians.json")) as f:
+        medians = json.load(f)["queries_sec_median"]
+    with open(os.path.join(root, "bench_details.json")) as f:
+        details = json.load(f)
+    det_med = details["queries_sec_median"]
+    spread = details["query_spread_rel"]
+
+    assert set(medians) == set(all_queries()), (
+        "committed median catalog != registry: "
+        f"missing={sorted(set(all_queries()) - set(medians))[:5]} "
+        f"extra={sorted(set(medians) - set(all_queries()))[:5]}"
+    )
+    assert set(medians) == set(det_med)
+    off = {}
+    for name, m in medians.items():
+        d = det_med[name]
+        # band: the details run's own min-max spread around its median,
+        # plus an absolute floor for sub-100ms timer noise
+        tol = max(spread.get(name, 0.0) * d, 0.1)
+        if abs(m - d) > tol:
+            off[name] = (m, d, round(tol, 3))
+    assert not off, f"committed medians outside details spread band: {off}"
     # the README's operator/oracle/suite-size claims must track the live
     # registry (round 4 shipped with stale hand-edited numbers)
     from hls_payer_mrf_sparkstreaming_spark.docs import registry_counts
@@ -1654,3 +1689,36 @@ def test_ts_paa_candidates_are_bucket_join_topk(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_containment_skew_audit_has_no_join(spark):
+    """The audit must be safe to run when the blocking is NOT: one
+    shingle pass, a partial-aggregated per-block count, a one-row
+    aggregate — never a join of any kind."""
+    p = plan(spark, "containment_block_skew")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_containment_cap_join_is_broadcast(spark):
+    """dedup_containment's hot-block cap joins the (tiny, usually empty)
+    over-cap block set via broadcast — the corpus must never shuffle for
+    the guard — and the candidate self-join stays key-equi (no
+    cartesian)."""
+    p = plan(spark, "dedup_containment")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_sketch_only_gram_path_is_codegen(spark):
+    """corpus_overlap_sketch_only's r11 rework: per-gram md5 must run
+    row-side in whole-stage codegen (explode of start indices), not
+    inside an interpreted ArrayTransform/array_distinct — the 10x-scale
+    profiling showed the higher-order-function path as the dominant
+    cost. min() is duplicate-invariant, so no distinct belongs here."""
+    p = plan(spark, "corpus_overlap_sketch_only")
+    assert "array_distinct" not in p, p
+    assert "Generate" in p and "explode" in p, p
+    # md5 evaluated in the post-explode projection (row-side): no
+    # higher-order transform survives anywhere in the plan
+    assert "transform(" not in p, p
