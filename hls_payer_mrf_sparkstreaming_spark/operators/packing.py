@@ -227,3 +227,68 @@ def tokenize_pad_ids(spark, sf_dir):
         F.count("*").cast("int").alias("n_tokens_kept"),
         F.to_json(padded).alias("ids_json"),
     )
+
+
+_PAD_MIN_BUCKET = 16  # smallest padded batch shape
+
+
+@query(
+    "pad_bucket_waste",
+    oracle=f"""
+        WITH d AS (
+            SELECT lang, len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        b AS (
+            SELECT lang, n_toks,
+                   greatest({_PAD_MIN_BUCKET},
+                            1 << length(bin(n_toks - 1))) AS bucket_tokens
+            FROM d
+        )
+        SELECT lang, CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+               CAST(count(*) * bucket_tokens AS BIGINT) AS padded_tokens,
+               CAST((count(*) * bucket_tokens - sum(n_toks)) * 1000000
+                    // (count(*) * bucket_tokens) AS BIGINT) AS waste_ppm
+        FROM b GROUP BY lang, bucket_tokens
+    """,
+    description="padding-bucket waste report: every doc pads up to the "
+    "next power-of-two token bucket (the dynamic-batching shape rule — "
+    "batches must share a tensor length, and power-of-two buckets bound "
+    "pad overhead at 50%), and the report shows docs, real vs padded "
+    "tokens, and the exact-ppm waste per (lang, bucket). This is the "
+    "artifact that decides between padded batching and pack_sequences' "
+    "concat-and-chunk layout for a corpus. Bucket = 1 << bit_length(n-1) "
+    "via binary-string length — exact integers in both engines, no "
+    "float log2 edge cases at powers of two (same primitive as "
+    "token_length_histogram). One partial-agg groupBy over a scan; "
+    "shuffles only (lang, bucket, partial sums)",
+)
+def pad_bucket_waste(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    # SQL-form shiftleft: the Python API wants a literal bit count, the
+    # SQL function accepts a column
+    bucket = F.greatest(
+        F.lit(_PAD_MIN_BUCKET),
+        F.expr("shiftleft(1, CAST(length(bin(n_toks - 1)) AS INT))"),
+    ).cast("long")
+    return (
+        d.select("lang", "n_toks", bucket.alias("bucket_tokens"))
+        .groupBy("lang", "bucket_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("real_tokens"),
+            (F.count("*") * F.col("bucket_tokens"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "(count(*) * bucket_tokens - sum(n_toks)) * 1000000 "
+                "DIV (count(*) * bucket_tokens)"
+            )
+            .cast("long")
+            .alias("waste_ppm"),
+        )
+    )

@@ -1248,3 +1248,120 @@ def mrf_modifier_mix(spark, sf_dir):
             F.max("med_cents").cast("long").alias("med_cents"),
         )
     )
+
+
+def _negotiation_type_mix_oracle() -> str:
+    return f"""
+        WITH pr AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(r.negotiated_prices) AS p
+            FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                  FROM (SELECT unnest(in_network) AS item
+                        FROM read_json('{fixture_path()}')) ) x
+        )
+        SELECT p.negotiated_type AS negotiated_type,
+               p.billing_class AS billing_class,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               CAST(count(DISTINCT billing_code) AS BIGINT) AS n_codes,
+               CAST(min(CAST(round(p.negotiated_rate * 100) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(max(CAST(round(p.negotiated_rate * 100) AS BIGINT))
+                    AS BIGINT) AS max_cents
+        FROM pr GROUP BY 1, 2
+    """
+
+
+@query(
+    "mrf_negotiation_type_mix",
+    oracle=_negotiation_type_mix_oracle(),
+    description="negotiation-type mix per billing class — the only gold "
+    "query that reads the rows every other price query filters OUT "
+    "(silver's prices table keeps negotiated_type = 'negotiated' per the "
+    "reference demo, JsonMRFSource consumers drop derived/fee-schedule "
+    "rows silently): price volume, code coverage, and the cents range "
+    "per (negotiated_type, billing_class), the audit that shows how much "
+    "of a payer's file is actually shoppable versus derived pricing. "
+    "Explodes straight off the cached silver CODES relation (which "
+    "retains the raw negotiated_rates array), one partial-agg groupBy — "
+    "no window, no join",
+)
+def mrf_negotiation_type_mix(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    c = (
+        t.codes.select(
+            "billing_code", F.explode("negotiated_rates").alias("nr")
+        )
+        .select(
+            "billing_code",
+            F.explode("nr.negotiated_prices").alias("p"),
+        )
+        .select(
+            "billing_code",
+            F.col("p.negotiated_type").alias("negotiated_type"),
+            F.col("p.billing_class").alias("billing_class"),
+            F.round(F.col("p.negotiated_rate") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return c.groupBy("negotiated_type", "billing_class").agg(
+        F.count("*").cast("long").alias("n_prices"),
+        F.count_distinct("billing_code").cast("long").alias("n_codes"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+def _service_code_rates_oracle() -> str:
+    return f"""
+        WITH pr AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(r.negotiated_prices) AS p
+            FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                  FROM (SELECT unnest(in_network) AS item
+                        FROM read_json('{fixture_path()}')) ) x
+        ),
+        c AS (
+            SELECT billing_code,
+                   unnest(p.service_code) AS service_code,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS cents
+            FROM pr WHERE p.negotiated_type = 'negotiated'
+        )
+        SELECT service_code,
+               CAST(count(*) AS BIGINT) AS n_prices,
+               CAST(count(DISTINCT billing_code) AS BIGINT) AS n_codes,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM c GROUP BY 1
+    """
+
+
+@query(
+    "mrf_service_code_rates",
+    oracle=_service_code_rates_oracle(),
+    description="site-of-service rate profile: negotiated prices exploded "
+    "by CMS place-of-service code (prices without a service_code list "
+    "drop on both engines: Spark's explode and DuckDB's unnest both emit "
+    "zero rows for NULL arrays), with price volume, code coverage, and "
+    "the exact-cents range per site — where a procedure's price varies "
+    "by setting, this is the view that shows it, complementing "
+    "mrf_billing_class_gap's two-bucket professional/institutional "
+    "split. One explode over the shared silver parse and one partial-agg "
+    "groupBy on a low-cardinality key",
+)
+def mrf_service_code_rates(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    c = t.prices.join(
+        t.codes.select("sk_in_network_id", "billing_code"),
+        "sk_in_network_id",
+    ).select(
+        "billing_code",
+        F.explode("service_code").alias("service_code"),
+        F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
+    )
+    return c.groupBy("service_code").agg(
+        F.count("*").cast("long").alias("n_prices"),
+        F.count_distinct("billing_code").cast("long").alias("n_codes"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )

@@ -50,7 +50,12 @@ _STRUCTURAL = re.compile(rb'["{}\[\]]')
 _SCALAR_END = re.compile(rb"[,\]\}]")
 
 DEFAULT_CHUNK_TARGET = 16 * 1024 * 1024
-DEFAULT_READ_SIZE = 8 * 1024 * 1024
+# 3 MB measured fastest for the threaded discovery scan (r11 sweep over
+# 1-32 MB: 3 MB = 34.7 GB/min vs 23.4 at 8 MB on this hardware) — small
+# enough that a block's classify pass stays cache-resident while the
+# prefetch thread fills the next ones, large enough to amortize syscalls.
+# Overridable per read via the `buffersize` source option.
+DEFAULT_READ_SIZE = 3 * 1024 * 1024
 
 
 class MalformedMRFError(ValueError):

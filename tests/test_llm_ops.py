@@ -2303,3 +2303,110 @@ def test_containment_block_cap_engages_on_planted_hot_block(
     organic_uncapped = {p: v for p, v in uncapped.items() if p[0] >= 2000}
     assert organic_capped == organic_uncapped
     assert organic_capped[(2001, 2002)] == 1.0
+
+
+def test_aspect_buckets_cover_all_decoded_images(spark, sf_dir):
+    """Every decoded image lands in exactly one ladder bucket; labels are
+    drawn from the fixed ladder and pixel sums are consistent."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.multimodal import (
+        _ASPECT_LADDER,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    qs = all_queries()
+    rows = qs["multimodal_aspect_bucket"].fn(spark, sf_dir).collect()
+    labels = {f"{bw}:{bh}" for bw, bh in _ASPECT_LADDER}
+    assert {r["aspect_bucket"] for r in rows} <= labels
+    n_images = sum(r["n_images"] for r in rows)
+    n_decoded = qs["multimodal_decode"].fn(spark, sf_dir).count()
+    assert n_images == n_decoded
+    for r in rows:
+        assert r["total_pixels"] >= r["sum_width"]  # h >= 1 everywhere
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """sqrt-temperature weights must upweight the smallest source and
+    downweight the largest relative to proportional, both summing to
+    ~1e6 ppm."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["corpus_temperature_mix"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["temperature_ppm"] <= big["proportional_ppm"]
+    assert small["temperature_ppm"] >= small["proportional_ppm"]
+    for col in ("proportional_ppm", "temperature_ppm"):
+        total = sum(r[col] for r in rows)
+        # integer floors: total in (1e6 - n_sources, 1e6]
+        assert 1_000_000 - len(rows) < total <= 1_000_000, (col, total)
+
+
+def test_code_detect_flags_planted_code(spark, tmp_path_factory):
+    """A planted code-heavy doc must score is_code; plain prose must
+    not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    out = str(tmp_path_factory.mktemp("codedet"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "int main() { int x = 0; for (;;) { x = x + 1; } "
+                        "return x; }",
+                        "the quick brown fox jumps over the lazy dog and "
+                        "keeps on running through the quiet field",
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["text_code_detect"].fn(spark, out).collect()
+    }
+    assert rows[1]["is_code"] and rows[1]["code_score_ppm"] >= 20000
+    assert not rows[2]["is_code"] and rows[2]["code_score_ppm"] < 20000
+
+
+def test_pad_buckets_are_powers_of_two_and_bound_waste(spark, sf_dir):
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["pad_bucket_waste"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["bucket_tokens"]
+        assert b >= 16 and (b & (b - 1)) == 0, b  # power of two
+        assert r["padded_tokens"] >= r["real_tokens"]
+        assert 0 <= r["waste_ppm"] < 1_000_000
+
+
+def test_negotiation_type_mix_covers_silver_filter(spark, sf_dir):
+    """The 'negotiated' slice of the mix must equal the silver prices
+    row count (silver drops every other negotiation type), and the mix
+    must actually contain non-negotiated rows — the slice every other
+    gold query filters out."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.mrf_queries import (
+        build_silver_cached,
+        fixture_path,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = (
+        all_queries()["mrf_negotiation_type_mix"].fn(spark, sf_dir).collect()
+    )
+    types = {r["negotiated_type"] for r in rows}
+    assert "negotiated" in types and len(types) >= 2, types
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    n_silver = t.prices.count()
+    n_mix = sum(
+        r["n_prices"] for r in rows if r["negotiated_type"] == "negotiated"
+    )
+    assert n_mix == n_silver
