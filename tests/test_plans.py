@@ -479,9 +479,14 @@ def test_bench_median_snapshot_matches_details_and_registry():
     # VERDICT r10: the committed bench_medians.json had drifted from the
     # bench_details.json sidecar it is supposed to be derived from (one
     # op 8x off, one op missing) — anyone diffing committed medians
-    # across rounds read phantom regressions. Pin the derivation: every
-    # committed median must sit inside the details snapshot's recorded
-    # spread band, and the snapshot must cover exactly the registry.
+    # across rounds read phantom regressions. Pin the derivation: the
+    # snapshot must cover exactly the registry, and — while the details
+    # file it was copied from is still on disk (matching fingerprint) —
+    # every value must be byte-equal to it. A DIFFERENT details file
+    # (the driver's own rebench on a faster/slower host) only gets the
+    # key-set check: cross-environment value comparison is exactly the
+    # phantom-regression trap this test exists to kill.
+    import hashlib
     import json
 
     from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
@@ -490,27 +495,35 @@ def test_bench_median_snapshot_matches_details_and_registry():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(root, "bench_medians.json")) as f:
-        medians = json.load(f)["queries_sec_median"]
-    with open(os.path.join(root, "bench_details.json")) as f:
-        details = json.load(f)
-    det_med = details["queries_sec_median"]
-    spread = details["query_spread_rel"]
+        snap = json.load(f)
+    medians = snap["queries_sec_median"]
 
     assert set(medians) == set(all_queries()), (
         "committed median catalog != registry: "
         f"missing={sorted(set(all_queries()) - set(medians))[:5]} "
         f"extra={sorted(set(medians) - set(all_queries()))[:5]}"
     )
-    assert set(medians) == set(det_med)
-    off = {}
-    for name, m in medians.items():
-        d = det_med[name]
-        # band: the details run's own min-max spread around its median,
-        # plus an absolute floor for sub-100ms timer noise
-        tol = max(spread.get(name, 0.0) * d, 0.1)
-        if abs(m - d) > tol:
-            off[name] = (m, d, round(tol, 3))
-    assert not off, f"committed medians outside details spread band: {off}"
+    assert snap.get("source_details_sha256"), (
+        "snapshot lacks its source fingerprint — regenerate via "
+        "python -m hls_payer_mrf_sparkstreaming_spark.docs"
+    )
+
+    details_path = os.path.join(root, "bench_details.json")
+    if not os.path.exists(details_path):
+        return  # fresh checkout: details is a gitignored sidecar
+    with open(details_path, "rb") as f:
+        raw = f.read()
+    details = json.loads(raw)
+    det_med = details["queries_sec_median"]
+    if hashlib.sha256(raw).hexdigest() == snap["source_details_sha256"]:
+        assert medians == det_med, "snapshot drifted from its source pass"
+    else:
+        # a different (e.g. driver-side) pass: catalogs must still agree
+        assert set(det_med) == set(medians), (
+            "details catalog != committed medians catalog: "
+            f"only_details={sorted(set(det_med) - set(medians))[:5]} "
+            f"only_medians={sorted(set(medians) - set(det_med))[:5]}"
+        )
     # the README's operator/oracle/suite-size claims must track the live
     # registry (round 4 shipped with stale hand-edited numbers)
     from hls_payer_mrf_sparkstreaming_spark.docs import registry_counts
