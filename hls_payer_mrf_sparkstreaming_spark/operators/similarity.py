@@ -1431,3 +1431,125 @@ def knn_label_disagreement(spark, sf_dir):
             .alias("agree"),
         )
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   CAST(floor(sqrt(CAST(list_sum(
+                       list_transform(qv, v -> v * v)) AS DOUBLE)))
+                       AS BIGINT) AS nm
+            FROM q
+        ),
+        med AS (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY nm) AS med
+            FROM n
+        ),
+        dev AS (
+            SELECT nm, med.med AS med, abs(nm - med.med) AS d
+            FROM n CROSS JOIN med
+        ),
+        mad AS (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS mad
+            FROM dev
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(dev.med) AS BIGINT) AS median_norm_milli,
+               CAST(min(mad.mad) AS BIGINT) AS mad_milli,
+               CAST(count(*) FILTER (WHERE dev.d > 5 * mad.mad)
+                    AS BIGINT) AS n_outliers,
+               CAST(max(dev.d) AS BIGINT) AS max_deviation
+        FROM dev CROSS JOIN mad
+    """,
+    description="embedding-corpus norm audit: the QA gate an ANN index "
+    "build runs first — zero vectors, truncated rows, and re-scaled "
+    "batches (a model-version mixup multiplies every norm) all surface "
+    "as norm outliers, and cosine quietly hides them until recall "
+    "craters. Per-vector norms in exact integer milli-units (elements "
+    "quantized to milli BEFORE squaring, so the integer sum is "
+    "order-free across partitions and engines; floor(sqrt) of the same "
+    "integer is bit-equal both sides), then exact median + MAD over the "
+    "HISTOGRAM of norms — the norm domain is bounded (~64k distinct "
+    "milli values for unit-scale embeddings), so the median walk runs "
+    "over a histogram whose size is independent of corpus row count, "
+    "the same compression trick as percentile_summary. One "
+    "partial-agg histogram shuffle, then bounded-size window walks; "
+    "report is a single row",
+)
+def embedding_norm_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            V.to_double_array("embedding"),
+            lambda x: F.floor(x * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    nm = F.floor(
+        F.sqrt(
+            F.aggregate(
+                F.transform("qv", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        )
+    ).cast("long")
+    hist = (
+        q.select(nm.alias("nm"))
+        .groupBy("nm")
+        .agg(F.count("*").alias("cnt"))
+    )
+    one = Window.partitionBy(F.lit(1))
+    run_n = one.orderBy("nm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(run_n))
+        .withColumn("tot", F.sum("cnt").over(one))
+        .withColumn(
+            "med",
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("nm"))
+            ).over(one),
+        )
+    )
+    dev = med.select(
+        "med",
+        F.abs(F.col("nm") - F.col("med")).alias("d"),
+        "cnt",
+    )
+    dhist = dev.groupBy("med", "d").agg(F.sum("cnt").alias("cnt"))
+    run_d = one.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    final = (
+        dhist.withColumn("cum", F.sum("cnt").over(run_d))
+        .withColumn("tot", F.sum("cnt").over(one))
+        .withColumn(
+            "mad",
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("d"))
+            ).over(one),
+        )
+    )
+    return final.agg(
+        F.sum("cnt").cast("long").alias("n_vectors"),
+        F.min("med").cast("long").alias("median_norm_milli"),
+        F.min("mad").cast("long").alias("mad_milli"),
+        F.sum(
+            F.when(F.col("d") > 5 * F.col("mad"), F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("d").cast("long").alias("max_deviation"),
+    )

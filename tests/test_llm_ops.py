@@ -2410,3 +2410,30 @@ def test_negotiation_type_mix_covers_silver_filter(spark, sf_dir):
         r["n_prices"] for r in rows if r["negotiated_type"] == "negotiated"
     )
     assert n_mix == n_silver
+
+
+def test_norm_audit_catches_planted_scale_outlier(spark, tmp_path_factory):
+    """A re-scaled batch (model-version mixup) must register as norm
+    outliers; a clean constant-norm corpus must show zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    out = str(tmp_path_factory.mktemp("normaudit"))
+    vecs = [[0.1] * 64 for _ in range(50)] + [[10.0] * 64 for _ in range(2)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(52), pa.int64()),
+                "embedding": pa.array(
+                    vecs, pa.list_(pa.float32())
+                ),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    row = all_queries()["embedding_norm_audit"].fn(spark, out).collect()[0]
+    assert row["n_vectors"] == 52
+    assert row["n_outliers"] == 2, row
+    assert row["max_deviation"] > 0
