@@ -1553,3 +1553,59 @@ def embedding_norm_audit(spark, sf_dir):
         .alias("n_outliers"),
         F.max("d").cast("long").alias("max_deviation"),
     )
+
+
+_RANGE_TAU = 0.25  # cosine radius (fixture embeddings are near-orthogonal)
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, {_EMB_D} AS ev,
+                   {V.hyperplane_bucket_sql(_EMB_D, _PLANES_8)} AS b
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, ev AS qv, b AS qb
+            FROM e WHERE vec_id < 5
+        )
+        SELECT q.query_id, e.vec_id, e.label,
+               round({V.cosine_sql('e.ev', 'q.qv')}, 6) AS cosine_sim
+        FROM e CROSS JOIN q
+        WHERE e.b = q.qb AND e.vec_id <> q.query_id
+          AND round({V.cosine_sql('e.ev', 'q.qv')}, 6) >= {_RANGE_TAU}
+    """,
+    description=f"radius (range) similarity search — the dual of top-k "
+    "ANN: return EVERY vector within a fixed cosine radius of each "
+    f"query ({_RANGE_TAU} here; fixture embeddings are near-orthogonal) "
+    "rather than the best k. Top-k hides recall cliffs when a query has "
+    "many in-radius neighbors (dedup, abuse clustering, coverage "
+    "audits all want the full in-radius set). Candidates must share the "
+    "query's 8-bit hyperplane bucket BEFORE any vector math — the same "
+    "prune-then-verify discipline as ann_lsh_bucketed, with "
+    "ann_multiprobe_lsh's neighbor-bucket expansion as the recall "
+    "upgrade path when the radius is tight relative to bucket "
+    "granularity. The 5-query dim broadcasts; the corpus is scanned "
+    "once, never self-joined",
+)
+def ann_range_search(spark, sf_dir):
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", V.to_double_array("embedding").alias("ev")
+    )
+    b = emb.withColumn("b", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("b").alias("qb"),
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("b") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "vec_id", "label", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= _RANGE_TAU)
+    )

@@ -2437,3 +2437,19 @@ def test_norm_audit_catches_planted_scale_outlier(spark, tmp_path_factory):
     assert row["n_vectors"] == 52
     assert row["n_outliers"] == 2, row
     assert row["max_deviation"] > 0
+
+
+def test_range_search_radius_and_prune_invariants(spark, sf_dir):
+    """Every returned neighbor clears the radius, no query returns
+    itself, and each (query, vec) pair appears at most once; the fixture
+    corpus yields at least one in-radius in-bucket neighbor."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    rows = all_queries()["ann_range_search"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["cosine_sim"] >= 0.25
+        assert r["vec_id"] != r["query_id"]
+        assert (r["query_id"], r["vec_id"]) not in seen
+        seen.add((r["query_id"], r["vec_id"]))
