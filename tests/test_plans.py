@@ -1735,3 +1735,25 @@ def test_sketch_only_gram_path_is_codegen(spark):
     # md5 evaluated in the post-explode projection (row-side): no
     # higher-order transform survives anywhere in the plan
     assert "transform(" not in p, p
+
+
+def test_norm_audit_windows_walk_the_histogram_not_rows(spark):
+    """embedding_norm_audit's median/MAD walks must consume the (norm,
+    count) HISTOGRAM — the corpus-sized relation is reduced by a
+    partial-aggregated groupBy BEFORE any window — and no join appears
+    anywhere."""
+    p = plan(spark, "embedding_norm_audit")
+    assert "Join" not in p, p
+    # the histogram aggregate sits below the window walk: a partial
+    # aggregate must appear, and Window nodes must exist above it
+    assert "partial_count" in p or "partial_" in p, p
+    assert "Window" in p, p
+
+
+def test_range_search_broadcasts_queries_and_scans_once(spark):
+    """ann_range_search: the 5-query dim must broadcast (never shuffle
+    the corpus for it) and the plan must contain no corpus self-join."""
+    p = plan(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
