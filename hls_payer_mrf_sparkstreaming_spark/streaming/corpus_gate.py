@@ -110,6 +110,14 @@ def _unpersist_on_termination(spark, query, df: DataFrame) -> None:
     qid = str(query.id)
 
     class _Release(StreamingQueryListener):
+        # released flag makes the release idempotent: with
+        # trigger(availableNow=True) the query can terminate in the gap
+        # between .start() and addListener — the terminated event is then
+        # never delivered to this listener — so the caller double-checks
+        # isActive below and may release directly, possibly racing a
+        # late-delivered event (advice r11)
+        released = False
+
         def onQueryStarted(self, event):
             pass
 
@@ -119,12 +127,21 @@ def _unpersist_on_termination(spark, query, df: DataFrame) -> None:
         def onQueryIdle(self, event):
             pass
 
-        def onQueryTerminated(self, event):
-            if str(event.id) != qid:
+        def release(self):
+            if self.released:
                 return
+            self.released = True
             try:
                 df.unpersist()
             finally:
                 spark.streams.removeListener(self)
 
-    spark.streams.addListener(_Release())
+        def onQueryTerminated(self, event):
+            if str(event.id) != qid:
+                return
+            self.release()
+
+    listener = _Release()
+    spark.streams.addListener(listener)
+    if not query.isActive:
+        listener.release()

@@ -923,3 +923,45 @@ def test_streamed_dsir_gate_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert 0 < len(got) < 30, len(got)
     lr.unpersist()
+
+
+def test_dsir_gate_releases_cache_on_instant_termination(
+    spark, sf_dir, tmp_path
+):
+    """advice r11: with trigger(availableNow=True) and a tiny input the
+    query can terminate BEFORE stream_dsir_gate's listener registers, so
+    onQueryTerminated is never delivered and the reference table leaked.
+    The gate now double-checks query.isActive after addListener and
+    releases directly — so however the race lands, the cache must be
+    gone shortly after awaitTermination."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hls_payer_mrf_sparkstreaming_spark.operators.sampling import (
+        dsir_log_ratio_table,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.streaming.corpus_gate import (
+        stream_dsir_gate,
+    )
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lr = dsir_log_ratio_table(
+        ref.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    )
+
+    in_dir = tmp_path / "tiny_drop"
+    spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id: long, text: string"
+    ).coalesce(1).write.parquet(str(in_dir))
+
+    q = stream_dsir_gate(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ck"), lr
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    for _ in range(100):
+        if not (lr.storageLevel.useMemory or lr.storageLevel.useDisk):
+            break
+        time.sleep(0.1)
+    assert not (lr.storageLevel.useMemory or lr.storageLevel.useDisk)
