@@ -14,6 +14,9 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
+    _repersist_if_cleared,
+)
 from hls_payer_mrf_sparkstreaming_spark.operators.suite import query
 from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
@@ -62,6 +65,14 @@ def build_silver_cached(spark, path: str, **options):
         t.in_network.persist()
         t.providers_x_payer.persist()
         _SILVER_CACHE[key] = t
+    else:
+        # a host spark.catalog.clearCache() (bench.py between samples)
+        # drops the storage but not this dict entry: without re-persist,
+        # every later consumer re-parses the full in_network branch per
+        # action WITHOUT re-caching — the same stale-CacheManager trap
+        # the edge cache hit (operators/dedup.py _repersist_if_cleared)
+        _repersist_if_cleared(t.in_network)
+        _repersist_if_cleared(t.providers_x_payer)
     return t
 
 
@@ -70,6 +81,32 @@ def clear_silver_cache() -> None:
     mirroring operators/dedup.py clear_edge_cache/clear_cc_cache)."""
     while _SILVER_CACHE:
         _unpersist_tables(_SILVER_CACHE.popitem()[1])
+
+
+# Registry queries that read through the session silver cache: bench.py
+# warms the cache untimed before each of their timed samples (mirror of
+# dedup.py EDGE_CONSUMER_QUERIES), so their medians measure the warm
+# consumer cost while the one-time parse is measured separately and fully
+# cold as silver_build_sec.
+SILVER_CONSUMER_QUERIES = frozenset(
+    {
+        "mrf_silver_prices",
+        "mrf_silver_providers",
+        "mrf_gold_shoppable",
+        "mrf_rate_percentiles",
+        "mrf_rate_spread",
+        "mrf_payer_compare",
+        "mrf_network_overlap",
+        "mrf_rate_outliers",
+        "mrf_provider_price_position",
+        "mrf_billing_class_gap",
+        "mrf_modifier_mix",
+        "mrf_negotiation_type_mix",
+        "mrf_service_code_rates",
+        "mrf_provider_network_size",
+        "mrf_tin_rate_lookup",
+    }
+)
 
 
 def fixture_path() -> str:
@@ -1364,4 +1401,182 @@ def mrf_service_code_rates(spark, sf_dir):
         F.count_distinct("billing_code").cast("long").alias("n_codes"),
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+def _provider_network_size_oracle() -> str:
+    return f"""
+        WITH src AS (SELECT * FROM read_json('{fixture_path()}')),
+        links AS (
+            SELECT unnest(r.provider_references) AS pgid,
+                   item.billing_code AS billing_code
+            FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                  FROM (SELECT unnest(in_network) AS item FROM src)) x
+        ),
+        net AS (
+            SELECT pgid,
+                   CAST(count(DISTINCT billing_code) AS BIGINT) AS n_codes,
+                   CAST(count(*) AS BIGINT) AS n_rate_links
+            FROM links GROUP BY 1
+        ),
+        prov AS (
+            SELECT pgid,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(DISTINCT g.tin.value) AS BIGINT) AS n_tins
+            FROM (
+                SELECT pr.provider_group_id AS pgid,
+                       unnest(pr.provider_groups) AS g
+                FROM (SELECT unnest(provider_references) AS pr FROM src)
+            ) GROUP BY 1
+        )
+        SELECT prov.pgid AS provider_group_id,
+               n_groups, n_tins, n_codes, n_rate_links
+        FROM prov JOIN net USING (pgid)
+    """
+
+
+@query(
+    "mrf_provider_network_size",
+    oracle=_provider_network_size_oracle(),
+    description="directory-adequacy screen: per provider group, how wide "
+    "is the negotiated network — distinct billing codes reachable "
+    "through its rate links, total rate links, practice rows, and "
+    "distinct TINs. The question a regulator (or a plan shopping for a "
+    "network) asks of an MRF: does this practice actually have "
+    "negotiated prices across the code book, or is it in-name-only? "
+    "Plan: both sides reduce BEFORE the join — the code side aggregates "
+    "the par_providers->rates->codes link chain (all derived from the "
+    "one cached in_network parse) down to one row per group id, the "
+    "provider side aggregates the exploded groups likewise, and the "
+    "final join moves one row per provider group, never per rate. At "
+    "national scale this is the partial-agg-then-join shape: the rate "
+    "fact is the only big relation and it is touched exactly once",
+)
+def mrf_provider_network_size(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    links = t.par_providers.join(
+        t.rates.select("sk_rate_id", "sk_in_network_id"), "sk_rate_id"
+    ).join(
+        t.codes.select("sk_in_network_id", "billing_code"),
+        "sk_in_network_id",
+    )
+    net = links.groupBy("provider_reference_id").agg(
+        F.count_distinct("billing_code").cast("long").alias("n_codes"),
+        F.count("*").cast("long").alias("n_rate_links"),
+    )
+    prov = t.providers_x_payer.groupBy("provider_group_id").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.count_distinct(F.col("tin.value")).cast("long").alias("n_tins"),
+    )
+    return prov.join(
+        net,
+        prov.provider_group_id == net.provider_reference_id,
+    ).select(
+        "provider_group_id", "n_groups", "n_tins", "n_codes", "n_rate_links"
+    )
+
+
+def _tin_rate_lookup_oracle() -> str:
+    # Same CTE scaffolding as the gold shoppable twin, but parameterized
+    # by TIN alone: params reuses the gold query's deterministic
+    # lexicographic-minimum (billing_code, tin_value) pick and keeps only
+    # the tin — the practice whose whole negotiated code book the widget
+    # lists.
+    return f"""
+        WITH src AS (SELECT * FROM read_json('{fixture_path()}')),
+        items AS (
+            SELECT unnest(in_network) AS item,
+                   generate_subscripts(in_network, 1) AS item_pos
+            FROM src
+        ),
+        rates AS (
+            SELECT item, item_pos,
+                   unnest(item.negotiated_rates) AS r,
+                   generate_subscripts(item.negotiated_rates, 1) AS rate_pos
+            FROM items
+        ),
+        par AS (
+            SELECT item_pos, rate_pos,
+                   unnest(r.provider_references) AS pref
+            FROM rates
+        ),
+        prices AS (
+            SELECT item, item_pos, rate_pos,
+                   unnest(r.negotiated_prices) AS p
+            FROM rates
+        ),
+        pxp AS (
+            SELECT pr.provider_group_id AS pgid,
+                   unnest(pr.provider_groups) AS g
+            FROM (SELECT unnest(provider_references) AS pr FROM src)
+        ),
+        params AS (
+            SELECT prices.item.billing_code AS bc, g.tin.value AS tv
+            FROM par
+            JOIN prices USING (item_pos, rate_pos)
+            JOIN pxp ON par.pref = pxp.pgid
+            WHERE p.negotiated_type = 'negotiated'
+            ORDER BY 1, 2 LIMIT 1
+        )
+        SELECT prices.item.billing_code AS billing_code,
+               prices.item.description AS description,
+               p.billing_class AS billing_class,
+               to_json(p.service_code) AS service_code,
+               p.negotiated_rate AS negotiated_rate,
+               to_json(g.npi) AS npi,
+               pxp.pgid AS provider_group_id
+        FROM par
+        JOIN prices USING (item_pos, rate_pos)
+        JOIN pxp ON par.pref = pxp.pgid
+        CROSS JOIN params
+        WHERE p.negotiated_type = 'negotiated'
+          AND prices.item.negotiation_arrangement = 'ffs'
+          AND g.tin.value = params.tv
+    """
+
+
+@query(
+    "mrf_tin_rate_lookup",
+    oracle=_tin_rate_lookup_oracle(),
+    description="the reference demo's second widget parameter "
+    "(01_payer_mrf_demo.py:229-238 creates BOTH billing_code and "
+    "tin_value widgets): everything one practice negotiated — all "
+    "billing codes, settings and rates for a fixed tin.value, the "
+    "provider-side dual of the code-parameterized shoppable query. "
+    "Plan: the TIN predicate reduces the provider dim to a handful of "
+    "rows, which broadcast into the par_providers->prices->codes fact "
+    "chain (one pass over the cached parse); no code predicate exists, "
+    "so the fact IS scanned once — the broadcast keeps that scan "
+    "shuffle-free, which is the shape that survives a payer file where "
+    "one TIN appears in millions of rate rows. Parameter discovery "
+    "reuses the gold query's memoized deterministic pick",
+)
+def mrf_tin_rate_lookup(spark, sf_dir):
+    p = fixture_path()
+    t = build_silver_cached(spark, p, chunktargetbytes=65536)
+    _, tin_value = _shoppable_params(t, p)
+    prov = (
+        t.providers_x_payer.filter(F.col("tin.value") == tin_value)
+        .select("provider_group_id", "npi")
+    )
+    fact = (
+        t.par_providers.join(t.prices, "sk_rate_id")
+        .join(
+            t.codes.filter(
+                F.col("negotiation_arrangement") == "ffs"
+            ).select("sk_in_network_id", "billing_code", "description"),
+            "sk_in_network_id",
+        )
+    )
+    return fact.join(
+        F.broadcast(prov),
+        F.col("provider_reference_id") == F.col("provider_group_id"),
+    ).select(
+        "billing_code",
+        "description",
+        "billing_class",
+        F.to_json("service_code").alias("service_code"),
+        "negotiated_rate",
+        F.to_json("npi").alias("npi"),
+        "provider_group_id",
     )
