@@ -288,6 +288,107 @@ def embedding_neardup_pairs(spark, sf_dir):
     return neardup_pairs(emb.unionAll(twins))
 
 
+# dedup-aggressiveness tiers swept by embedding_threshold_curve, in basis
+# points of cosine similarity (0.5 .. 0.99). The 0.99 tier is guaranteed
+# non-vacuous by the planted exact-duplicate twins (cosine exactly 1.0),
+# and every lower tier is a superset of it, so no threshold group can
+# vanish and the curve is always 6 rows.
+_ETC_THRESHOLDS_BP = (5000, 6000, 7000, 8000, 9000, 9900)
+
+
+@query(
+    "embedding_threshold_curve",
+    oracle=f"""
+        WITH allv AS (
+            SELECT vec_id, {_EMB_D} AS ev FROM embeddings
+            UNION ALL
+            SELECT -(vec_id + 1) AS vec_id, {_EMB_D} AS ev
+            FROM embeddings WHERE vec_id % {_ENP_CANARY_MOD} = 0
+        ),
+        b AS (
+            SELECT vec_id, ev,
+                   {V.hyperplane_bucket_sql('ev', _PLANES_16)} AS bucket
+            FROM allv
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({V.cosine_sql('a.ev', 'b.ev')}, 6) AS cosine_sim
+            FROM b a JOIN b b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round({V.cosine_sql('a.ev', 'b.ev')}, 6) >= 0.5
+        ),
+        th AS (
+            SELECT unnest({list(_ETC_THRESHOLDS_BP)}) AS threshold_bp
+        )
+        SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(CASE WHEN id_a < 0 OR id_b < 0 THEN 1 END)
+                    AS BIGINT) AS n_canary_pairs
+        FROM th JOIN pairs
+          ON cosine_sim >= CAST(threshold_bp AS DOUBLE) / 10000
+        GROUP BY 1
+    """,
+    description="dedup-threshold tuning curve: surviving near-dup pair "
+    f"volume at cosine tiers {_ETC_THRESHOLDS_BP} bp, within the same "
+    "16-bit hyperplane-LSH buckets as embedding_neardup_pairs — the "
+    "view that decides HOW aggressive an embedding dedup should be "
+    "before anyone commits a threshold (too low merges distinct docs, "
+    "too high keeps paraphrases). n_canary_pairs tracks the planted "
+    "exact-duplicate twins through every tier, proving each tier's "
+    "filter path end to end. Plan: pairwise work stays bucket-bounded "
+    "(never all-pairs, one scratch-persisted bucket projection feeding "
+    "the self-join); the curve is a 6-row broadcast theta-join over the "
+    "already-bounded pair set, so sweeping tiers costs one re-aggregation "
+    "of candidate pairs, not six corpus scans. Similarity compared on "
+    "the SAME round-6 value both engines emit, so tier membership is "
+    "engine-independent at the boundaries",
+)
+def embedding_threshold_curve(spark, sf_dir):
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    twins = emb.filter(
+        F.col("vec_id") % _ENP_CANARY_MOD == 0
+    ).select((-(F.col("vec_id") + 1)).alias("vec_id"), "ev")
+    b = scratch_persist(
+        emb.unionAll(twins).withColumn(
+            "bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16)
+        )
+    )
+    sim = F.round(V.cosine(F.col("a.ev"), F.col("b.ev")), 6)
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.5)
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _ETC_THRESHOLDS_BP])
+    ).alias("threshold_bp")
+    return (
+        pairs.select("*", th)
+        .filter(
+            F.col("cosine_sim")
+            >= F.col("threshold_bp").cast("double") / 10000
+        )
+        .groupBy(F.col("threshold_bp").cast("long").alias("threshold_bp"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count_if((F.col("id_a") < 0) | (F.col("id_b") < 0))
+            .cast("long")
+            .alias("n_canary_pairs"),
+        )
+    )
+
+
 @query(
     "knn_join",
     oracle=f"""

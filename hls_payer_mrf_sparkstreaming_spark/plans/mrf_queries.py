@@ -105,6 +105,7 @@ SILVER_CONSUMER_QUERIES = frozenset(
         "mrf_service_code_rates",
         "mrf_provider_network_size",
         "mrf_tin_rate_lookup",
+        "mrf_npi_coverage",
     }
 )
 
@@ -1579,4 +1580,71 @@ def mrf_tin_rate_lookup(spark, sf_dir):
         "negotiated_rate",
         F.to_json("npi").alias("npi"),
         "provider_group_id",
+    )
+
+
+def _npi_coverage_oracle() -> str:
+    return f"""
+        WITH src AS (SELECT * FROM read_json('{fixture_path()}')),
+        links AS (
+            SELECT DISTINCT billing_code, pgid FROM (
+                SELECT item.billing_code AS billing_code,
+                       unnest(r.provider_references) AS pgid
+                FROM (SELECT unnest(item.negotiated_rates) AS r, item
+                      FROM (SELECT unnest(in_network) AS item FROM src)) x
+            )
+        ),
+        npis AS (
+            SELECT pgid, unnest(g.npi) AS npi FROM (
+                SELECT pr.provider_group_id AS pgid,
+                       unnest(pr.provider_groups) AS g
+                FROM (SELECT unnest(provider_references) AS pr FROM src)
+            )
+        )
+        SELECT billing_code,
+               CAST(count(DISTINCT npi) AS BIGINT) AS n_npis,
+               CAST(count(DISTINCT l.pgid) AS BIGINT) AS n_groups
+        FROM links l JOIN npis USING (pgid)
+        GROUP BY 1
+    """
+
+
+@query(
+    "mrf_npi_coverage",
+    oracle=_npi_coverage_oracle(),
+    description="per-code provider coverage — the consumer-side dual of "
+    "mrf_provider_network_size's per-group screen: for every billing "
+    "code, how many distinct individual providers (NPIs) and provider "
+    "groups actually have a negotiated rate. The access question behind "
+    "network-adequacy review: a code priced by two NPIs in the file is "
+    "a procedure members cannot realistically shop. Plan: the "
+    "rate->group link chain is DISTINCT-reduced to (billing_code, "
+    "group) BEFORE the NPI dim joins (the audited "
+    "mrf_network_overlap shape — the join fans out per NPI, so feeding "
+    "it per-rate duplicates would multiply rows for nothing), then one "
+    "partial-agg distinct count per code",
+)
+def mrf_npi_coverage(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    links = (
+        t.par_providers.join(
+            t.rates.select("sk_rate_id", "sk_in_network_id"), "sk_rate_id"
+        )
+        .join(
+            t.codes.select("sk_in_network_id", "billing_code"),
+            "sk_in_network_id",
+        )
+        .select(
+            "billing_code",
+            F.col("provider_reference_id").alias("pgid"),
+        )
+        .dropDuplicates(["billing_code", "pgid"])
+    )
+    npis = t.providers_x_payer.select(
+        F.col("provider_group_id").alias("pgid"),
+        F.explode("npi").alias("npi"),
+    )
+    return links.join(npis, "pgid").groupBy("billing_code").agg(
+        F.count_distinct("npi").cast("long").alias("n_npis"),
+        F.count_distinct("pgid").cast("long").alias("n_groups"),
     )

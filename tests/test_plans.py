@@ -1844,25 +1844,61 @@ def test_median_snapshot_refuses_noisy_pass(tmp_path, monkeypatch):
     assert json.load(open(snap))["queries_sec_median"]["a"] == 9.0
 
 
+def _topmost_join_branches(p: str):
+    """The two child-branch start indices of a formatted plan's TOPMOST
+    join, as (start_index, lines) pairs over the tree section's
+    (indent, node) list — the scaffolding for aggregate-before-join
+    pins that must hold under EITHER join strategy (SMJ on a cold plan,
+    BHJ once cached inputs have stats)."""
+    lines = []
+    for line in p.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            break
+        m = re.search(r"(?:\+|:)- ", line)
+        if m:
+            lines.append((m.start(), line[m.end() :]))
+    join_at = next(
+        i
+        for i, (_, node) in enumerate(lines)
+        if re.match(r"\*?\s*\w*(Join|join)", node)
+    )
+    join_indent = lines[join_at][0]
+    heads = [
+        i
+        for i, (ind, _) in enumerate(lines[join_at + 1 :], join_at + 1)
+        if ind == join_indent + 3
+    ]
+    assert len(heads) == 2, lines[join_at:]
+    return [(h, lines) for h in heads]
+
+
+def _assert_branch_aggregates_first(lines, start, p):
+    """Walking down one join branch, a HashAggregate must appear before
+    any Generate/Scan/nested-Join — i.e. the branch feeds the join its
+    REDUCED relation, with only wrapper nodes (Sort/Exchange/Project/
+    BroadcastExchange) in between."""
+    for _, node in lines[start:]:
+        if re.match(r"\*?\s*HashAggregate", node):
+            return
+        assert not re.search(r"Generate|Scan|Join", node), (node, p)
+
+
 def test_provider_network_size_aggregates_before_join(spark):
     # mrf_provider_network_size: both sides must reduce to one row per
     # provider group BEFORE the final join — the partial-agg-then-join
     # shape that moves one row per group, never per rate, at national
-    # scale. The static plan's final SortMergeJoin must sit directly on
-    # Sort <- HashAggregate on BOTH branches, and nothing anywhere may
-    # go cartesian (the only cross join in lineage is the cached
-    # providers build's one-row reporting-entity broadcast).
+    # scale. The join STRATEGY is Catalyst's choice (SMJ on a cold
+    # plan, BHJ of the aggregated side once the cached parse has stats
+    # — the full suite sees the latter), so the pin is structural:
+    # walking down from the topmost join, each branch must reach a
+    # HashAggregate before any Generate/Scan/other-Join (wrapper nodes
+    # like Sort/Exchange/Project are fine). Nothing may go cartesian
+    # (the only cross join in lineage is the cached providers build's
+    # one-row reporting-entity broadcast).
     p = plan(spark, "mrf_provider_network_size")
     assert "CartesianProduct" not in p, p
-    tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
-    assert re.search(
-        r"SortMergeJoin Inner \(\d+\)\s*\n\s*:- Sort \(\d+\)\s*\n"
-        r"\s*:\s+\+- HashAggregate",
-        tree,
-    ), tree
-    assert re.search(
-        r"\n\s*\+- Sort \(\d+\)\s*\n\s*\+- HashAggregate", tree
-    ), tree
+    for start, lines in _topmost_join_branches(p):
+        _assert_branch_aggregates_first(lines, start, p)
 
 
 def test_tin_rate_lookup_broadcasts_filtered_dim(spark):
@@ -1875,3 +1911,28 @@ def test_tin_rate_lookup_broadcasts_filtered_dim(spark):
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_npi_coverage_distincts_links_before_npi_join(spark):
+    # mrf_npi_coverage: the rate->group link chain must be
+    # DISTINCT-reduced to (billing_code, group) BEFORE the NPI-explode
+    # dim joins — the join fans out per NPI, so feeding it per-rate
+    # duplicate links would multiply rows for nothing. Structural pin on
+    # the topmost join's LINK branch only (the NPI branch legitimately
+    # contains the explode Generate); join strategy stays Catalyst's.
+    p = plan(spark, "mrf_npi_coverage")
+    assert "CartesianProduct" not in p, p
+    (link_branch, lines), _ = _topmost_join_branches(p)
+    _assert_branch_aggregates_first(lines, link_branch, p)
+
+
+def test_embedding_threshold_curve_is_bucketed_and_one_generate(spark):
+    # embedding_threshold_curve: pairwise work must stay inside LSH
+    # buckets (equi-join on bucket, never a corpus cross/cartesian), and
+    # the 6-tier sweep must be ONE explode over the bounded pair set —
+    # exactly one runtime Generate (the scratch-persisted bucket
+    # relation's build lineage is excluded by the runtime walk).
+    p = plan(spark, "embedding_threshold_curve")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert runtime_generates(p) == 1, p
