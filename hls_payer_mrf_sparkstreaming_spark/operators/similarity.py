@@ -1710,3 +1710,205 @@ def ann_range_search(spark, sf_dir):
         .select("query_id", "vec_id", "label", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= _RANGE_TAU)
     )
+
+
+# nprobe tiers swept by ann_ivf_probe_curve. Monotone by construction
+# (each tier's probe set contains the previous one), so the curve shows
+# exactly how much recall each extra probed cell buys.
+_PROBE_TIERS = (1, 2, 4, 8)
+
+
+@query(
+    "ann_ivf_probe_curve",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, {_EMB_D} AS ev FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS cid, ev AS cv FROM e
+            WHERE vec_id % {_IVF_STRIDE} = 1
+            ORDER BY vec_id LIMIT {_IVF_K}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.ev, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({V.cosine_sql('e.ev', 'c.cv')}, 6)
+                                DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN c
+        ),
+        assigned AS (
+            SELECT vec_id, ev, cid FROM scored WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, ev AS qv FROM e
+            WHERE vec_id < {_RECALL_NQ}
+        ),
+        crank AS (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('q.qv', 'c.cv')}, 6)
+                                DESC, c.cid
+                   ) AS rk
+            FROM q CROSS JOIN c
+        ),
+        tiers AS (SELECT unnest({list(_PROBE_TIERS)}) AS nprobe),
+        probe AS (
+            SELECT qid, nprobe, cid FROM crank JOIN tiers ON rk <= nprobe
+        ),
+        exact AS (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({V.cosine_sql('e.ev', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ),
+        ex AS (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}),
+        cand AS (
+            SELECT p.qid, p.nprobe, a.vec_id,
+                   round({V.cosine_sql('a.ev', 'q.qv')}, 6) AS sim
+            FROM probe p
+            JOIN assigned a ON a.cid = p.cid
+            JOIN q ON q.qid = p.qid
+            WHERE a.vec_id <> p.qid
+        ),
+        ivf AS (
+            SELECT qid, nprobe, vec_id FROM (
+                SELECT qid, nprobe, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid, nprobe
+                           ORDER BY sim DESC, vec_id
+                       ) AS rn
+                FROM cand
+            ) WHERE rn <= {_RECALL_K}
+        )
+        SELECT CAST(x.nprobe AS BIGINT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(ivf.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(ivf.vec_id) * 1000000 // count(*) AS BIGINT)
+                   AS recall_ppm
+        FROM (SELECT tiers.nprobe, ex.qid, ex.vec_id
+              FROM ex CROSS JOIN tiers) x
+        LEFT JOIN ivf ON ivf.nprobe = x.nprobe AND ivf.qid = x.qid
+                     AND ivf.vec_id = x.vec_id
+        GROUP BY 1
+    """,
+    description="IVF tuning curve: recall@10 against the exact top-k as "
+    f"a function of nprobe (cells probed per query) over {_PROBE_TIERS} "
+    "— the knob every coarse-quantized ANN deployment must set (probe "
+    "too few cells and recall craters on cell-boundary neighbors, too "
+    "many and the index stops being approximate). Same fixed "
+    f"{_IVF_K}-centroid budget and broadcast argmax-fold assignment as "
+    "ann_ivf_topk (no N-by-K shuffle); the centroid RANKING per query "
+    f"is a {_RECALL_NQ}x{_IVF_K}-row window, the probe sets broadcast, "
+    "and the exact side is the verification twin's one O(N*Q) scan with "
+    "Q fixed (the pq_recall_eval precedent). Rounded-cosine plus id "
+    "tiebreaks keep every ranking engine-identical; recall is exact "
+    "integer ppm. The curve is monotone in nprobe by construction — a "
+    "non-monotone row is a bucketing bug, not noise",
+)
+def ann_ivf_probe_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = rebalance(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.to_double_array("embedding").alias("ev")
+    )
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("cv"))
+        .orderBy("cid")
+        .limit(_IVF_K)
+    )
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    init = F.struct(
+        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
+    )
+
+    def closer(acc, c):
+        sim = F.round(V.cosine(F.col("ev"), c["cv"]), 6)
+        take = (sim > acc["sim"]) | (
+            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
+        )
+        return F.when(
+            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "ev",
+            F.aggregate("cents", init, closer)["cid"].alias("cid"),
+        )
+        .transform(scratch_persist)
+    )
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    # per-query centroid ranking: NQ x K rows, window over that only
+    crank = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "qid",
+            "cid",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("csim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+    )
+    tiers = F.explode(
+        F.array(*[F.lit(t) for t in _PROBE_TIERS])
+    ).alias("nprobe")
+    probe = crank.select("qid", "cid", "rk", tiers).filter(
+        F.col("rk") <= F.col("nprobe")
+    )
+    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    cand = (
+        assigned.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "nprobe", "vec_id", sim.alias("sim"))
+    )
+    wt = Window.partitionBy("qid", "nprobe").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ivf = (
+        cand.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "nprobe", "vec_id")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ex = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    tier_dim = spark.range(1).select(tiers)
+    hit = ivf.withColumn("hit", F.lit(1))
+    return (
+        ex.crossJoin(F.broadcast(tier_dim))
+        .join(hit, ["qid", "nprobe", "vec_id"], "left")
+        .groupBy(F.col("nprobe").cast("long").alias("nprobe"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(count(hit) * 1000000 DIV count(*) AS LONG)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -2453,3 +2453,27 @@ def test_range_search_radius_and_prune_invariants(spark, sf_dir):
         assert r["vec_id"] != r["query_id"]
         assert (r["query_id"], r["vec_id"]) not in seen
         seen.add((r["query_id"], r["vec_id"]))
+
+
+def test_ivf_probe_curve_monotone_and_bounded(spark, sf_dir):
+    """Recall@k must be monotone non-decreasing in nprobe (each tier's
+    probe set contains the previous one's by construction) and every
+    tier must find at least one exact neighbor at this SF — a
+    non-monotone row is a bucketing/ranking bug, not noise."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    rows = sorted(
+        (r["nprobe"], r["n_exact"], r["n_hits"], r["recall_ppm"])
+        for r in all_queries()["ann_ivf_probe_curve"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 4, 8]
+    for (_, ne, nh, rp) in rows:
+        assert 0 < nh <= ne
+        assert rp == nh * 1_000_000 // ne
+    assert all(
+        a[3] <= b[3] for a, b in zip(rows, rows[1:])
+    ), rows

@@ -1936,3 +1936,22 @@ def test_embedding_threshold_curve_is_bucketed_and_one_generate(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert runtime_generates(p) == 1, p
+
+
+def test_ivf_probe_curve_broadcasts_probe_sets(spark):
+    # ann_ivf_probe_curve: centroid assignment is the broadcast argmax
+    # fold (never an N-by-K shuffle), the probe sets and query dim
+    # broadcast into the corpus scan, and the exact side is the one
+    # O(N*Q) verification scan — so the plan must contain no shuffle
+    # join and nothing cartesian (the broadcast nested-loop exact scan
+    # is the pq_recall_eval precedent).
+    p = plan(spark, "ann_ivf_probe_curve")
+    assert "CartesianProduct" not in p, p
+    # the ONE allowed shuffle join is the final LeftOuter hit-join of
+    # the two top-k result sets (both bounded at NQ*K*tiers rows);
+    # every corpus-side join must be broadcast
+    import re as _re
+
+    smj = _re.findall(r"SortMergeJoin (\w+)", p)
+    assert smj in ([], ["LeftOuter"]), p
+    assert "Window" in p, p
