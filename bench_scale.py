@@ -110,6 +110,13 @@ QUERIES = [
     # audit that certifies it
     "dedup_containment",
     "containment_block_skew",
+    # round-12: the new tuning-curve evals (ops that certify an index /
+    # dedup configuration must themselves be ratio-tracked — the r10
+    # rule): the embedding dedup threshold sweep over LSH-bucketed
+    # pairs, and the IVF recall-vs-nprobe curve whose exact side is the
+    # fixed-Q verification scan
+    "embedding_threshold_curve",
+    "ann_ivf_probe_curve",
 ]
 
 

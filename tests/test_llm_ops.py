@@ -2477,3 +2477,24 @@ def test_ivf_probe_curve_monotone_and_bounded(spark, sf_dir):
     assert all(
         a[3] <= b[3] for a, b in zip(rows, rows[1:])
     ), rows
+
+
+def test_dedup_threshold_curve_monotone(spark, sf_dir):
+    """Pair counts must be monotone non-increasing in the threshold
+    (each tier is a superset of the one above) and the top tier must
+    isolate exact-signature pairs only."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+        all_queries,
+    )
+
+    rows = sorted(
+        (r["threshold_ppm"], r["n_pairs"], r["n_exact_sig_pairs"])
+        for r in all_queries()["dedup_threshold_curve"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r[0] for r in rows] == [800000, 900000, 950000, 1000000]
+    assert all(a[1] >= b[1] for a, b in zip(rows, rows[1:])), rows
+    top = rows[-1]
+    assert top[1] == top[2] > 0, rows
+    assert all(0 < r[2] <= r[1] for r in rows), rows

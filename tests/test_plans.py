@@ -1955,3 +1955,15 @@ def test_ivf_probe_curve_broadcasts_probe_sets(spark):
     smj = _re.findall(r"SortMergeJoin (\w+)", p)
     assert smj in ([], ["LeftOuter"]), p
     assert "Window" in p, p
+
+
+def test_dedup_threshold_curve_checkpointed_and_bucketed(spark):
+    # dedup_threshold_curve: must read the checkpointed signature scan
+    # (no 32-perm array_min tree re-inlined into the per-action plan),
+    # sweep tiers as ONE explode over the bounded candidate set, and
+    # never go cartesian — the same discipline pinned for
+    # minhash_error_eval, which shares its candidate pipeline.
+    p = plan(spark, "dedup_threshold_curve")
+    assert "ExistingRDD" in p, p
+    assert "array_min" not in p, p
+    assert "CartesianProduct" not in p, p
