@@ -179,7 +179,9 @@ def make_scaled(out: str) -> None:
 # number that caught the r8 candidate-volume blowup.
 
 
-def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
+def time_queries(
+    spark, queries, sf_dir: str, runs: int, roster=None
+) -> dict[str, float]:
     sys.path.insert(0, REPO_ROOT)
     from bench import _unpersist_all
 
@@ -189,7 +191,7 @@ def time_queries(spark, queries, sf_dir: str, runs: int) -> dict[str, float]:
     )
 
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in roster if roster is not None else QUERIES:
         fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         _unpersist_all(spark)
@@ -211,7 +213,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/testdata_sf1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated op subset for iteration; a partial run "
+        "prints ratios but does NOT overwrite the committed "
+        "BENCH_SCALE.json (mixed-pass artifacts are the r12 doc-drift "
+        "trap)",
+    )
     a = ap.parse_args()
+    roster = QUERIES if not a.only else [
+        q for q in QUERIES if q in set(a.only.split(","))
+    ]
 
     t0 = time.time()
     if not os.path.exists(os.path.join(a.out, "lineitem.parquet")):
@@ -229,8 +242,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    small = time_queries(spark, queries, SRC, a.runs)
-    big = time_queries(spark, queries, a.out, a.runs)
+    small = time_queries(spark, queries, SRC, a.runs, roster)
+    big = time_queries(spark, queries, a.out, a.runs, roster)
     ratios = {
         k: round(big[k] / small[k], 2) if small[k] > 0 else None
         for k in small
@@ -248,12 +261,14 @@ def main() -> None:
         "cpus": CPUS,
     }
     # sidecar write so a truncated/filtered stdout capture can't lose the
-    # run (cost ~20 min to reproduce)
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
-    )
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
+    # run (cost ~20 min to reproduce); --only iteration passes never
+    # touch the committed artifact
+    if not a.only:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(result, indent=1, sort_keys=True))
 
 

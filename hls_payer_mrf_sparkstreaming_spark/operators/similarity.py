@@ -24,6 +24,7 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     load,
     query,
     rebalance,
+    repersist_if_cleared,
     scratch_persist,
 )
 
@@ -735,9 +736,6 @@ def _pq_fixed(spark, sf_dir):
     query set, exact baseline) — unpersisted, every reference rescans
     the parquet and re-runs the quantize transform (5 raw scans in
     pq_recall_eval's plan)."""
-    from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
-        _repersist_if_cleared,
-    )
 
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _PQ_CACHE if k[0] != app_id]:
@@ -760,7 +758,7 @@ def _pq_fixed(spark, sf_dir):
         )
         _PQ_CACHE[key] = df
     else:
-        _repersist_if_cleared(df)
+        repersist_if_cleared(df)
     return df
 
 

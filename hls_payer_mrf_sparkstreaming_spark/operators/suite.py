@@ -99,6 +99,20 @@ def clear_scratch() -> None:
             pass
 
 
+def repersist_if_cleared(df: DataFrame) -> None:
+    """Re-persist a session-cache entry whose storage was cleared by the
+    host application (spark.catalog.clearCache(), an explicit unpersist).
+    Without this, every consumer REFERENCE — graph_triangles holds five,
+    pagerank two per round — re-executes the whole upstream pipeline,
+    which the sf1 scale run measured as a 25-46x blowup at 10x data.
+    Shared by every keyed session cache (edge/CC/PQ/silver); lives here,
+    next to the scratch FIFO, so cache consumers in other modules depend
+    on a public utility rather than another operator module's internals
+    (advice r12)."""
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df.persist()
+
+
 def _usec_copy(path: str) -> str:
     """Spark rejects parquet TIMESTAMP(NANOS) columns ([PARQUET_TYPE_ILLEGAL]);
     DuckDB truncates them to micros. Make a one-time µs-cast copy so both

@@ -14,10 +14,13 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from hls_payer_mrf_sparkstreaming_spark.operators.dedup import (
-    _repersist_if_cleared,
+from hls_payer_mrf_sparkstreaming_spark.operators.relational import (
+    ranked_value_histogram,
 )
-from hls_payer_mrf_sparkstreaming_spark.operators.suite import query
+from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
+    query,
+    repersist_if_cleared,
+)
 from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
 from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
@@ -70,9 +73,9 @@ def build_silver_cached(spark, path: str, **options):
         # drops the storage but not this dict entry: without re-persist,
         # every later consumer re-parses the full in_network branch per
         # action WITHOUT re-caching — the same stale-CacheManager trap
-        # the edge cache hit (operators/dedup.py _repersist_if_cleared)
-        _repersist_if_cleared(t.in_network)
-        _repersist_if_cleared(t.providers_x_payer)
+        # the edge cache hit (operators/suite.py repersist_if_cleared)
+        repersist_if_cleared(t.in_network)
+        repersist_if_cleared(t.providers_x_payer)
     return t
 
 
@@ -452,13 +455,18 @@ def _rate_percentiles_oracle() -> str:
     oracle=_rate_percentiles_oracle(),
     description="negotiated-rate benchmarking — the price-transparency "
     "use case the CMS mandate exists for: per billing_class p25/median/"
-    "p75 of negotiated rates in exact integer cents (percentile_disc is "
-    "order-insensitive discrete statistics, so the parallel aggregation "
-    "is hash-exact), computed through the full chunker -> source -> "
-    "silver explode chain and oracled by an independent DuckDB "
-    "read_json of the same fixture. Plan: one partial-agg groupBy over "
-    "the exploded prices; the byte-range-pruned in_network branch means "
-    "provider_references bytes are never read",
+    "p75 of negotiated rates in exact integer cents, computed through "
+    "the full chunker -> source -> silver explode chain and oracled by "
+    "an independent DuckDB read_json of the same fixture. Plan (r13 "
+    "rework, same audit as percentile_summary): percentile_disc's "
+    "ObjectHashAggregate buffers every group value in memory — fatal "
+    "for a 2-value billing_class key over a 100 TB MRF corpus — so the "
+    "percentiles ride ranked_value_histogram's bounded-bucket exact "
+    "rank instead: one map-side-combined (class, cents) histogram is "
+    "the only pass over price rows, the cumulative walks are domain-"
+    "bounded, and all three percentiles are min(when(rank*100 >= p*n)) "
+    "over the same relation; the byte-range-pruned in_network branch "
+    "means provider_references bytes are never read",
 )
 def mrf_rate_percentiles(spark, sf_dir):
     t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
@@ -466,17 +474,15 @@ def mrf_rate_percentiles(spark, sf_dir):
         "billing_class",
         F.round(F.col("negotiated_rate") * 100).cast("long").alias("cents"),
     )
-    return c.groupBy("billing_class").agg(
-        F.count("*").cast("long").alias("n_prices"),
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
-        .cast("long")
-        .alias("p25_cents"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-        .cast("long")
-        .alias("median_cents"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
-        .cast("long")
-        .alias("p75_cents"),
+    r = ranked_value_histogram(c, ["billing_class"], "cents")
+    pick = lambda p: F.min(  # noqa: E731 — percentile_disc(p) via rank
+        F.when(F.col("_rank") * 100 >= p * F.col("_n"), F.col("cents"))
+    ).cast("long")
+    return r.groupBy("billing_class").agg(
+        F.max("_n").cast("long").alias("n_prices"),
+        pick(25).alias("p25_cents"),
+        pick(50).alias("median_cents"),
+        pick(75).alias("p75_cents"),
     )
 
 

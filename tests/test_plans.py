@@ -1058,11 +1058,12 @@ def test_normalized_dedup_shuffles_digest_not_text(spark):
 
 
 def test_mrf_rate_percentiles_single_agg(spark):
-    # exact discrete percentiles in ONE grouped aggregation over the
-    # exploded prices — no join-back, no window over the fact stream
+    # exact discrete percentiles with the fact consumed by ONE grouped
+    # histogram aggregation — no join-back of the price stream (the
+    # only join is the broadcast of the tiny bucket table; see
+    # test_mrf_rate_percentiles_never_buffers_group_values for the r13
+    # ObjectHashAggregate audit)
     p = plan(spark, "mrf_rate_percentiles")
-    assert "percentile_disc" in p, p
-    assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
 
 
@@ -1967,3 +1968,32 @@ def test_dedup_threshold_curve_checkpointed_and_bucketed(spark):
     assert "ExistingRDD" in p, p
     assert "array_min" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_percentile_summary_walks_are_bucket_bounded(spark):
+    # percentile_summary (r13 rework — the r12 10x scale max at 2.1x):
+    # the exact-rank walk must be the ranked_value_histogram shape —
+    # the within-bucket cumulative window exchanges on (group, bucket)
+    # so no single-task per-group sort over the whole distinct-cents
+    # histogram remains, and the bucket-level cumulative table comes
+    # back as a BROADCAST join, never a shuffle join.
+    p = plan(spark, "percentile_summary")
+    assert re.search(r"hashpartitioning\(l_returnflag#\d+, _b#", p), p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the raw fact is scanned once, into the persisted histogram
+    assert "InMemoryRelation" in p, p
+
+
+def test_mrf_rate_percentiles_never_buffers_group_values(spark):
+    # mrf_rate_percentiles (r13 audit rider of the percentile_summary
+    # rework): percentile_disc's ObjectHashAggregate buffers every
+    # group value in memory — fatal for a 2-value billing_class key at
+    # corpus scale — so the plan must contain neither; the percentiles
+    # ride the bounded-bucket exact rank instead (broadcast bucket
+    # table, no shuffle join).
+    p = plan(spark, "mrf_rate_percentiles")
+    assert "percentile_disc" not in p, p
+    assert "ObjectHashAggregate" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
