@@ -1867,15 +1867,25 @@ def ann_ivf_probe_curve(spark, sf_dir):
     tiers = F.explode(
         F.array(*[F.lit(t) for t in _PROBE_TIERS])
     ).alias("nprobe")
-    probe = crank.select("qid", "cid", "rk", tiers).filter(
-        F.col("rk") <= F.col("nprobe")
+    # the probe sets are NESTED (tier t's cells contain tier t-1's), so
+    # join the corpus against the MAX tier's probe set only, compute the
+    # expensive vector cosine ONCE per (qid, vec_id), and fan the tiers
+    # out afterwards over the skinny (qid, rk, vec_id, sim) rows — the
+    # old per-tier probe join recomputed the same cosine up to
+    # len(_PROBE_TIERS) times on rows still carrying both vectors
+    # (measured ~1.9x the vector work at 10x data, BENCH_IVF_STAGES.json)
+    probe = crank.select("qid", "cid", "rk").filter(
+        F.col("rk") <= max(_PROBE_TIERS)
     )
     sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
     cand = (
         assigned.join(F.broadcast(probe), "cid")
         .join(F.broadcast(q), "qid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "nprobe", "vec_id", sim.alias("sim"))
+        .select("qid", "rk", "vec_id", sim.alias("sim"))
+        .select("qid", "vec_id", "sim", "rk", tiers)
+        .filter(F.col("rk") <= F.col("nprobe"))
+        .select("qid", "nprobe", "vec_id", "sim")
     )
     wt = Window.partitionBy("qid", "nprobe").orderBy(
         F.col("sim").desc(), F.col("vec_id")
