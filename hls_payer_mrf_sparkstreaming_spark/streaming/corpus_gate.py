@@ -105,18 +105,25 @@ def _unpersist_on_termination(spark, query, df: DataFrame) -> None:
     error). Listener callbacks run on the streaming listener-bus thread,
     where unpersist is safe (it only drops storage; lineage survives, so
     a caller that still holds ``df`` just recomputes)."""
+    import threading
+
     from pyspark.sql.streaming import StreamingQueryListener
 
     qid = str(query.id)
 
     class _Release(StreamingQueryListener):
-        # released flag makes the release idempotent: with
-        # trigger(availableNow=True) the query can terminate in the gap
-        # between .start() and addListener — the terminated event is then
-        # never delivered to this listener — so the caller double-checks
-        # isActive below and may release directly, possibly racing a
-        # late-delivered event (advice r11)
-        released = False
+        # with trigger(availableNow=True) the query can terminate in the
+        # gap between .start() and addListener — the terminated event is
+        # then never delivered to this listener — so the caller
+        # double-checks isActive below and may release directly, racing
+        # a late-delivered event on the listener-bus thread. The lock
+        # makes exactly ONE path perform the unpersist/removeListener
+        # (advice r11/r12: the bare check-then-set relied on both
+        # operations being benign on double-call instead of excluding
+        # the race)
+        def __init__(self):
+            self._lock = threading.Lock()
+            self.released = False
 
         def onQueryStarted(self, event):
             pass
@@ -128,9 +135,10 @@ def _unpersist_on_termination(spark, query, df: DataFrame) -> None:
             pass
 
         def release(self):
-            if self.released:
-                return
-            self.released = True
+            with self._lock:
+                if self.released:
+                    return
+                self.released = True
             try:
                 df.unpersist()
             finally:

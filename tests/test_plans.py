@@ -1793,8 +1793,10 @@ def test_silver_consumer_queries_matches_source():
 def test_median_snapshot_refuses_noisy_pass(tmp_path, monkeypatch):
     # r11 verdict: the committed medians came from a host instability
     # episode (values up to 7x off a quiet run). The refresh must refuse
-    # a pass that self-reports noise (spread_max > 1.0) or runs >15%
-    # above the committed shared-key total, unless forced.
+    # a pass that self-reports noise (spread p95 > 1.0) or whose MEDIAN
+    # per-query ratio vs the committed snapshot exceeds 1.15 — the
+    # distribution gate (advice r12): one intentionally-reworked slower
+    # op must NOT block the refresh, the bulk running slow must.
     import json
 
     from hls_payer_mrf_sparkstreaming_spark.docs import (
@@ -1813,33 +1815,53 @@ def test_median_snapshot_refuses_noisy_pass(tmp_path, monkeypatch):
             )
 
     # first snapshot (no committed file yet): always writes
-    write(details, {"a": 1.0, "b": 2.0}, {"a": 0.1, "b": 0.2})
+    base = {"a": 1.0, "b": 2.0, "z": 1.0}
+    write(details, base, {"a": 0.1, "b": 0.2, "z": 0.1})
     refresh_median_snapshot(str(details), str(snap))
     committed = json.load(open(snap))
-    assert committed["queries_sec_median"] == {"a": 1.0, "b": 2.0}
+    assert committed["queries_sec_median"] == base
     assert committed["source_details_sha256"]
 
     # noisy spread: refused
-    write(details, {"a": 0.9, "b": 1.9}, {"a": 3.0, "b": 0.2})
+    write(
+        details,
+        {"a": 0.9, "b": 1.9, "z": 1.0},
+        {"a": 3.0, "b": 2.8, "z": 2.9},
+    )
     refresh_median_snapshot(str(details), str(snap))
     assert json.load(open(snap)) == committed
 
-    # slow total (>15% above committed on shared keys): refused
-    write(details, {"a": 2.0, "b": 3.0}, {"a": 0.1, "b": 0.1})
+    # bulk slow (median per-query ratio > 1.15): refused
+    write(
+        details,
+        {"a": 2.0, "b": 3.0, "z": 1.6},
+        {"a": 0.1, "b": 0.1, "z": 0.1},
+    )
     refresh_median_snapshot(str(details), str(snap))
     assert json.load(open(snap)) == committed
+
+    # ONE op much slower (a legitimate rework) while the bulk is in
+    # band: accepted — the old aggregate-total gate refused this
+    # forever (advice r12)
+    write(
+        details,
+        {"a": 4.0, "b": 1.9, "z": 1.0},
+        {"a": 0.1, "b": 0.1, "z": 0.1},
+    )
+    refresh_median_snapshot(str(details), str(snap))
+    assert json.load(open(snap))["queries_sec_median"]["a"] == 4.0
 
     # quiet and within band: accepted (new key doesn't count as slow)
-    write(details, {"a": 0.8, "b": 1.9, "c": 9.0}, {"a": 0.1, "b": 0.1})
+    write(
+        details,
+        {"a": 3.9, "b": 1.9, "z": 0.9, "c": 9.0},
+        {"a": 0.1, "b": 0.1, "z": 0.1},
+    )
     refresh_median_snapshot(str(details), str(snap))
-    assert json.load(open(snap))["queries_sec_median"] == {
-        "a": 0.8,
-        "b": 1.9,
-        "c": 9.0,
-    }
+    assert json.load(open(snap))["queries_sec_median"]["c"] == 9.0
 
     # forced: a slow pass still writes
-    write(details, {"a": 9.0, "b": 9.0, "c": 9.0}, {"a": 0.1})
+    write(details, {"a": 9.0, "b": 9.0, "z": 9.0}, {"a": 0.1})
     monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_FORCE", "1")
     refresh_median_snapshot(str(details), str(snap))
     assert json.load(open(snap))["queries_sec_median"]["a"] == 9.0
@@ -1997,3 +2019,38 @@ def test_mrf_rate_percentiles_never_buffers_group_values(spark):
     assert "ObjectHashAggregate" not in p, p
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_sweep_ratio_claims_cite_committed_artifact():
+    # r12 verdict task 4: SWEEP_r12.md narrated a minhash scale ratio
+    # (1.4) from an uncommitted pass while BENCH_SCALE.json said 1.93.
+    # Convention: a scale-ratio claim in the LATEST sweep doc is written
+    # as `op` ... ratio X -> Y (or `op` ... ratio Y); Y must equal the
+    # ratio in the committed BENCH_SCALE.json at HEAD. Older sweeps
+    # cite their own round's artifact and are not re-checked.
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sweeps = sorted(
+        glob.glob(os.path.join(root, "SWEEP_r*.md")),
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)", p).group(1)),
+    )
+    scale_path = os.path.join(root, "BENCH_SCALE.json")
+    if not sweeps or not os.path.exists(scale_path):
+        pytest.skip("no sweep docs / no committed scale artifact")
+    with open(scale_path) as f:
+        committed = json.load(f).get("ratio", {})
+    with open(sweeps[-1]) as f:
+        text = f.read()
+    bad = []
+    for m in re.finditer(
+        r"`([a-z_0-9]+)`[^`]*?ratio(?:\s+[\d.]+\s*->)?\s*([\d.]+)", text
+    ):
+        op, claimed = m.group(1), float(m.group(2))
+        if op in committed and abs(claimed - committed[op]) > 1e-9:
+            bad.append((op, claimed, committed[op]))
+    assert not bad, (
+        f"{os.path.basename(sweeps[-1])} cites scale ratios that "
+        f"disagree with the committed BENCH_SCALE.json: {bad}"
+    )
