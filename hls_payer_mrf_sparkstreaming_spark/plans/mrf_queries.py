@@ -109,6 +109,8 @@ SILVER_CONSUMER_QUERIES = frozenset(
         "mrf_provider_network_size",
         "mrf_tin_rate_lookup",
         "mrf_npi_coverage",
+        "mrf_capitation_profile",
+        "mrf_bundle_expansion",
     }
 )
 
@@ -1653,4 +1655,208 @@ def mrf_npi_coverage(spark, sf_dir):
     return links.join(npis, "pgid").groupBy("billing_code").agg(
         F.count_distinct("npi").cast("long").alias("n_npis"),
         F.count_distinct("pgid").cast("long").alias("n_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# capitation / bundle arrangements (r13): the two remaining CMS in-network
+# schemas the silver layer parses (plans/schemas.py covered_services /
+# bundled_codes; reference test corpus:
+# src/test/resources/in-network-rates-capitation-single-plan-sample.json and
+# in-network-rates-bundle-single-plan-sample.json) but no gold query had
+# exercised. A mixed-arrangement fixture feeds both.
+# ---------------------------------------------------------------------------
+
+_MIX_N_ITEMS = 120
+_MIX_SEED = 11
+_MIX = {"capitation": 0.3, "bundle": 0.3}
+
+
+def fixture_mixed_path() -> str:
+    """Synthetic MRF with ffs + capitation + bundle in_network items;
+    bundle/capitation component codes draw from the file's own item code
+    space so the expansion join resolves."""
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_mixed_n{_MIX_N_ITEMS}_s{_MIX_SEED}.json")
+    if not os.path.exists(p):
+        write_mrf_file(
+            p,
+            n_in_network=_MIX_N_ITEMS,
+            n_provider_refs=20,
+            seed=_MIX_SEED,
+            arrangement_mix=_MIX,
+        )
+    return p
+
+
+def _price_cents_array() -> F.Column:
+    """Per-item array of negotiated prices in exact integer cents,
+     'negotiated' type only — flatten/filter/transform higher-order
+    functions, so per-item rate statistics never need an explode."""
+    return F.transform(
+        F.filter(
+            F.flatten(F.col("negotiated_rates.negotiated_prices")),
+            lambda p: p["negotiated_type"] == F.lit("negotiated"),
+        ),
+        lambda p: F.round(p["negotiated_rate"] * 100).cast("long"),
+    )
+
+
+_DUCK_CENTS = (
+    "list_transform(list_filter("
+    "flatten(list_transform(item.negotiated_rates, "
+    "r -> r.negotiated_prices)), "
+    "p -> p.negotiated_type = 'negotiated'), "
+    "p -> CAST(round(p.negotiated_rate * 100) AS BIGINT))"
+)
+
+
+def _capitation_profile_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_mixed_path()}')
+        ),
+        cap AS (
+            SELECT item.billing_code AS billing_code,
+                   CAST(len(item.covered_services) AS BIGINT) AS ncs,
+                   {_DUCK_CENTS} AS cents
+            FROM items
+            WHERE item.negotiation_arrangement = 'capitation'
+        )
+        SELECT billing_code,
+               CAST(sum(ncs) AS BIGINT) AS n_covered_services,
+               CAST(sum(len(cents)) AS BIGINT) AS n_prices,
+               CAST(min(list_min(cents)) AS BIGINT) AS min_cents,
+               CAST(max(list_max(cents)) AS BIGINT) AS max_cents
+        FROM cap GROUP BY 1
+    """
+
+
+@query(
+    "mrf_capitation_profile",
+    oracle=_capitation_profile_oracle(),
+    description="capitation-arrangement rate profile — the CMS schema "
+    "where one negotiated rate covers a SERVICE LIST (covered_services) "
+    "rather than a single procedure: per capitation billing code, how "
+    "many services the rate covers and the negotiated per-member rate "
+    "range in exact integer cents, through the full chunker -> source "
+    "-> silver chain on a mixed-arrangement fixture, oracled by an "
+    "independent DuckDB read_json. Plan: the arrangement filter prunes "
+    "the in_network scan FIRST, and covered-service counts + rate "
+    "min/max come from size/flatten/filter/transform higher-order "
+    "functions on the nested arrays — zero explodes, zero joins, one "
+    "partial-agg groupBy over only the capitation items",
+)
+def mrf_capitation_profile(spark, sf_dir):
+    t = build_silver_cached(
+        spark, fixture_mixed_path(), chunktargetbytes=65536
+    )
+    cap = t.in_network.filter(
+        F.col("negotiation_arrangement") == "capitation"
+    ).select(
+        "billing_code",
+        F.size("covered_services").cast("long").alias("ncs"),
+        _price_cents_array().alias("cents"),
+    )
+    return cap.groupBy("billing_code").agg(
+        F.sum("ncs").cast("long").alias("n_covered_services"),
+        F.sum(F.size("cents")).cast("long").alias("n_prices"),
+        F.min(F.array_min("cents")).cast("long").alias("min_cents"),
+        F.max(F.array_max("cents")).cast("long").alias("max_cents"),
+    )
+
+
+def _bundle_expansion_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(in_network) AS item
+            FROM read_json('{fixture_mixed_path()}')
+        ),
+        mins AS (
+            SELECT billing_code, min(item_min) AS ffs_min_cents
+            FROM (
+                SELECT item.billing_code AS billing_code,
+                       list_min({_DUCK_CENTS}) AS item_min
+                FROM items
+                WHERE item.negotiation_arrangement = 'ffs'
+            ) GROUP BY 1
+        ),
+        bund AS (
+            SELECT bundle_code, bundle_item_min,
+                   comp.billing_code AS component_code
+            FROM (
+                SELECT item.billing_code AS bundle_code,
+                       list_min({_DUCK_CENTS}) AS bundle_item_min,
+                       unnest(item.bundled_codes) AS comp
+                FROM items
+                WHERE item.negotiation_arrangement = 'bundle'
+            )
+        )
+        SELECT bundle_code,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(count(m.ffs_min_cents) AS BIGINT) AS n_resolved,
+               CAST(min(bundle_item_min) AS BIGINT) AS bundle_min_cents,
+               CAST(sum(m.ffs_min_cents) AS BIGINT)
+                   AS sum_component_min_cents
+        FROM bund b LEFT JOIN mins m ON b.component_code = m.billing_code
+        GROUP BY 1
+    """
+
+
+@query(
+    "mrf_bundle_expansion",
+    oracle=_bundle_expansion_oracle(),
+    description="bundled-codes expansion join — the CMS bundle "
+    "arrangement prices a package (e.g. a total knee replacement) whose "
+    "bundled_codes list the component procedures: expand each bundle "
+    "into its components, resolve every component against the file's "
+    "own fee-for-service items, and compare the bundle's minimum "
+    "negotiated rate with the SUM of the components' minimum ffs rates "
+    "— the is-the-bundle-a-discount question bundles exist to answer. "
+    "Exact integer cents; unresolved components stay counted "
+    "(n_components vs n_resolved) instead of silently dropping. Plan: "
+    "both join inputs aggregate FIRST (per-ffs-code min via "
+    "higher-order functions + one partial-agg groupBy; bundles explode "
+    "only their bounded bundled_codes arrays), so the equi-join carries "
+    "two code-keyed aggregates, never raw price rows",
+)
+def mrf_bundle_expansion(spark, sf_dir):
+    t = build_silver_cached(
+        spark, fixture_mixed_path(), chunktargetbytes=65536
+    )
+    inn = t.in_network
+    mins = (
+        inn.filter(F.col("negotiation_arrangement") == "ffs")
+        .select(
+            "billing_code",
+            F.array_min(_price_cents_array()).alias("item_min"),
+        )
+        .groupBy("billing_code")
+        .agg(F.min("item_min").alias("ffs_min_cents"))
+    )
+    bundles = (
+        inn.filter(F.col("negotiation_arrangement") == "bundle")
+        .select(
+            F.col("billing_code").alias("bundle_code"),
+            F.array_min(_price_cents_array()).alias("bundle_item_min"),
+            F.explode("bundled_codes").alias("comp"),
+        )
+        .select(
+            "bundle_code",
+            "bundle_item_min",
+            F.col("comp.billing_code").alias("component_code"),
+        )
+    )
+    joined = bundles.join(
+        mins,
+        bundles.component_code == mins.billing_code,
+        "left",
+    )
+    return joined.groupBy("bundle_code").agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.count("ffs_min_cents").cast("long").alias("n_resolved"),
+        F.min("bundle_item_min").cast("long").alias("bundle_min_cents"),
+        F.sum("ffs_min_cents").cast("long").alias("sum_component_min_cents"),
     )

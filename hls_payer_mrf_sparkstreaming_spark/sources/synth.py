@@ -84,11 +84,37 @@ def _negotiated_rate(
     return r
 
 
-def _in_network_item(
-    rng: random.Random, i: int, n_provider_refs: int, tin_pool=None
-) -> dict:
-    code = str(10000 + (i * 7919) % 89999)
+def _item_code(i: int) -> str:
+    return str(10000 + (i * 7919) % 89999)
+
+
+def _component_code(rng: random.Random, n_in_network: int) -> dict:
+    """A covered_services / bundled_codes entry (the CMS capitation and
+    bundle samples share this field inventory; see
+    in-network-rates-capitation-single-plan-sample.json and
+    in-network-rates-bundle-single-plan-sample.json in the reference's
+    test resources). The component billing_code is drawn from the SAME
+    code space as the file's own in_network items, so bundle components
+    resolve to other items — what a bundle expansion join needs."""
+    code = _item_code(rng.randrange(n_in_network))
     return {
+        "billing_code_type": "CPT",
+        "billing_code_type_version": "2025",
+        "billing_code": code,
+        "description": f"Component service {code}",
+    }
+
+
+def _in_network_item(
+    rng: random.Random,
+    i: int,
+    n_provider_refs: int,
+    tin_pool=None,
+    arrangement_mix=None,
+    n_in_network: int = 0,
+) -> dict:
+    code = _item_code(i)
+    item = {
         "negotiation_arrangement": "ffs",
         "name": f"Procedure {code}",
         "billing_code_type": rng.choice(["CPT", "HCPCS", "MS-DRG"]),
@@ -101,6 +127,26 @@ def _in_network_item(
             for _ in range(rng.randint(1, 4))
         ],
     }
+    # arrangement_mix: {"capitation": p1, "bundle": p2} — rng draws happen
+    # ONLY when a mix is requested, so every pre-existing fixture stays
+    # byte-identical for the default all-ffs files
+    if arrangement_mix:
+        u = rng.random()
+        p_cap = arrangement_mix.get("capitation", 0.0)
+        p_bun = arrangement_mix.get("bundle", 0.0)
+        if u < p_cap:
+            item["negotiation_arrangement"] = "capitation"
+            item["covered_services"] = [
+                _component_code(rng, n_in_network)
+                for _ in range(rng.randint(2, 5))
+            ]
+        elif u < p_cap + p_bun:
+            item["negotiation_arrangement"] = "bundle"
+            item["bundled_codes"] = [
+                _component_code(rng, n_in_network)
+                for _ in range(rng.randint(2, 5))
+            ]
+    return item
 
 
 def write_mrf(
@@ -111,6 +157,7 @@ def write_mrf(
     indent: bool = True,
     min_element_bytes: int = 0,
     tin_pool=None,
+    arrangement_mix=None,
 ) -> dict:
     """Stream a synthetic MRF JSON document to ``out``; returns summary counts.
 
@@ -153,7 +200,18 @@ def write_mrf(
     for i in range(n_in_network):
         if i:
             out.write(",")
-        out.write(dump(_in_network_item(rng, i, n_provider_refs, tin_pool)))
+        out.write(
+            dump(
+                _in_network_item(
+                    rng,
+                    i,
+                    n_provider_refs,
+                    tin_pool,
+                    arrangement_mix,
+                    n_in_network,
+                )
+            )
+        )
     out.write('],\n"version": "1.0.0"\n}\n')
     return {"in_network": n_in_network, "provider_references": n_provider_refs}
 
@@ -166,6 +224,7 @@ def write_mrf_file(
     indent: bool = True,
     min_element_bytes: int = 0,
     tin_pool=None,
+    arrangement_mix=None,
 ) -> dict:
     with open(path, "w", encoding="utf-8") as f:
         return write_mrf(
@@ -176,4 +235,5 @@ def write_mrf_file(
             indent,
             min_element_bytes,
             tin_pool,
+            arrangement_mix,
         )

@@ -2054,3 +2054,37 @@ def test_sweep_ratio_claims_cite_committed_artifact():
         f"{os.path.basename(sweeps[-1])} cites scale ratios that "
         f"disagree with the committed BENCH_SCALE.json: {bad}"
     )
+
+
+def test_capitation_profile_is_explode_free_single_agg(spark):
+    # mrf_capitation_profile: covered-service counts and rate stats come
+    # from size/flatten/filter/transform higher-order functions on the
+    # nested arrays — the plan must contain NO runtime explode (the only
+    # Generate is the cache-build in_network parse), no join anywhere,
+    # and the arrangement filter must sit on the item scan.
+    p = plan(spark, "mrf_capitation_profile")
+    assert runtime_generates(p) == 0, p
+    assert "Join" not in p.split("\n(1)")[0], p
+    assert "capitation" in p, p
+
+
+def test_bundle_expansion_aggregates_ffs_side_before_join(spark):
+    # mrf_bundle_expansion: the only runtime explode is the bounded
+    # bundled_codes fan-out on the bundle side; the ffs side must reach
+    # the join as a per-code aggregate (HashAggregate below the join),
+    # never as raw price rows, and nothing is cartesian. Join strategy
+    # itself is NOT pinned (SMJ cold, BHJ once cached stats exist).
+    p = plan(spark, "mrf_bundle_expansion")
+    assert runtime_generates(p) == 1, p
+    assert "CartesianProduct" not in p, p
+    branches = _topmost_join_branches(p)
+    # one branch aggregates before anything corpus-shaped; the other is
+    # the bundle explode
+    ok = 0
+    for start, lines in branches:
+        try:
+            _assert_branch_aggregates_first(lines, start, p)
+            ok += 1
+        except AssertionError:
+            pass
+    assert ok == 1, p
