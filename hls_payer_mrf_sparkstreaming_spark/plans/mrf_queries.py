@@ -21,9 +21,15 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
     query,
     repersist_if_cleared,
 )
-from hls_payer_mrf_sparkstreaming_spark.plans.silver import build_silver
+from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+    build_oon_silver,
+    build_silver,
+)
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
-from hls_payer_mrf_sparkstreaming_spark.sources.synth import write_mrf_file
+from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+    write_allowed_amounts_file,
+    write_mrf_file,
+)
 
 _N_ITEMS = 200
 _SEED = 42
@@ -38,7 +44,12 @@ _SEED = 42
 # the persisted parse plays that role). Entries from dead sessions are
 # dropped; the FIFO bound caps memory.
 _SILVER_CACHE: dict[tuple, "object"] = {}
-_SILVER_CACHE_MAX = 4
+# capacity = the distinct fixtures registry queries parse in one session
+# (main, payer-compare A/B, mixed-arrangement, headroom) — at 4, adding
+# the r13 mixed fixture caused eviction thrash: the main fixture's parsed
+# tables lost their materialized stats mid-suite and downstream plan pins
+# saw cold SMJ plans
+_SILVER_CACHE_MAX = 6
 
 
 def _unpersist_tables(t) -> None:
@@ -111,6 +122,8 @@ SILVER_CONSUMER_QUERIES = frozenset(
         "mrf_npi_coverage",
         "mrf_capitation_profile",
         "mrf_bundle_expansion",
+        "mrf_oon_allowed_vs_billed",
+        "mrf_oon_tin_profile",
     }
 )
 
@@ -1859,4 +1872,202 @@ def mrf_bundle_expansion(spark, sf_dir):
         F.count("ffs_min_cents").cast("long").alias("n_resolved"),
         F.min("bundle_item_min").cast("long").alias("bundle_min_cents"),
         F.sum("ffs_min_cents").cast("long").alias("sum_component_min_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# allowed-amounts (out-of-network) gold (r13): the second CMS
+# Transparency-in-Coverage file type. The reference stops at
+# in-network-rates files; the chunker/source are agnostic over top-level
+# array names, so the same engine streams out_of_network chunks — only
+# the silver from_json schema differs (plans/silver.py build_oon_silver).
+# ---------------------------------------------------------------------------
+
+_OON_N_ITEMS = 80
+_OON_SEED = 7
+
+_OON_CACHE: dict[tuple, "object"] = {}
+_OON_CACHE_MAX = 2
+
+
+def fixture_oon_path() -> str:
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_oon_n{_OON_N_ITEMS}_s{_OON_SEED}.json")
+    if not os.path.exists(p):
+        write_allowed_amounts_file(
+            p, n_out_of_network=_OON_N_ITEMS, seed=_OON_SEED
+        )
+    return p
+
+
+def _unpersist_oon(t) -> None:
+    try:
+        t.out_of_network.unpersist()
+    except Exception:
+        pass
+
+
+def build_oon_silver_cached(spark, path: str, **options):
+    """Session cache of parsed allowed-amounts silver, mirroring
+    build_silver_cached (persist the parsed out_of_network branch once;
+    payments derive from it)."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _OON_CACHE if k[0] != app_id]:
+        _unpersist_oon(_OON_CACHE.pop(k))
+    key = (app_id, path, tuple(sorted(options.items())))
+    t = _OON_CACHE.get(key)
+    if t is None:
+        while len(_OON_CACHE) >= _OON_CACHE_MAX:
+            _unpersist_oon(_OON_CACHE.pop(next(iter(_OON_CACHE))))
+        t = build_oon_silver(spark, path, **options)
+        t.out_of_network.persist()
+        _OON_CACHE[key] = t
+    else:
+        repersist_if_cleared(t.out_of_network)
+    return t
+
+
+def clear_oon_silver_cache() -> None:
+    while _OON_CACHE:
+        _unpersist_oon(_OON_CACHE.popitem()[1])
+
+
+def _oon_allowed_vs_billed_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(out_of_network) AS item
+            FROM read_json('{fixture_oon_path()}')
+        ),
+        aa AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(item.allowed_amounts) AS a
+            FROM items
+        ),
+        pay AS (
+            SELECT billing_code,
+                   CAST(round(p.allowed_amount * 100) AS BIGINT)
+                       AS allowed_cents,
+                   unnest(p.providers) AS pr
+            FROM (SELECT billing_code, unnest(a.payments) AS p FROM aa)
+        ),
+        prov AS (
+            SELECT billing_code, allowed_cents,
+                   CAST(round(pr.billed_charge * 100) AS BIGINT)
+                       AS billed_cents
+            FROM pay
+        )
+        SELECT billing_code,
+               CAST(count(*) AS BIGINT) AS n_billed,
+               min(allowed_cents) AS min_allowed_cents,
+               max(allowed_cents) AS max_allowed_cents,
+               CAST(sum(billed_cents) AS BIGINT) AS sum_billed_cents,
+               CAST(sum(allowed_cents) AS BIGINT) AS sum_allowed_cents,
+               CAST(sum(billed_cents) * 10000 // sum(allowed_cents)
+                    AS BIGINT) AS markup_bps
+        FROM prov GROUP BY 1
+    """
+
+
+@query(
+    "mrf_oon_allowed_vs_billed",
+    oracle=_oon_allowed_vs_billed_oracle(),
+    description="allowed-amounts file, billed-vs-allowed gap — the "
+    "balance-billing question the CMS out-of-network file type exists "
+    "to expose: per billing code, how much providers BILLED vs what the "
+    "plan actually ALLOWED, in exact integer cents with the aggregate "
+    "markup in basis points (positive-only integer division, engine-"
+    "exact). Runs the full chunker -> source -> silver chain over an "
+    "out_of_network top-level array — proving the bronze engine is "
+    "schema-agnostic beyond the reference's in-network files — and is "
+    "oracled by an independent DuckDB read_json. Plan: one exploded "
+    "payment lineage, one partial-agg groupBy on billing_code, no joins",
+)
+def mrf_oon_allowed_vs_billed(spark, sf_dir):
+    t = build_oon_silver_cached(
+        spark, fixture_oon_path(), chunktargetbytes=65536
+    )
+    p = t.payments.select(
+        "billing_code",
+        F.round(F.col("allowed_amount") * 100).cast("long").alias("ac"),
+        F.round(F.col("billed_charge") * 100).cast("long").alias("bc"),
+    )
+    return (
+        p.groupBy("billing_code")
+        .agg(
+            F.count("*").cast("long").alias("n_billed"),
+            F.min("ac").alias("min_allowed_cents"),
+            F.max("ac").alias("max_allowed_cents"),
+            F.sum("bc").cast("long").alias("sum_billed_cents"),
+            F.sum("ac").cast("long").alias("sum_allowed_cents"),
+        )
+        .withColumn(
+            "markup_bps",
+            F.expr(
+                "CAST(sum_billed_cents * 10000 DIV sum_allowed_cents"
+                " AS LONG)"
+            ),
+        )
+    )
+
+
+def _oon_tin_profile_oracle() -> str:
+    return f"""
+        WITH items AS (
+            SELECT unnest(out_of_network) AS item
+            FROM read_json('{fixture_oon_path()}')
+        ),
+        aa AS (
+            SELECT item.billing_code AS billing_code,
+                   unnest(item.allowed_amounts) AS a
+            FROM items
+        ),
+        pay AS (
+            SELECT billing_code, a.tin.value AS tin_value,
+                   CAST(round(p.allowed_amount * 100) AS BIGINT)
+                       AS allowed_cents,
+                   unnest(p.providers) AS pr
+            FROM (SELECT billing_code, a, unnest(a.payments) AS p FROM aa)
+        ),
+        npis AS (
+            SELECT billing_code, tin_value, allowed_cents,
+                   unnest(pr.npi) AS npi
+            FROM pay
+        )
+        SELECT tin_value,
+               CAST(count(DISTINCT billing_code) AS BIGINT) AS n_codes,
+               CAST(count(DISTINCT npi) AS BIGINT) AS n_npis,
+               min(allowed_cents) AS min_allowed_cents,
+               max(allowed_cents) AS max_allowed_cents
+        FROM npis GROUP BY 1
+    """
+
+
+@query(
+    "mrf_oon_tin_profile",
+    oracle=_oon_tin_profile_oracle(),
+    description="allowed-amounts provider-directory rollup: per TIN, how "
+    "many distinct billing codes it billed out-of-network, how many "
+    "distinct rendering NPIs sit behind it, and the allowed-amount "
+    "range in exact integer cents — the payer-side view of which "
+    "out-of-network groups drive claims. Plan: one exploded lineage "
+    "(the bounded npi array fan-out), distinct counts as one "
+    "partial-agg groupBy per tin, no joins; min/max are duplication-"
+    "invariant so the npi explode cannot skew them",
+)
+def mrf_oon_tin_profile(spark, sf_dir):
+    t = build_oon_silver_cached(
+        spark, fixture_oon_path(), chunktargetbytes=65536
+    )
+    p = t.payments.select(
+        "billing_code",
+        F.col("tin.value").alias("tin_value"),
+        F.round(F.col("allowed_amount") * 100).cast("long").alias("ac"),
+        F.explode("npi").alias("npi"),
+    )
+    return p.groupBy("tin_value").agg(
+        F.count_distinct("billing_code").cast("long").alias("n_codes"),
+        F.count_distinct("npi").cast("long").alias("n_npis"),
+        F.min("ac").alias("min_allowed_cents"),
+        F.max("ac").alias("max_allowed_cents"),
     )

@@ -96,3 +96,45 @@ HEADER_SCHEMA = StructType(
         StructField("version", StringType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# allowed-amounts (out-of-network) files — the second CMS
+# Transparency-in-Coverage machine-readable file type (schema per the
+# public CMS price-transparency-guide allowed-amounts examples; the
+# reference repo ingests only in-network-rates files, but its splitter
+# design — and ours — is agnostic over top-level array names, so the same
+# bronze engine streams these)
+# ---------------------------------------------------------------------------
+
+OON_PROVIDER_SCHEMA = StructType(
+    [
+        StructField("billed_charge", DoubleType()),
+        StructField("npi", ArrayType(LongType())),
+    ]
+)
+
+OON_PAYMENT_SCHEMA = StructType(
+    [
+        StructField("allowed_amount", DoubleType()),
+        StructField("billing_code_modifier", ArrayType(StringType())),
+        StructField("providers", ArrayType(OON_PROVIDER_SCHEMA)),
+    ]
+)
+
+OON_ALLOWED_AMOUNT_SCHEMA = StructType(
+    [
+        StructField("tin", TIN_SCHEMA),
+        StructField("service_code", ArrayType(StringType())),
+        StructField("billing_class", StringType()),
+        StructField("payments", ArrayType(OON_PAYMENT_SCHEMA)),
+    ]
+)
+
+OUT_OF_NETWORK_ITEM_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        *_CODE_FIELDS,
+        StructField("allowed_amounts", ArrayType(OON_ALLOWED_AMOUNT_SCHEMA)),
+    ]
+)

@@ -373,3 +373,125 @@ def build_silver(spark: SparkSession, path: str, **options) -> MrfSilverTables:
         bronze_pr=branch(HEADER_KEY_PROVIDER_REFERENCES),
         bronze_in=branch(HEADER_KEY_IN_NETWORK),
     )
+
+
+# ---------------------------------------------------------------------------
+# allowed-amounts (out-of-network) silver — the second CMS
+# Transparency-in-Coverage file type. The reference repo stops at
+# in-network-rates files, but its splitter (and this engine's) is agnostic
+# over top-level array names, so an allowed-amounts file streams through
+# the SAME bronze source with header_key='out_of_network'; only the
+# from_json schema differs.
+# ---------------------------------------------------------------------------
+
+HEADER_KEY_OUT_OF_NETWORK = "out_of_network"
+
+
+def parse_out_of_network(bronze: DataFrame) -> DataFrame:
+    """out_of_network chunks -> one row per item, with the same
+    per-item retry-stable surrogate key recipe as parse_in_network."""
+    from pyspark.sql.types import ArrayType
+
+    chunk_id = (
+        F.col("chunk_start")
+        if "chunk_start" in bronze.columns
+        else F.xxhash64("json_payload")
+    )
+    return (
+        bronze.filter(F.col("header_key") == HEADER_KEY_OUT_OF_NETWORK)
+        .select(
+            "file_name",
+            chunk_id.alias("_chunk_id"),
+            F.posexplode(
+                F.from_json(
+                    "json_payload", ArrayType(S.OUT_OF_NETWORK_ITEM_SCHEMA)
+                )
+            ).alias("_item_pos", "n"),
+        )
+        .select(
+            _sk("file_name", "_chunk_id", "_item_pos").alias("sk_oon_id"),
+            "n.*",
+        )
+    )
+
+
+def out_of_network_payments(items: DataFrame) -> DataFrame:
+    """Fully exploded payment fact: one row per (item, allowed_amounts
+    entry, payment, provider) with the code/tin/class dims carried and
+    amounts in the raw dollars the file states."""
+    return (
+        items.select(
+            "sk_oon_id",
+            "billing_code",
+            F.posexplode("allowed_amounts").alias("aa_pos", "aa"),
+        )
+        .select(
+            "sk_oon_id",
+            "billing_code",
+            _sk("sk_oon_id", "aa_pos").alias("sk_allowed_id"),
+            F.col("aa.tin").alias("tin"),
+            F.col("aa.billing_class").alias("billing_class"),
+            F.col("aa.service_code").alias("service_code"),
+            F.explode("aa.payments").alias("pay"),
+        )
+        .select(
+            "sk_oon_id",
+            "sk_allowed_id",
+            "billing_code",
+            "tin",
+            "billing_class",
+            "service_code",
+            F.col("pay.allowed_amount").alias("allowed_amount"),
+            F.explode("pay.providers").alias("prov"),
+        )
+        .select(
+            "sk_oon_id",
+            "sk_allowed_id",
+            "billing_code",
+            "tin",
+            "billing_class",
+            "service_code",
+            "allowed_amount",
+            F.col("prov.billed_charge").alias("billed_charge"),
+            F.col("prov.npi").alias("npi"),
+        )
+    )
+
+
+class OonSilverTables:
+    """Silver tables derived from one allowed-amounts bronze."""
+
+    def __init__(self, bronze: DataFrame, bronze_header=None, bronze_oon=None):
+        self.bronze = bronze
+        self.header = parse_header(
+            bronze_header if bronze_header is not None else bronze
+        )
+        self.out_of_network = parse_out_of_network(
+            bronze_oon if bronze_oon is not None else bronze
+        )
+        self.payments = out_of_network_payments(self.out_of_network)
+
+
+def build_oon_silver(
+    spark: SparkSession, path: str, **options
+) -> OonSilverTables:
+    """Read a CMS allowed-amounts file through the payer-mrf source and
+    derive the out-of-network silver tables (byte-range-pruned branches,
+    same discipline as build_silver)."""
+    options = dict(options)
+    if "includeoffsets" not in {k.lower() for k in options}:
+        options["includeoffsets"] = "true"
+    if "headerkey" in {k.lower() for k in options}:
+        return OonSilverTables(read_payer_mrf(spark, path, **options))
+
+    def branch(hk: str | None) -> DataFrame:
+        o = dict(options)
+        if hk is not None:
+            o["headerkey"] = hk
+        return read_payer_mrf(spark, path, **o)
+
+    return OonSilverTables(
+        branch(None),
+        bronze_header=branch(""),
+        bronze_oon=branch(HEADER_KEY_OUT_OF_NETWORK),
+    )

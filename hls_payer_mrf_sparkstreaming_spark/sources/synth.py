@@ -237,3 +237,104 @@ def write_mrf_file(
             tin_pool,
             arrangement_mix,
         )
+
+
+# ---------------------------------------------------------------------------
+# allowed-amounts (out-of-network) files — the second machine-readable file
+# type of the CMS Transparency-in-Coverage mandate (the reference repo
+# ingests in-network-rates files; the chunker/source are schema-agnostic
+# over top-level arrays, so the same engine streams these too: the
+# out_of_network array chunks exactly like in_network does)
+# ---------------------------------------------------------------------------
+
+
+def _oon_payment(rng: random.Random) -> dict:
+    allowed = round(rng.uniform(5, 8000), 2)
+    return {
+        "allowed_amount": allowed,
+        "providers": [
+            {
+                # billed >= allowed (the balance-billing gap the file
+                # exists to expose)
+                "billed_charge": round(allowed * rng.uniform(1.0, 4.0), 2),
+                "npi": [
+                    rng.randrange(10**9, 10**10)
+                    for _ in range(rng.randint(1, 4))
+                ],
+            }
+            for _ in range(rng.randint(1, 3))
+        ],
+    }
+
+
+def _oon_allowed_amount(rng: random.Random) -> dict:
+    a = {
+        "tin": {
+            "type": rng.choice(["ein", "npi"]),
+            "value": f"{rng.randrange(10, 99)}-{rng.randrange(10**6, 10**7)}",
+        },
+        "billing_class": rng.choice(["professional", "institutional"]),
+        "payments": [_oon_payment(rng) for _ in range(rng.randint(1, 3))],
+    }
+    if rng.random() < 0.7:
+        a["service_code"] = rng.sample(
+            ["01", "05", "06", "11", "19", "22"], rng.randint(1, 3)
+        )
+    return a
+
+
+def _oon_item(rng: random.Random, i: int) -> dict:
+    code = _item_code(i)
+    return {
+        "name": f"Procedure {code}",
+        "billing_code_type": rng.choice(["CPT", "HCPCS"]),
+        "billing_code_type_version": "2025",
+        "billing_code": code,
+        "description": f"Out-of-network allowed amounts for {code}",
+        "allowed_amounts": [
+            _oon_allowed_amount(rng) for _ in range(rng.randint(1, 3))
+        ],
+    }
+
+
+def write_allowed_amounts(
+    out: IO[str],
+    n_out_of_network: int = 50,
+    seed: int = 7,
+    indent: bool = True,
+) -> dict:
+    """Stream a synthetic CMS allowed-amounts JSON document: same scalar
+    header inventory as the in-network files, one huge ``out_of_network``
+    top-level array (billing code -> allowed_amounts -> payments ->
+    providers with billed_charge + npi)."""
+    rng = random.Random(seed)
+    dump = (lambda o: json.dumps(o, indent=2)) if indent else json.dumps
+    out.write("{\n")
+    header = {
+        "reporting_entity_name": "synthetic payer",
+        "reporting_entity_type": "payer",
+        "plan_name": "synthetic plan",
+        "plan_id_type": "hios",
+        "plan_id": "99999999999",
+        "plan_market_type": "group",
+        "last_updated_on": "2026-08-01",
+    }
+    for k, v in header.items():
+        out.write(f"{json.dumps(k)}: {json.dumps(v)},\n")
+    out.write('"out_of_network": [')
+    for i in range(n_out_of_network):
+        if i:
+            out.write(",")
+        out.write(dump(_oon_item(rng, i)))
+    out.write('],\n"version": "1.0.0"\n}\n')
+    return {"out_of_network": n_out_of_network}
+
+
+def write_allowed_amounts_file(
+    path: str,
+    n_out_of_network: int = 50,
+    seed: int = 7,
+    indent: bool = True,
+) -> dict:
+    with open(path, "w", encoding="utf-8") as f:
+        return write_allowed_amounts(f, n_out_of_network, seed, indent)

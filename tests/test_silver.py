@@ -292,3 +292,55 @@ def test_examples_demo_runs_end_to_end(spark, mrf_file, capsys):
     assert "[bronze]" in out or "header_key" in out
     assert "in_network_prices" in out
     assert "[gold] shoppable price" in out
+
+
+def test_allowed_amounts_silver_parses_and_sums(spark, tmp_path):
+    """The allowed-amounts (out-of-network) file type streams through the
+    SAME bronze engine (top-level-array-agnostic splitter) and its silver
+    payments fact reconciles exactly with an independent json.load of the
+    generated file."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_oon_silver,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_allowed_amounts_file,
+    )
+
+    f = str(tmp_path / "oon.json")
+    write_allowed_amounts_file(f, n_out_of_network=25, seed=3)
+    t = build_oon_silver(spark, f, chunktargetbytes=2048)
+
+    raw = json.load(open(f))
+    items = raw["out_of_network"]
+    assert t.out_of_network.count() == len(items)
+    # one payments row per (item, allowed_amounts, payment, provider)
+    want_rows = sum(
+        len(p["providers"])
+        for it in items
+        for a in it["allowed_amounts"]
+        for p in a["payments"]
+    )
+    pay = t.payments
+    assert pay.count() == want_rows
+    # exact-cents reconciliation of the billed total
+    want_billed = sum(
+        round(p2["billed_charge"] * 100)
+        for it in items
+        for a in it["allowed_amounts"]
+        for p in a["payments"]
+        for p2 in p["providers"]
+    )
+    got = pay.select(
+        F.sum(F.round(F.col("billed_charge") * 100).cast("long"))
+    ).collect()[0][0]
+    assert got == want_billed
+    # header scalars survive the ride
+    hdr = {
+        r["k"]: r["v"]
+        for r in t.header.selectExpr(
+            "stack(2, 'plan_name', plan_name, 'version', version) as (k, v)"
+        ).collect()
+        if r["v"] is not None
+    }
+    assert hdr["plan_name"] == "synthetic plan"
+    assert hdr["version"] == "1.0.0"
