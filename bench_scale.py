@@ -117,6 +117,10 @@ QUERIES = [
     # fixed-Q verification scan
     "embedding_threshold_curve",
     "ann_ivf_probe_curve",
+    # round-13 (VERDICT r12 task 7): the third tuning curve joins its
+    # siblings so threshold-tuning cost tracks corpus growth for ALL
+    # three curves
+    "dedup_threshold_curve",
 ]
 
 
