@@ -495,3 +495,23 @@ def build_oon_silver(
         bronze_header=branch(""),
         bronze_oon=branch(HEADER_KEY_OUT_OF_NETWORK),
     )
+
+
+def save_oon_all(
+    tables: OonSilverTables, spark: SparkSession, database: str
+) -> None:
+    """CTAS the allowed-amounts silver tables, staged like
+    MrfSilverTables.save_all: payments derives from the just-written
+    out_of_network table, not from bronze lineage, so the JSON branch is
+    parsed exactly once per medallion build."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    tables.header.write.mode("overwrite").saveAsTable(
+        f"{database}.oon_header"
+    )
+    tables.out_of_network.write.mode("overwrite").saveAsTable(
+        f"{database}.out_of_network_items"
+    )
+    items = spark.table(f"{database}.out_of_network_items")
+    out_of_network_payments(items).write.mode("overwrite").saveAsTable(
+        f"{database}.out_of_network_payments"
+    )

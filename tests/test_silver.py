@@ -344,3 +344,45 @@ def test_allowed_amounts_silver_parses_and_sums(spark, tmp_path):
     }
     assert hdr["plan_name"] == "synthetic plan"
     assert hdr["version"] == "1.0.0"
+
+
+def test_allowed_amounts_streams_and_ctas(spark, tmp_path):
+    """The allowed-amounts file type STREAMS through the payer-mrf source
+    (availableNow -> parquet), the streamed bronze parses to the same
+    silver counts as the batch read, and save_oon_all stages the CTAS
+    medallion."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_oon_silver,
+        parse_out_of_network,
+        save_oon_all,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        stream_payer_mrf,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_allowed_amounts_file,
+    )
+
+    f = str(tmp_path / "oon.json")
+    write_allowed_amounts_file(f, n_out_of_network=15, seed=9)
+    out = str(tmp_path / "bronze")
+    ck = str(tmp_path / "ck")
+    q = (
+        stream_payer_mrf(spark, f, includeoffsets="true")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = parse_out_of_network(spark.read.parquet(out))
+    batch = build_oon_silver(spark, f)
+    assert streamed.count() == batch.out_of_network.count() == 15
+
+    save_oon_all(batch, spark, "oon_test_db")
+    try:
+        pay = spark.table("oon_test_db.out_of_network_payments")
+        assert pay.count() == batch.payments.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS oon_test_db CASCADE")
