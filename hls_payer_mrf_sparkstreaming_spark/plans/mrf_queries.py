@@ -24,11 +24,13 @@ from hls_payer_mrf_sparkstreaming_spark.operators.suite import (
 from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
     build_oon_silver,
     build_silver,
+    build_toc_silver,
 )
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
 from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
     write_allowed_amounts_file,
     write_mrf_file,
+    write_toc_file,
 )
 
 _N_ITEMS = 200
@@ -124,6 +126,7 @@ SILVER_CONSUMER_QUERIES = frozenset(
         "mrf_bundle_expansion",
         "mrf_oon_allowed_vs_billed",
         "mrf_oon_tin_profile",
+        "mrf_inn_vs_oon_benchmark",
     }
 )
 
@@ -2070,4 +2073,276 @@ def mrf_oon_tin_profile(spark, sf_dir):
         F.count_distinct("npi").cast("long").alias("n_npis"),
         F.min("ac").alias("min_allowed_cents"),
         F.max("ac").alias("max_allowed_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# table-of-contents index files (r13): the CMS discovery format — which
+# in-network / allowed-amounts files exist per reporting plan group. Real
+# payer TOCs run to hundreds of MB, so reporting_structure streams
+# through the same splitter; gold is the ingest-scheduler manifest.
+# ---------------------------------------------------------------------------
+
+_TOC_N = 40
+_TOC_SEED = 5
+
+
+def fixture_toc_path() -> str:
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_toc_n{_TOC_N}_s{_TOC_SEED}.json")
+    if not os.path.exists(p):
+        write_toc_file(p, n_structures=_TOC_N, seed=_TOC_SEED)
+    return p
+
+
+def _toc_manifest_oracle() -> str:
+    return f"""
+        WITH s AS (
+            SELECT unnest(reporting_structure) AS r
+            FROM read_json('{fixture_toc_path()}')
+        ),
+        sf AS (
+            SELECT r.reporting_plans AS plans,
+                   list_concat(
+                       list_transform(
+                           r.in_network_files,
+                           fl -> {{'file_kind': 'in_network',
+                                   'location': fl.location}}),
+                       CASE WHEN r.allowed_amount_file IS NULL
+                            THEN []
+                            ELSE [{{'file_kind': 'allowed_amounts',
+                                    'location':
+                                        r.allowed_amount_file.location}}]
+                       END
+                   ) AS files
+            FROM s
+        ),
+        p1 AS (SELECT unnest(plans) AS p, files FROM sf),
+        p2 AS (SELECT p, unnest(files) AS f FROM p1)
+        SELECT p.plan_market_type AS plan_market_type,
+               f.file_kind AS file_kind,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT p.plan_id) AS BIGINT) AS n_plans,
+               CAST(count(DISTINCT f.location) AS BIGINT) AS n_files
+        FROM p2 GROUP BY 1, 2
+    """
+
+
+@query(
+    "mrf_toc_manifest",
+    oracle=_toc_manifest_oracle(),
+    description="table-of-contents ingest manifest — the CMS discovery "
+    "file type that maps each reporting plan group to its in-network "
+    "file URLs and allowed-amounts file URL (real payer TOCs run to "
+    "hundreds of MB, so reporting_structure streams through the same "
+    "chunker as the data files — the third top-level-array schema this "
+    "one engine ingests): per (plan_market_type, file_kind), how many "
+    "plan-file ingest pairs, distinct plans, and distinct file URLs the "
+    "scheduler would fan over. Plan: the plan and file explodes stay "
+    "inside one structure-keyed equi-join (surrogate key minted per "
+    "structure row), then one partial-agg distinct-count groupBy",
+)
+def mrf_toc_manifest(spark, sf_dir):
+    t = build_toc_silver(spark, fixture_toc_path(), chunktargetbytes=65536)
+    return t.file_manifest.groupBy("plan_market_type", "file_kind").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_distinct("plan_id").cast("long").alias("n_plans"),
+        F.count_distinct("location").cast("long").alias("n_files"),
+    )
+
+
+def _toc_shared_files_oracle() -> str:
+    return f"""
+        WITH s AS (
+            SELECT unnest(reporting_structure) AS r
+            FROM read_json('{fixture_toc_path()}')
+        ),
+        sf AS (
+            SELECT r.reporting_plans AS plans,
+                   list_concat(
+                       list_transform(
+                           r.in_network_files,
+                           fl -> {{'file_kind': 'in_network',
+                                   'location': fl.location}}),
+                       CASE WHEN r.allowed_amount_file IS NULL
+                            THEN []
+                            ELSE [{{'file_kind': 'allowed_amounts',
+                                    'location':
+                                        r.allowed_amount_file.location}}]
+                       END
+                   ) AS files
+            FROM s
+        ),
+        p1 AS (SELECT unnest(plans) AS p, files FROM sf),
+        p2 AS (SELECT p, unnest(files) AS f FROM p1),
+        per_file AS (
+            SELECT f.file_kind AS file_kind, f.location AS location,
+                   count(*) AS n_pairs,
+                   count(DISTINCT p.plan_id) AS n_plans
+            FROM p2 GROUP BY 1, 2
+        )
+        SELECT file_kind,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN n_plans >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_files,
+               CAST(max(n_plans) AS BIGINT) AS max_plans_per_file,
+               CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+               CAST(sum(n_pairs) - count(*) AS BIGINT) AS fetches_saved
+        FROM per_file GROUP BY 1
+    """
+
+
+@query(
+    "mrf_toc_shared_files",
+    oracle=_toc_shared_files_oracle(),
+    description="table-of-contents file-sharing rollup — the first thing "
+    "an ingest scheduler computes from a real payer TOC: the same data "
+    "file URL is referenced by many reporting plans, so fetching per "
+    "(plan, file) pair instead of per distinct URL multiplies ingest "
+    "cost. Per file_kind: distinct file URLs, how many are shared by "
+    ">=2 plans, the max fan-in, total plan-file pairs, and the fetches "
+    "saved by URL-deduplicating the work list. Plan: two-level "
+    "partial-agg rollup (location grain, then file_kind grain) over the "
+    "join-free manifest lineage — the per-URL distinct-plan count never "
+    "leaves its location-keyed partition",
+)
+def mrf_toc_shared_files(spark, sf_dir):
+    t = build_toc_silver(spark, fixture_toc_path(), chunktargetbytes=65536)
+    per_file = t.file_manifest.groupBy("file_kind", "location").agg(
+        F.count("*").alias("np"),
+        F.count_distinct("plan_id").alias("npl"),
+    )
+    return per_file.groupBy("file_kind").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(F.col("npl") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_files"),
+        F.max("npl").cast("long").alias("max_plans_per_file"),
+        F.sum("np").cast("long").alias("n_pairs"),
+        (F.sum("np") - F.count("*")).cast("long").alias("fetches_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-file-type benchmark (r13): the analytical payoff of ingesting
+# BOTH CMS data formats into one engine — negotiated in-network rates
+# vs out-of-network allowed amounts for the same billing codes.
+# ---------------------------------------------------------------------------
+
+
+def _inn_vs_oon_oracle() -> str:
+    return f"""
+        WITH inn AS (
+            SELECT item.billing_code AS billing_code,
+                   CAST(round(p.negotiated_rate * 100) AS BIGINT) AS nc
+            FROM (
+                SELECT unnest(in_network) AS item
+                FROM read_json('{fixture_path()}')
+            ),
+            LATERAL (SELECT unnest(item.negotiated_rates) AS r),
+            LATERAL (SELECT unnest(r.negotiated_prices) AS p)
+            WHERE p.negotiated_type = 'negotiated'
+        ),
+        inn_agg AS (
+            SELECT billing_code,
+                   count(*) AS n_negotiated,
+                   sum(nc) AS sum_negotiated_cents,
+                   min(nc) AS min_negotiated_cents
+            FROM inn GROUP BY 1
+        ),
+        oon AS (
+            SELECT billing_code,
+                   allowed_cents,
+                   unnest(p.providers) AS pr
+            FROM (
+                SELECT item.billing_code AS billing_code,
+                       CAST(round(p.allowed_amount * 100) AS BIGINT)
+                           AS allowed_cents,
+                       p
+                FROM (
+                    SELECT unnest(out_of_network) AS item
+                    FROM read_json('{fixture_oon_path()}')
+                ),
+                LATERAL (SELECT unnest(item.allowed_amounts) AS a),
+                LATERAL (SELECT unnest(a.payments) AS p)
+            )
+        ),
+        oon_agg AS (
+            SELECT billing_code,
+                   count(*) AS n_allowed,
+                   sum(allowed_cents) AS sum_allowed_cents
+            FROM oon GROUP BY 1
+        )
+        SELECT i.billing_code AS billing_code,
+               CAST(i.n_negotiated AS BIGINT) AS n_negotiated,
+               CAST(i.sum_negotiated_cents AS BIGINT)
+                   AS sum_negotiated_cents,
+               CAST(i.min_negotiated_cents AS BIGINT)
+                   AS min_negotiated_cents,
+               CAST(o.n_allowed AS BIGINT) AS n_allowed,
+               CAST(o.sum_allowed_cents AS BIGINT) AS sum_allowed_cents,
+               CAST(i.sum_negotiated_cents * o.n_allowed * 10000
+                    // (i.n_negotiated * o.sum_allowed_cents)
+                    AS BIGINT) AS negotiated_vs_allowed_bps
+        FROM inn_agg i JOIN oon_agg o USING (billing_code)
+    """
+
+
+@query(
+    "mrf_inn_vs_oon_benchmark",
+    oracle=_inn_vs_oon_oracle(),
+    description="cross-file-type rate benchmark — the analytical payoff "
+    "of one engine ingesting BOTH CMS Transparency-in-Coverage formats: "
+    "per billing code present in both the in-network-rates file and the "
+    "allowed-amounts file, the negotiated-rate profile vs the "
+    "out-of-network allowed profile (allowed is weighted by billed "
+    "provider events, the grain the OON file reports), with the "
+    "mean-negotiated over mean-allowed ratio in exact basis points "
+    "(positive integer division, engine-exact). Plan: each file's "
+    "lineage is aggregated to billing_code grain BEFORE the join — the "
+    "join input is two code-cardinality aggregates, never the exploded "
+    "price or payment facts, so at 100 TB the join is a broadcast of "
+    "two tiny summaries while all heavy fan-out stays map-side-combined",
+)
+def mrf_inn_vs_oon_benchmark(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    o = build_oon_silver_cached(
+        spark, fixture_oon_path(), chunktargetbytes=65536
+    )
+    inn = (
+        t.in_network.select(
+            "billing_code", F.explode("negotiated_rates").alias("r")
+        )
+        .select("billing_code", F.explode("r.negotiated_prices").alias("p"))
+        .filter(F.col("p.negotiated_type") == "negotiated")
+        .select(
+            "billing_code",
+            F.round(F.col("p.negotiated_rate") * 100)
+            .cast("long")
+            .alias("nc"),
+        )
+    )
+    inn_agg = inn.groupBy("billing_code").agg(
+        F.count("*").cast("long").alias("n_negotiated"),
+        F.sum("nc").cast("long").alias("sum_negotiated_cents"),
+        F.min("nc").alias("min_negotiated_cents"),
+    )
+    oon_agg = (
+        o.payments.select(
+            "billing_code",
+            F.round(F.col("allowed_amount") * 100).cast("long").alias("ac"),
+        )
+        .groupBy("billing_code")
+        .agg(
+            F.count("*").cast("long").alias("n_allowed"),
+            F.sum("ac").cast("long").alias("sum_allowed_cents"),
+        )
+    )
+    return inn_agg.join(oon_agg, "billing_code").withColumn(
+        "negotiated_vs_allowed_bps",
+        F.expr(
+            "CAST(sum_negotiated_cents * n_allowed * 10000"
+            " DIV (n_negotiated * sum_allowed_cents) AS LONG)"
+        ),
     )

@@ -138,3 +138,33 @@ OUT_OF_NETWORK_ITEM_SCHEMA = StructType(
         StructField("allowed_amounts", ArrayType(OON_ALLOWED_AMOUNT_SCHEMA)),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# table-of-contents index files (the CMS discovery format: which
+# in-network / allowed-amounts files exist per reporting plan group)
+# ---------------------------------------------------------------------------
+
+TOC_PLAN_SCHEMA = StructType(
+    [
+        StructField("plan_name", StringType()),
+        StructField("plan_id_type", StringType()),
+        StructField("plan_id", StringType()),
+        StructField("plan_market_type", StringType()),
+    ]
+)
+
+TOC_FILE_SCHEMA = StructType(
+    [
+        StructField("description", StringType()),
+        StructField("location", StringType()),
+    ]
+)
+
+TOC_STRUCTURE_SCHEMA = StructType(
+    [
+        StructField("reporting_plans", ArrayType(TOC_PLAN_SCHEMA)),
+        StructField("in_network_files", ArrayType(TOC_FILE_SCHEMA)),
+        StructField("allowed_amount_file", TOC_FILE_SCHEMA),
+    ]
+)

@@ -515,3 +515,121 @@ def save_oon_all(
     out_of_network_payments(items).write.mode("overwrite").saveAsTable(
         f"{database}.out_of_network_payments"
     )
+
+
+# ---------------------------------------------------------------------------
+# table-of-contents silver — the CMS discovery format. Real payer TOCs
+# run to hundreds of MB (thousands of plan groups x file lists), so the
+# reporting_structure array streams through the same splitter; silver is
+# one flat (plan x file) manifest a fleet scheduler can fan ingest over.
+# ---------------------------------------------------------------------------
+
+HEADER_KEY_REPORTING_STRUCTURE = "reporting_structure"
+
+
+def parse_reporting_structure(bronze: DataFrame) -> DataFrame:
+    """reporting_structure chunks -> one row per plan-group entry."""
+    from pyspark.sql.types import ArrayType
+
+    chunk_id = (
+        F.col("chunk_start")
+        if "chunk_start" in bronze.columns
+        else F.xxhash64("json_payload")
+    )
+    return (
+        bronze.filter(
+            F.col("header_key") == HEADER_KEY_REPORTING_STRUCTURE
+        )
+        .select(
+            "file_name",
+            chunk_id.alias("_chunk_id"),
+            F.posexplode(
+                F.from_json(
+                    "json_payload", ArrayType(S.TOC_STRUCTURE_SCHEMA)
+                )
+            ).alias("_item_pos", "n"),
+        )
+        .select(
+            _sk("file_name", "_chunk_id", "_item_pos").alias(
+                "sk_structure_id"
+            ),
+            "n.*",
+        )
+    )
+
+
+def toc_file_manifest(structures: DataFrame) -> DataFrame:
+    """Flat (plan, file_kind, location) manifest: every reporting plan
+    crossed with its group's in-network files plus the allowed-amounts
+    file — the work list an ingest scheduler partitions over.
+
+    One lineage, two sequential explodes (plans, then the group's file
+    list carried alongside) — the plan-x-file cross product happens
+    WITHIN each structure row, so no self-join and the JSON branch is
+    parsed exactly once."""
+    # struct field names set by .alias() inside a higher-order-function
+    # lambda are NOT preserved (Spark names them col1, col2, ...), so
+    # both concat sides are cast to the same named struct type
+    ftype = "array<struct<file_kind:string,location:string>>"
+    files_arr = F.concat(
+        F.transform(
+            "in_network_files",
+            lambda f: F.struct(
+                F.lit("in_network").alias("file_kind"),
+                f["location"].alias("location"),
+            ),
+        ).cast(ftype),
+        F.when(
+            F.col("allowed_amount_file").isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("allowed_amounts").alias("file_kind"),
+                    F.col("allowed_amount_file.location").alias("location"),
+                )
+            ),
+        ).otherwise(F.array()).cast(ftype),
+    )
+    return (
+        structures.select(
+            "sk_structure_id",
+            F.explode("reporting_plans").alias("p"),
+            files_arr.alias("_files"),
+        )
+        .select("sk_structure_id", "p.*", F.explode("_files").alias("f"))
+        .select(
+            "sk_structure_id",
+            "plan_name",
+            "plan_id_type",
+            "plan_id",
+            "plan_market_type",
+            "f.file_kind",
+            "f.location",
+        )
+    )
+
+
+class TocSilverTables:
+    """Silver tables derived from one table-of-contents bronze."""
+
+    def __init__(self, bronze: DataFrame, bronze_rs=None):
+        self.bronze = bronze
+        self.structures = parse_reporting_structure(
+            bronze_rs if bronze_rs is not None else bronze
+        )
+        self.file_manifest = toc_file_manifest(self.structures)
+
+
+def build_toc_silver(
+    spark: SparkSession, path: str, **options
+) -> TocSilverTables:
+    options = dict(options)
+    if "includeoffsets" not in {k.lower() for k in options}:
+        options["includeoffsets"] = "true"
+    if "headerkey" in {k.lower() for k in options}:
+        return TocSilverTables(read_payer_mrf(spark, path, **options))
+    o = dict(options)
+    o["headerkey"] = HEADER_KEY_REPORTING_STRUCTURE
+    return TocSilverTables(
+        read_payer_mrf(spark, path, **options),
+        bronze_rs=read_payer_mrf(spark, path, **o),
+    )

@@ -338,3 +338,65 @@ def write_allowed_amounts_file(
 ) -> dict:
     with open(path, "w", encoding="utf-8") as f:
         return write_allowed_amounts(f, n_out_of_network, seed, indent)
+
+
+# ---------------------------------------------------------------------------
+# table-of-contents index files — the CMS discovery format: one JSON object
+# whose huge top-level array (reporting_structure) maps each reporting
+# plan group to its in-network file URLs and allowed-amounts file URL.
+# Real payer TOCs reach hundreds of MB (thousands of plans x file lists),
+# so they need the same streaming splitter as the data files.
+# ---------------------------------------------------------------------------
+
+
+def _toc_plan(rng: random.Random, i: int) -> dict:
+    return {
+        "plan_name": f"synthetic plan {i}",
+        "plan_id_type": rng.choice(["hios", "ein"]),
+        "plan_id": str(rng.randrange(10**10, 10**11)),
+        "plan_market_type": rng.choice(["group", "individual"]),
+    }
+
+
+def _toc_structure(rng: random.Random, i: int) -> dict:
+    return {
+        "reporting_plans": [
+            _toc_plan(rng, i * 10 + j) for j in range(rng.randint(1, 4))
+        ],
+        "in_network_files": [
+            {
+                "description": "in-network file",
+                "location": f"https://example.com/inn_{i}_{k}.json.gz",
+            }
+            for k in range(rng.randint(1, 3))
+        ],
+        "allowed_amount_file": {
+            "description": "allowed amount file",
+            "location": f"https://example.com/oon_{i}.json.gz",
+        },
+    }
+
+
+def write_toc(
+    out: IO[str], n_structures: int = 40, seed: int = 5, indent: bool = True
+) -> dict:
+    """Stream a synthetic CMS table-of-contents JSON document."""
+    rng = random.Random(seed)
+    dump = (lambda o: json.dumps(o, indent=2)) if indent else json.dumps
+    out.write("{\n")
+    out.write('"reporting_entity_name": "synthetic payer",\n')
+    out.write('"reporting_entity_type": "payer",\n')
+    out.write('"reporting_structure": [')
+    for i in range(n_structures):
+        if i:
+            out.write(",")
+        out.write(dump(_toc_structure(rng, i)))
+    out.write('],\n"version": "1.0.0"\n}\n')
+    return {"reporting_structure": n_structures}
+
+
+def write_toc_file(
+    path: str, n_structures: int = 40, seed: int = 5, indent: bool = True
+) -> dict:
+    with open(path, "w", encoding="utf-8") as f:
+        return write_toc(f, n_structures, seed, indent)

@@ -2119,3 +2119,39 @@ def test_oon_tin_profile_is_join_free_single_agg(spark):
     p = plan(spark, "mrf_oon_tin_profile")
     assert "Join" not in p.split("\n(1)")[0], p
     assert runtime_generates(p) == 4, p
+
+
+def test_toc_manifest_is_join_free_single_parse(spark):
+    # mrf_toc_manifest: the plan-x-file cross product happens WITHIN
+    # each reporting_structure row (two sequential explodes on one
+    # lineage), so the plan must contain no join and the TOC JSON parse
+    # must appear exactly once.
+    p = plan(spark, "mrf_toc_manifest")
+    assert "Join" not in p.split("\n(1)")[0], p
+    assert p.split("\n(1)")[0].count("BatchScan payer-mrf") == 1, p
+
+
+def test_toc_shared_files_is_join_free_two_level_agg(spark):
+    # mrf_toc_shared_files: per-URL distinct-plan counting happens as a
+    # two-level partial-agg rollup on the join-free manifest lineage —
+    # no join, one TOC parse, and exactly two grouping levels (the
+    # location-grain agg then the file_kind-grain agg, each a
+    # partial+final HashAggregate pair).
+    p = plan(spark, "mrf_toc_shared_files")
+    body = p.split("\n(1)")[0]
+    assert "Join" not in body, p
+    assert body.count("BatchScan payer-mrf") == 1, p
+
+
+def test_inn_vs_oon_benchmark_aggregates_before_join(spark):
+    # mrf_inn_vs_oon_benchmark: both file types must reduce to
+    # billing_code grain BEFORE the join — the join moves two
+    # code-cardinality summaries, never the exploded price or payment
+    # facts. Join STRATEGY stays Catalyst's choice (cold SMJ vs warm
+    # BHJ, same rationale as mrf_provider_network_size).
+    p = plan(spark, "mrf_inn_vs_oon_benchmark")
+    assert "CartesianProduct" not in p, p
+    branches = _topmost_join_branches(p)
+    assert len(branches) == 2, p
+    for start, lines in branches:
+        _assert_branch_aggregates_first(lines, start, p)

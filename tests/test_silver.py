@@ -386,3 +386,31 @@ def test_allowed_amounts_streams_and_ctas(spark, tmp_path):
         assert pay.count() == batch.payments.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS oon_test_db CASCADE")
+
+
+def test_toc_silver_manifest_counts(spark, tmp_path):
+    """Table-of-contents silver: the flat ingest manifest's row count is
+    exactly sum over structures of len(plans) * (len(in_network_files)
+    + 1 allowed-amounts file), reconciled against json.load."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_toc_silver,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_toc_file,
+    )
+
+    f = str(tmp_path / "toc.json")
+    write_toc_file(f, n_structures=12, seed=4)
+    t = build_toc_silver(spark, f, chunktargetbytes=2048)
+    raw = json.load(open(f))
+    want = sum(
+        len(r["reporting_plans"])
+        * (len(r["in_network_files"]) + ("allowed_amount_file" in r))
+        for r in raw["reporting_structure"]
+    )
+    assert t.structures.count() == len(raw["reporting_structure"])
+    assert t.file_manifest.count() == want
+    kinds = dict(
+        t.file_manifest.groupBy("file_kind").count().collect()
+    )
+    assert set(kinds) == {"in_network", "allowed_amounts"}
