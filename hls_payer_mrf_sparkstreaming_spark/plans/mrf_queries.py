@@ -2346,3 +2346,87 @@ def mrf_inn_vs_oon_benchmark(spark, sf_dir):
             " DIV (n_negotiated * sum_allowed_cents) AS LONG)"
         ),
     )
+
+
+_TOC_B_N = 45
+_TOC_B_SEED = 6
+
+
+def fixture_toc_b_path() -> str:
+    """Second TOC snapshot (\"next month's republish\"): the index-keyed
+    URL scheme in the synth means the two snapshots share a
+    deterministic subset of file URLs (every structure's first
+    in-network file and its allowed-amounts file for the overlapping
+    index range) while the rng-dependent extra files churn — additions
+    AND removals, like a real monthly republish."""
+    d = os.path.join(tempfile.gettempdir(), "payer_mrf_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"mrf_toc_n{_TOC_B_N}_s{_TOC_B_SEED}.json")
+    if not os.path.exists(p):
+        write_toc_file(p, n_structures=_TOC_B_N, seed=_TOC_B_SEED)
+    return p
+
+
+def _toc_delta_oracle() -> str:
+    def manifest(path: str, alias: str) -> str:
+        return f"""
+        {alias}_s AS (
+            SELECT unnest(reporting_structure) AS r
+            FROM read_json('{path}')
+        ),
+        {alias} AS (
+            SELECT DISTINCT file_kind, location FROM (
+                SELECT 'in_network' AS file_kind, fl.location AS location
+                FROM (SELECT unnest(r.in_network_files) AS fl FROM {alias}_s)
+                UNION ALL
+                SELECT 'allowed_amounts' AS file_kind,
+                       r.allowed_amount_file.location AS location
+                FROM {alias}_s
+                WHERE r.allowed_amount_file IS NOT NULL
+            )
+        )"""
+
+    return f"""
+        WITH {manifest(fixture_toc_path(), "a")},
+        {manifest(fixture_toc_b_path(), "b")}
+        SELECT file_kind,
+               CASE WHEN b.location IS NULL THEN 'removed'
+                    WHEN a.location IS NULL THEN 'added'
+                    ELSE 'common' END AS status,
+               CAST(count(*) AS BIGINT) AS n_files
+        FROM a FULL OUTER JOIN b USING (file_kind, location)
+        GROUP BY 1, 2
+    """
+
+
+@query(
+    "mrf_toc_delta",
+    oracle=_toc_delta_oracle(),
+    description="table-of-contents republish delta — payers reissue the "
+    "discovery index monthly, and the ingest scheduler's first question "
+    "is which file URLs are new (fetch), gone (retire), or unchanged "
+    "(skip if already ingested): per file_kind, the added / removed / "
+    "common URL counts between two TOC snapshots. Plan: each snapshot "
+    "reduces to its DISTINCT (file_kind, location) set BEFORE the "
+    "full-outer join — the join moves two URL-cardinality sets, never "
+    "the plan-x-file manifest fan-out",
+)
+def mrf_toc_delta(spark, sf_dir):
+    def urls(path: str):
+        t = build_toc_silver(spark, path, chunktargetbytes=65536)
+        return t.file_manifest.select("file_kind", "location").distinct()
+
+    a = urls(fixture_toc_path()).withColumn("in_a", F.lit(1))
+    b = urls(fixture_toc_b_path()).withColumn("in_b", F.lit(1))
+    return (
+        a.join(b, ["file_kind", "location"], "full_outer")
+        .select(
+            "file_kind",
+            F.when(F.col("in_b").isNull(), F.lit("removed"))
+            .when(F.col("in_a").isNull(), F.lit("added"))
+            .otherwise(F.lit("common"))
+            .alias("status"),
+        )
+        .groupBy("file_kind", "status")
+        .agg(F.count("*").cast("long").alias("n_files"))
+    )

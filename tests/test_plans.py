@@ -2155,3 +2155,17 @@ def test_inn_vs_oon_benchmark_aggregates_before_join(spark):
     assert len(branches) == 2, p
     for start, lines in branches:
         _assert_branch_aggregates_first(lines, start, p)
+
+
+def test_toc_delta_distincts_before_outer_join(spark):
+    # mrf_toc_delta: each TOC snapshot must reduce to its DISTINCT
+    # (file_kind, location) set BEFORE the full-outer join — the join
+    # moves URL-cardinality sets, never the plan-x-file manifest
+    # fan-out. Distinct plans as a HashAggregate, so the existing
+    # aggregate-before-join walker applies to both branches.
+    p = plan(spark, "mrf_toc_delta")
+    assert "CartesianProduct" not in p, p
+    branches = _topmost_join_branches(p)
+    assert len(branches) == 2, p
+    for start, lines in branches:
+        _assert_branch_aggregates_first(lines, start, p)
