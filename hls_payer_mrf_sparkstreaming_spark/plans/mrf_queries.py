@@ -25,9 +25,11 @@ from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
     build_oon_silver,
     build_silver,
     build_toc_silver,
+    resolve_remote_provider_groups,
 )
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
 from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+    materialize_remote_provider_files,
     write_allowed_amounts_file,
     write_mrf_file,
     write_toc_file,
@@ -127,6 +129,7 @@ SILVER_CONSUMER_QUERIES = frozenset(
         "mrf_oon_allowed_vs_billed",
         "mrf_oon_tin_profile",
         "mrf_inn_vs_oon_benchmark",
+        "mrf_remote_provider_resolve",
     }
 )
 
@@ -2429,4 +2432,105 @@ def mrf_toc_delta(spark, sf_dir):
         )
         .groupBy("file_kind", "status")
         .agg(F.count("*").cast("long").alias("n_files"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# remote provider-reference resolution (r13): the CMS schema's fourth
+# file shape — standalone provider files pointed at by
+# provider_references[].location, which the reference engine drops.
+# ---------------------------------------------------------------------------
+
+
+def fixture_remote_provider_dir() -> str:
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "payer_mrf_fixture",
+        f"remote_n{_N_ITEMS}_s{_SEED}",
+    )
+    if not os.path.isdir(d) or not os.listdir(d):
+        materialize_remote_provider_files(fixture_path(), d, seed=_SEED)
+    return d
+
+
+def _remote_provider_resolve_oracle() -> str:
+    return f"""
+        WITH refs AS (
+            SELECT unnest(provider_references) AS pr
+            FROM read_json('{fixture_path()}')
+        ),
+        inline_g AS (
+            SELECT 'inline' AS source, pr.provider_group_id AS gid,
+                   unnest(pr.provider_groups) AS g
+            FROM refs WHERE pr.provider_groups IS NOT NULL
+        ),
+        remote_refs AS (
+            SELECT pr.provider_group_id AS gid,
+                   regexp_extract(pr.location, '[^/]+$') AS bn
+            FROM refs
+            WHERE pr.location IS NOT NULL AND pr.provider_groups IS NULL
+        ),
+        remote_g AS (
+            SELECT 'remote' AS source, rr.gid AS gid,
+                   unnest(rf.provider_groups) AS g
+            FROM remote_refs rr JOIN (
+                SELECT regexp_extract(filename, '[^/]+$') AS bn,
+                       provider_groups
+                FROM read_json('{fixture_remote_provider_dir()}/*.json',
+                               filename=true)
+            ) rf USING (bn)
+        ),
+        all_g AS (
+            SELECT * FROM inline_g UNION ALL SELECT * FROM remote_g
+        ),
+        npis AS (
+            SELECT source, gid, g.tin.value AS tin_value,
+                   unnest(g.npi) AS npi
+            FROM all_g
+        )
+        SELECT source,
+               CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+               CAST(count(*) AS BIGINT) AS n_npi_rows,
+               CAST(count(DISTINCT npi) AS BIGINT) AS n_npis,
+               CAST(count(DISTINCT tin_value) AS BIGINT) AS n_tins
+        FROM npis GROUP BY 1
+    """
+
+
+@query(
+    "mrf_remote_provider_resolve",
+    oracle=_remote_provider_resolve_oracle(),
+    description="remote provider-reference resolution — the CMS schema's "
+    "fourth file shape: a provider_references entry may carry a "
+    "`location` URL pointing at a standalone provider file instead of "
+    "inline provider_groups (the reference engine drops these rows; "
+    "this engine materializes and resolves them). Per provider source "
+    "(inline vs remote): groups, NPI rows, distinct NPIs, distinct "
+    "TINs — the directory-completeness audit a payer runs before "
+    "trusting network-adequacy numbers. Plan: the remote side is ONE "
+    "pinned-schema distributed spark.read.json scan over the small "
+    "standalone files (the right tool — they are not chunker work), "
+    "joined by URL basename to an explicitly broadcast (gid, basename) "
+    "dim bounded by the reference count; inline and resolved rows "
+    "union into a single partial-agg rollup",
+)
+def mrf_remote_provider_resolve(spark, sf_dir):
+    t = build_silver_cached(spark, fixture_path(), chunktargetbytes=65536)
+    inline = t.providers_x_payer.select(
+        F.lit("inline").alias("source"), "provider_group_id", "npi", "tin"
+    )
+    remote = resolve_remote_provider_groups(
+        spark, t.provider_references, fixture_remote_provider_dir()
+    ).select(F.lit("remote").alias("source"), "provider_group_id", "npi", "tin")
+    u = inline.unionByName(remote).select(
+        "source",
+        "provider_group_id",
+        F.col("tin.value").alias("tin_value"),
+        F.explode("npi").alias("npi"),
+    )
+    return u.groupBy("source").agg(
+        F.count_distinct("provider_group_id").cast("long").alias("n_groups"),
+        F.count("*").cast("long").alias("n_npi_rows"),
+        F.count_distinct("npi").cast("long").alias("n_npis"),
+        F.count_distinct("tin_value").cast("long").alias("n_tins"),
     )

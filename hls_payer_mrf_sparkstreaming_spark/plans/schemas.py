@@ -168,3 +168,10 @@ TOC_STRUCTURE_SCHEMA = StructType(
         StructField("allowed_amount_file", TOC_FILE_SCHEMA),
     ]
 )
+
+
+# standalone provider-reference file (`location`-variant resolution
+# target): the whole file is one object {"provider_groups": [...]}
+REMOTE_PROVIDER_FILE_SCHEMA = StructType(
+    [StructField("provider_groups", ArrayType(PROVIDER_GROUP_SCHEMA))]
+)

@@ -633,3 +633,53 @@ def build_toc_silver(
         read_payer_mrf(spark, path, **options),
         bronze_rs=read_payer_mrf(spark, path, **o),
     )
+
+
+# ---------------------------------------------------------------------------
+# remote provider-reference resolution — the CMS in-network schema lets
+# a provider_references entry point at a standalone file via `location`
+# instead of inlining provider_groups (the reference engine drops these
+# on the floor; see JsonMRFSource.scala's fixed 3-column contract). The
+# remote files are thousands of SMALL JSON objects, so the right tool is
+# a stock distributed spark.read.json scan, not the chunker — and the
+# ref->file linkage is a tiny dim joined by URL basename.
+# ---------------------------------------------------------------------------
+
+
+def resolve_remote_provider_groups(
+    spark: SparkSession, provider_refs: DataFrame, remote_dir: str
+) -> DataFrame:
+    """location-only provider_references -> (provider_group_id, npi, tin)
+    rows, shaped exactly like the inline-group explode in
+    provider_references_x_payer so the two sources union cleanly.
+
+    Plan: ONE distributed JSON scan over the remote directory (pinned
+    schema — no inference pass), exploded to group rows; the refs side
+    reduces to a (gid, basename) dim bounded by the reference count, so
+    it is explicitly broadcast — at national scale the scan side
+    (thousands of small files across executors) never shuffles."""
+    remote = (
+        spark.read.schema(S.REMOTE_PROVIDER_FILE_SCHEMA)
+        # each standalone file is ONE pretty-printed JSON object, not
+        # JSON-Lines — without multiLine the line-oriented reader yields
+        # a null row per line and the explode silently drops everything
+        .option("multiLine", "true")
+        .json(remote_dir.rstrip("/") + "/*.json")
+        .select(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("_basename"),
+            F.explode("provider_groups").alias("g"),
+        )
+    )
+    refs = provider_refs.filter(
+        F.col("location").isNotNull() & F.col("provider_groups").isNull()
+    ).select(
+        "provider_group_id",
+        F.element_at(F.split("location", "/"), -1).alias("_basename"),
+    )
+    return remote.join(F.broadcast(refs), "_basename").select(
+        "provider_group_id",
+        F.col("g.npi").alias("npi"),
+        F.col("g.tin").alias("tin"),
+    )

@@ -400,3 +400,45 @@ def write_toc_file(
 ) -> dict:
     with open(path, "w", encoding="utf-8") as f:
         return write_toc(f, n_structures, seed, indent)
+
+
+# ---------------------------------------------------------------------------
+# standalone provider-reference files — the CMS in-network schema lets a
+# provider_references entry carry a `location` URL instead of inline
+# provider_groups (the synthesizer already emits that variant ~10% of
+# the time); the real payload then lives in a separate small JSON file
+# `{"provider_groups": [...]}` the consumer must fetch and join back.
+# The reference engine ignores these entirely; resolving them is a
+# fourth file shape this engine ingests (plans/silver.py
+# resolve_remote_provider_groups).
+# ---------------------------------------------------------------------------
+
+
+def materialize_remote_provider_files(
+    mrf_path: str, out_dir: str, seed: int = 0
+) -> dict:
+    """Write the standalone provider-reference files an in-network MRF
+    points at via ``location``: one ``provider_group_{gid}.json`` per
+    location-only reference, content ``{"provider_groups": [...]}``
+    seeded by ``(seed, gid)`` so each file is deterministic regardless
+    of scan order. Returns ``{gid: path}``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(mrf_path, encoding="utf-8") as f:
+        raw = json.load(f)
+    written = {}
+    for ref in raw.get("provider_references", []):
+        if "location" in ref and "provider_groups" not in ref:
+            gid = ref["provider_group_id"]
+            rng = random.Random(f"{seed}:{gid}")
+            p = os.path.join(out_dir, f"provider_group_{gid}.json")
+            content = {
+                "provider_groups": [
+                    _provider_group(rng) for _ in range(rng.randint(1, 3))
+                ]
+            }
+            with open(p, "w", encoding="utf-8") as out:
+                json.dump(content, out, indent=2)
+            written[gid] = p
+    return written

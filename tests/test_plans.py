@@ -2169,3 +2169,18 @@ def test_toc_delta_distincts_before_outer_join(spark):
     assert len(branches) == 2, p
     for start, lines in branches:
         _assert_branch_aggregates_first(lines, start, p)
+
+
+def test_remote_provider_resolve_broadcasts_ref_dim(spark):
+    # mrf_remote_provider_resolve: the remote side is one pinned-schema
+    # distributed JSON scan (stock FileScan — small standalone files
+    # are not chunker work), and the ref->file linkage joins against an
+    # EXPLICITLY broadcast (gid, basename) dim — the hint makes BHJ
+    # strategy-stable regardless of stats, so pinning it is safe here.
+    # No cartesian anywhere (the providers-build one-row entity
+    # broadcast is a BroadcastNestedLoopJoin, not CartesianProduct).
+    p = plan(spark, "mrf_remote_provider_resolve")
+    body = p.split("\n(1)")[0]
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in body, p
+    assert body.count("Scan json") == 1, p

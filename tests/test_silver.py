@@ -414,3 +414,37 @@ def test_toc_silver_manifest_counts(spark, tmp_path):
         t.file_manifest.groupBy("file_kind").count().collect()
     )
     assert set(kinds) == {"in_network", "allowed_amounts"}
+
+
+def test_remote_provider_resolution_reconciles(spark, tmp_path):
+    """Remote provider-reference resolution: every location-only ref in
+    the file resolves to exactly the group rows of its materialized
+    standalone file, reconciled against json.load of both sides."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_silver,
+        resolve_remote_provider_groups,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        materialize_remote_provider_files,
+        write_mrf_file,
+    )
+
+    f = str(tmp_path / "payer.json")
+    write_mrf_file(f, n_in_network=30, n_provider_refs=60, seed=9)
+    rd = str(tmp_path / "remote")
+    written = materialize_remote_provider_files(f, rd, seed=9)
+    assert written, "fixture produced no location-only refs"
+
+    t = build_silver(spark, f, chunktargetbytes=8192)
+    resolved = resolve_remote_provider_groups(
+        spark, t.provider_references, rd
+    )
+    want = sum(
+        len(json.load(open(p))["provider_groups"])
+        for p in written.values()
+    )
+    rows = resolved.collect()
+    assert len(rows) == want
+    assert {r["provider_group_id"] for r in rows} == set(written)
+    # resolved rows carry real group payloads, same shape as inline
+    assert all(r["npi"] and r["tin"]["value"] for r in rows)
