@@ -448,3 +448,77 @@ def test_remote_provider_resolution_reconciles(spark, tmp_path):
     assert {r["provider_group_id"] for r in rows} == set(written)
     # resolved rows carry real group payloads, same shape as inline
     assert all(r["npi"] and r["tin"]["value"] for r in rows)
+
+
+def test_toc_manifest_drives_multifile_ingest(spark, tmp_path):
+    """End-to-end TOC orchestration: the discovery file's manifest names
+    the data files; 'fetching' each URL (synthesizing it locally,
+    gzipped, under the URL's basename) and pointing ONE multi-file
+    read_payer_mrf at the download directory ingests the whole corpus —
+    per-header element totals reconcile against json.load of every
+    fetched file. Exercises the gz pre-pass and directory discovery on
+    a mixed in-network + allowed-amounts corpus."""
+    import gzip
+    import shutil
+
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_toc_silver,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.datasource import (
+        read_payer_mrf,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        write_allowed_amounts_file,
+        write_mrf_file,
+        write_toc_file,
+    )
+
+    toc = str(tmp_path / "toc.json")
+    write_toc_file(toc, n_structures=3, seed=13)
+    t = build_toc_silver(spark, toc, chunktargetbytes=2048)
+    manifest = sorted(
+        t.file_manifest.select("file_kind", "location")
+        .distinct()
+        .collect(),
+        key=lambda r: r["location"],
+    )
+    assert len(manifest) >= 4
+
+    dl = tmp_path / "downloads"
+    dl.mkdir()
+    for i, r in enumerate(manifest):
+        base = r["location"].rsplit("/", 1)[1]  # e.g. inn_0_1.json.gz
+        plain = dl / base[:-3]
+        if r["file_kind"] == "in_network":
+            write_mrf_file(
+                str(plain), n_in_network=6, n_provider_refs=4, seed=100 + i
+            )
+        else:
+            write_allowed_amounts_file(
+                str(plain), n_out_of_network=5, seed=100 + i
+            )
+        with open(plain, "rb") as fi, gzip.open(dl / base, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+        plain.unlink()
+
+    want = {}
+    for f in dl.glob("*.json.gz"):
+        raw = json.load(gzip.open(f))
+        for key in ("in_network", "out_of_network", "provider_references"):
+            if raw.get(key):
+                want[key] = want.get(key, 0) + len(raw[key])
+
+    bronze = read_payer_mrf(
+        spark,
+        str(dl),
+        chunktargetbytes=2048,
+        decompressdir=str(tmp_path / "dec"),
+    )
+    got = {
+        r["header_key"]: r["n"]
+        for r in bronze.filter(F.col("header_key") != "")
+        .groupBy("header_key")
+        .agg(F.sum(F.json_array_length("json_payload")).alias("n"))
+        .collect()
+    }
+    assert got == want, (got, want)
