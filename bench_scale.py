@@ -226,9 +226,18 @@ def main() -> None:
         "trap)",
     )
     a = ap.parse_args()
-    roster = QUERIES if not a.only else [
-        q for q in QUERIES if q in set(a.only.split(","))
-    ]
+    if a.only:
+        wanted = set(a.only.split(","))
+        unknown = wanted - set(QUERIES)
+        if unknown:
+            # fail BEFORE the ~20-min sf1 data build: a typo'd name would
+            # otherwise silently shrink (or empty) the roster
+            raise SystemExit(
+                f"--only names not in the scale roster: {sorted(unknown)}"
+            )
+        roster = [q for q in QUERIES if q in wanted]
+    else:
+        roster = QUERIES
 
     t0 = time.time()
     if not os.path.exists(os.path.join(a.out, "lineitem.parquet")):

@@ -2142,9 +2142,11 @@ def _toc_manifest_oracle() -> str:
     "chunker as the data files — the third top-level-array schema this "
     "one engine ingests): per (plan_market_type, file_kind), how many "
     "plan-file ingest pairs, distinct plans, and distinct file URLs the "
-    "scheduler would fan over. Plan: the plan and file explodes stay "
-    "inside one structure-keyed equi-join (surrogate key minted per "
-    "structure row), then one partial-agg distinct-count groupBy",
+    "scheduler would fan over. Plan: join-free — the plan-x-file cross "
+    "product happens WITHIN each structure row (two sequential explodes "
+    "on one lineage, the file list carried alongside the plan explode), "
+    "then one partial-agg distinct-count groupBy; the TOC JSON is "
+    "parsed exactly once",
 )
 def mrf_toc_manifest(spark, sf_dir):
     t = build_toc_silver(spark, fixture_toc_path(), chunktargetbytes=65536)

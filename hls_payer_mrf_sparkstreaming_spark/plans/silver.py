@@ -67,19 +67,23 @@ def parse_provider_references(bronze: DataFrame) -> DataFrame:
     )
 
 
-def parse_in_network(bronze: DataFrame) -> DataFrame:
-    """in_network chunks -> one row per in_network item, with a
-    per-row-unique, retry-stable surrogate key.
+def _parse_top_level_array(
+    bronze: DataFrame, header_key: str, item_schema, sk_name: str
+) -> DataFrame:
+    """Chunks of one top-level array -> one typed row per array element,
+    with a per-row-unique, retry-stable surrogate key — the shared
+    recipe behind every array-shaped silver parse (in_network,
+    out_of_network, reporting_structure).
 
     Real CMS files repeat a billing code across in_network items (differing
-    name / negotiation_arrangement), so hashing the billing columns alone
+    name / negotiation_arrangement), so hashing the payload columns alone
     collides and cross-links prices between unrelated items. The key hashes
     (file_name, chunk identity, item position within the chunk) instead —
     unique per item and deterministic across task retries (the reference's
     uuid() keys, 01_payer_mrf_demo.py:165, are neither). Chunk identity is
     ``chunk_start`` (byte offset; present when the source ran with
-    ``includeoffsets=true`` — build_silver always sets it), falling back to
-    a hash of the chunk payload for raw 3-column bronzes.
+    ``includeoffsets=true`` — every build_*_silver sets it), falling back
+    to a hash of the chunk payload for raw 3-column bronzes.
     """
     from pyspark.sql.types import ArrayType
 
@@ -89,18 +93,29 @@ def parse_in_network(bronze: DataFrame) -> DataFrame:
         else F.xxhash64("json_payload")
     )
     return (
-        bronze.filter(F.col("header_key") == HEADER_KEY_IN_NETWORK)
+        bronze.filter(F.col("header_key") == header_key)
         .select(
             "file_name",
             chunk_id.alias("_chunk_id"),
             F.posexplode(
-                F.from_json("json_payload", ArrayType(S.IN_NETWORK_ITEM_SCHEMA))
+                F.from_json("json_payload", ArrayType(item_schema))
             ).alias("_item_pos", "n"),
         )
         .select(
-            _sk("file_name", "_chunk_id", "_item_pos").alias("sk_in_network_id"),
+            _sk("file_name", "_chunk_id", "_item_pos").alias(sk_name),
             "n.*",
         )
+    )
+
+
+def parse_in_network(bronze: DataFrame) -> DataFrame:
+    """in_network chunks -> one row per in_network item (see
+    _parse_top_level_array for the surrogate-key rationale)."""
+    return _parse_top_level_array(
+        bronze,
+        HEADER_KEY_IN_NETWORK,
+        S.IN_NETWORK_ITEM_SCHEMA,
+        "sk_in_network_id",
     )
 
 
@@ -388,30 +403,12 @@ HEADER_KEY_OUT_OF_NETWORK = "out_of_network"
 
 
 def parse_out_of_network(bronze: DataFrame) -> DataFrame:
-    """out_of_network chunks -> one row per item, with the same
-    per-item retry-stable surrogate key recipe as parse_in_network."""
-    from pyspark.sql.types import ArrayType
-
-    chunk_id = (
-        F.col("chunk_start")
-        if "chunk_start" in bronze.columns
-        else F.xxhash64("json_payload")
-    )
-    return (
-        bronze.filter(F.col("header_key") == HEADER_KEY_OUT_OF_NETWORK)
-        .select(
-            "file_name",
-            chunk_id.alias("_chunk_id"),
-            F.posexplode(
-                F.from_json(
-                    "json_payload", ArrayType(S.OUT_OF_NETWORK_ITEM_SCHEMA)
-                )
-            ).alias("_item_pos", "n"),
-        )
-        .select(
-            _sk("file_name", "_chunk_id", "_item_pos").alias("sk_oon_id"),
-            "n.*",
-        )
+    """out_of_network chunks -> one row per item, same shared recipe."""
+    return _parse_top_level_array(
+        bronze,
+        HEADER_KEY_OUT_OF_NETWORK,
+        S.OUT_OF_NETWORK_ITEM_SCHEMA,
+        "sk_oon_id",
     )
 
 
@@ -529,32 +526,11 @@ HEADER_KEY_REPORTING_STRUCTURE = "reporting_structure"
 
 def parse_reporting_structure(bronze: DataFrame) -> DataFrame:
     """reporting_structure chunks -> one row per plan-group entry."""
-    from pyspark.sql.types import ArrayType
-
-    chunk_id = (
-        F.col("chunk_start")
-        if "chunk_start" in bronze.columns
-        else F.xxhash64("json_payload")
-    )
-    return (
-        bronze.filter(
-            F.col("header_key") == HEADER_KEY_REPORTING_STRUCTURE
-        )
-        .select(
-            "file_name",
-            chunk_id.alias("_chunk_id"),
-            F.posexplode(
-                F.from_json(
-                    "json_payload", ArrayType(S.TOC_STRUCTURE_SCHEMA)
-                )
-            ).alias("_item_pos", "n"),
-        )
-        .select(
-            _sk("file_name", "_chunk_id", "_item_pos").alias(
-                "sk_structure_id"
-            ),
-            "n.*",
-        )
+    return _parse_top_level_array(
+        bronze,
+        HEADER_KEY_REPORTING_STRUCTURE,
+        S.TOC_STRUCTURE_SCHEMA,
+        "sk_structure_id",
     )
 
 
@@ -569,25 +545,39 @@ def toc_file_manifest(structures: DataFrame) -> DataFrame:
     parsed exactly once."""
     # struct field names set by .alias() inside a higher-order-function
     # lambda are NOT preserved (Spark names them col1, col2, ...), so
-    # both concat sides are cast to the same named struct type
+    # both concat sides are cast to the same named struct type. Both
+    # sides are also coalesced to an empty typed array: concat returns
+    # NULL if ANY argument is NULL, so a structure with an
+    # allowed_amount_file but no in_network_files key (both are optional
+    # in the CMS TOC schema) would otherwise explode to ZERO rows and
+    # silently drop its allowed-amounts URL from the manifest.
     ftype = "array<struct<file_kind:string,location:string>>"
+    empty = F.array().cast(ftype)
     files_arr = F.concat(
-        F.transform(
-            "in_network_files",
-            lambda f: F.struct(
-                F.lit("in_network").alias("file_kind"),
-                f["location"].alias("location"),
-            ),
-        ).cast(ftype),
-        F.when(
-            F.col("allowed_amount_file").isNotNull(),
-            F.array(
-                F.struct(
-                    F.lit("allowed_amounts").alias("file_kind"),
-                    F.col("allowed_amount_file.location").alias("location"),
-                )
-            ),
-        ).otherwise(F.array()).cast(ftype),
+        F.coalesce(
+            F.transform(
+                "in_network_files",
+                lambda f: F.struct(
+                    F.lit("in_network").alias("file_kind"),
+                    f["location"].alias("location"),
+                ),
+            ).cast(ftype),
+            empty,
+        ),
+        F.coalesce(
+            F.when(
+                F.col("allowed_amount_file").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit("allowed_amounts").alias("file_kind"),
+                        F.col("allowed_amount_file.location").alias(
+                            "location"
+                        ),
+                    )
+                ),
+            ).otherwise(F.array()).cast(ftype),
+            empty,
+        ),
     )
     return (
         structures.select(
@@ -641,8 +631,13 @@ def build_toc_silver(
 # instead of inlining provider_groups (the reference engine drops these
 # on the floor; see JsonMRFSource.scala's fixed 3-column contract). The
 # remote files are thousands of SMALL JSON objects, so the right tool is
-# a stock distributed spark.read.json scan, not the chunker — and the
-# ref->file linkage is a tiny dim joined by URL basename.
+# a stock distributed spark.read.json scan, not the chunker. Download
+# layout contract: the fetcher saves each ref's payload as
+# provider_group_{gid}.json (materialize_remote_provider_files does
+# exactly this) — keyed by the gid, NOT the URL basename, because real
+# payer URLs routinely share basenames across path prefixes
+# (.../2026-01/provider_refs.json vs .../2026-02/provider_refs.json)
+# and a basename join would silently cross-link provider groups.
 # ---------------------------------------------------------------------------
 
 
@@ -653,11 +648,14 @@ def resolve_remote_provider_groups(
     rows, shaped exactly like the inline-group explode in
     provider_references_x_payer so the two sources union cleanly.
 
+    ``remote_dir`` must follow the download-layout contract above: one
+    ``provider_group_{gid}.json`` per location-only reference.
+
     Plan: ONE distributed JSON scan over the remote directory (pinned
     schema — no inference pass), exploded to group rows; the refs side
-    reduces to a (gid, basename) dim bounded by the reference count, so
-    it is explicitly broadcast — at national scale the scan side
-    (thousands of small files across executors) never shuffles."""
+    reduces to a (gid, expected-filename) dim bounded by the reference
+    count, so it is explicitly broadcast — at national scale the scan
+    side (thousands of small files across executors) never shuffles."""
     remote = (
         spark.read.schema(S.REMOTE_PROVIDER_FILE_SCHEMA)
         # each standalone file is ONE pretty-printed JSON object, not
@@ -676,7 +674,11 @@ def resolve_remote_provider_groups(
         F.col("location").isNotNull() & F.col("provider_groups").isNull()
     ).select(
         "provider_group_id",
-        F.element_at(F.split("location", "/"), -1).alias("_basename"),
+        F.concat(
+            F.lit("provider_group_"),
+            F.col("provider_group_id").cast("string"),
+            F.lit(".json"),
+        ).alias("_basename"),
     )
     return remote.join(F.broadcast(refs), "_basename").select(
         "provider_group_id",

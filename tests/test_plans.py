@@ -1929,6 +1929,45 @@ def test_provider_network_size_aggregates_before_join(spark):
         _assert_branch_aggregates_first(lines, start, p)
 
 
+def _broadcast_subtree_has(p: str, detail_regex: str) -> bool:
+    """True iff SOME BroadcastExchange subtree of the formatted plan
+    contains a node whose detail section matches detail_regex — a real
+    containment check, unlike a flat 'both substrings appear somewhere
+    in the plan' regex, which an unrelated broadcast plus a fact-side
+    filter would also satisfy."""
+    tree = []
+    for line in p.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            break
+        mid = re.search(r"\((\d+)\)\s*$", line)
+        if not mid:
+            continue
+        m = re.search(r"(?:\+|:)- ", line)
+        tree.append(
+            (
+                m.start() if m else -3,
+                (line[m.end() :] if m else line).strip(),
+                int(mid.group(1)),
+            )
+        )
+    details = dict(
+        re.findall(r"^\((\d+)\) ([\s\S]*?)(?=^\(\d+\) |\Z)", p, re.M)
+    )
+    for i, (ind0, name, nid) in enumerate(tree):
+        if not name.startswith("BroadcastExchange"):
+            continue
+        sub = [nid]
+        for j in range(i + 1, len(tree)):
+            if tree[j][0] <= ind0:
+                break
+            sub.append(tree[j][2])
+        if any(
+            re.search(detail_regex, details.get(str(n), "")) for n in sub
+        ):
+            return True
+    return False
+
+
 def test_tin_rate_lookup_broadcasts_filtered_dim(spark):
     # mrf_tin_rate_lookup: the TIN predicate reduces the provider dim to
     # a handful of rows which must BROADCAST into the
@@ -1942,11 +1981,10 @@ def test_tin_rate_lookup_broadcasts_filtered_dim(spark):
     p = plan(spark, "mrf_tin_rate_lookup")
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
-    # the broadcast side must be the tin-filtered provider dim: a
-    # BroadcastExchange subtree containing the tin.value filter
-    assert re.search(
-        r"BroadcastExchange[\s\S]{0,4000}?tin#\d+\.value", p
-    ) or re.search(r"tin#\d+\.value[\s\S]{0,4000}?BroadcastExchange", p), p
+    # the broadcast side must be the tin-filtered provider dim: some
+    # BroadcastExchange SUBTREE (tree-walked, not a flat proximity
+    # regex) must contain the tin.value predicate
+    assert _broadcast_subtree_has(p, r"tin#\d+\.value"), p
 
 
 def test_npi_coverage_distincts_links_before_npi_join(spark):

@@ -522,3 +522,111 @@ def test_toc_manifest_drives_multifile_ingest(spark, tmp_path):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_toc_manifest_keeps_allowed_file_when_no_in_network_files(
+    spark, tmp_path
+):
+    """Both file fields are optional in the CMS TOC schema: a structure
+    with an allowed_amount_file but NO in_network_files key must still
+    contribute its allowed-amounts URL (concat over a NULL array would
+    silently drop the whole row set)."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_toc_silver,
+    )
+
+    doc = {
+        "reporting_entity_name": "p",
+        "reporting_entity_type": "payer",
+        "reporting_structure": [
+            {  # allowed-amounts only — the regression case
+                "reporting_plans": [
+                    {"plan_name": "a", "plan_id_type": "ein",
+                     "plan_id": "1", "plan_market_type": "group"}
+                ],
+                "allowed_amount_file": {
+                    "description": "oon", "location": "https://x/oon_a.json"
+                },
+            },
+            {  # in-network only
+                "reporting_plans": [
+                    {"plan_name": "b", "plan_id_type": "ein",
+                     "plan_id": "2", "plan_market_type": "group"}
+                ],
+                "in_network_files": [
+                    {"description": "inn", "location": "https://x/inn_b.json"}
+                ],
+            },
+            {  # neither — contributes nothing but must not error
+                "reporting_plans": [
+                    {"plan_name": "c", "plan_id_type": "ein",
+                     "plan_id": "3", "plan_market_type": "group"}
+                ],
+            },
+        ],
+    }
+    f = str(tmp_path / "toc.json")
+    with open(f, "w") as out:
+        json.dump(doc, out, indent=1)
+    t = build_toc_silver(spark, f, chunktargetbytes=1024)
+    rows = {
+        (r["plan_id"], r["file_kind"], r["location"])
+        for r in t.file_manifest.collect()
+    }
+    assert rows == {
+        ("1", "allowed_amounts", "https://x/oon_a.json"),
+        ("2", "in_network", "https://x/inn_b.json"),
+    }
+
+
+def test_remote_provider_resolution_survives_shared_url_basenames(
+    spark, tmp_path
+):
+    """Real payer URLs routinely share basenames across path prefixes
+    (.../2026-01/provider_refs.json vs .../2026-02/provider_refs.json).
+    The resolver keys the download by provider_group_id — each ref must
+    get exactly its own file's groups, never a cross-link."""
+    from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
+        build_silver,
+        resolve_remote_provider_groups,
+    )
+    from hls_payer_mrf_sparkstreaming_spark.sources.synth import (
+        materialize_remote_provider_files,
+    )
+
+    doc = {
+        "reporting_entity_name": "p",
+        "reporting_entity_type": "payer",
+        "provider_references": [
+            {"provider_group_id": 5,
+             "location": "https://payer.com/2026-01/provider_refs.json"},
+            {"provider_group_id": 9,
+             "location": "https://payer.com/2026-02/provider_refs.json"},
+        ],
+        "in_network": [],
+    }
+    f = str(tmp_path / "payer.json")
+    with open(f, "w") as out:
+        json.dump(doc, out, indent=1)
+    rd = str(tmp_path / "remote")
+    written = materialize_remote_provider_files(f, rd, seed=3)
+    assert set(written) == {5, 9}
+
+    t = build_silver(spark, f, chunktargetbytes=1024)
+    resolved = resolve_remote_provider_groups(
+        spark, t.provider_references, rd
+    )
+    got = {
+        gid: sorted(r["npi"][0] for r in rows)
+        for gid, rows in __import__("itertools").groupby(
+            sorted(resolved.collect(), key=lambda r: r["provider_group_id"]),
+            key=lambda r: r["provider_group_id"],
+        )
+    }
+    want = {
+        gid: sorted(
+            g["npi"][0] for g in json.load(open(p))["provider_groups"]
+        )
+        for gid, p in written.items()
+    }
+    assert got == want
