@@ -50,6 +50,53 @@ def hyperplane_bucket(vec, planes: list[list[float]]) -> Column:
     return bucket
 
 
+# --- Spark-SQL text twins -------------------------------------------------
+#
+# Loop-built Column trees (a bucket fold over 8-16 plane literals, an
+# argmax fold over a broadcast centroid array, per-subspace PQ encoders)
+# cost hundreds of py4j round trips per query CONSTRUCTION — profiled at
+# 0.5-1.5 s of driver wall per vector-family query, paid before any task
+# runs at every scale. These return the same expressions as Spark SQL text
+# so one selectExpr/F.expr call parses the whole tree in the JVM. The
+# parsed trees are semantically identical (same functions, same double
+# literals via repr round-trip), so plans and oracle hashes are unchanged.
+
+
+def to_double_expr(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Spark-SQL text twin of :func:`cosine`."""
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def array_lit(vals) -> str:
+    """array<double> literal (repr round-trips doubles exactly; the D
+    suffix keeps the literal DoubleType, matching F.lit(float))."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def hyperplane_bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    """Spark-SQL text twin of :func:`hyperplane_bucket`."""
+    expr = "CAST(0 AS BIGINT)"
+    for plane in planes:
+        bit = f"CAST(({dot_expr(vec, array_lit(plane))} > 0) AS BIGINT)"
+        expr = f"({expr} * 2 + {bit})"
+    return expr
+
+
 def cosine_sql(a_expr: str, b_expr: str) -> str:
     """DuckDB-SQL cosine between two DOUBLE[] expressions, with the same
     sequential accumulation order as :func:`cosine` (list_aggregate is not

@@ -98,6 +98,37 @@ def _quantize(col) -> F.Column:
     )
 
 
+# Spark-SQL text twins (see functions/vector.py): the argmin fold over the
+# broadcast centroid array and the 64 per-dimension aggregates are built in
+# Python loops — ~1.3 s of py4j round trips per kmeans_train construction,
+# driver time paid at every scale. One selectExpr string parses the same
+# tree in the JVM.
+_QUANTIZE_EXPR = (
+    "transform(transform({col}, x -> CAST(x AS DOUBLE)), "
+    f"v -> CAST(floor(v * {_QUANT}) AS BIGINT))"
+)
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_cid_expr(vec: str = "xd", cents: str = "cents") -> str:
+    """argmin-distance fold over the broadcast centroid array (tie ->
+    smaller cid), as one Spark-SQL expression string."""
+    d = _sqdist_expr(vec, "c.cv")
+    return (
+        f"aggregate({cents}, "
+        "struct(CAST('Infinity' AS DOUBLE) AS d, CAST(NULL AS BIGINT) AS cid), "
+        f"(acc, c) -> CASE WHEN ({d} < acc.d) OR (({d} = acc.d) AND "
+        f"(c.cid < acc.cid)) THEN struct({d} AS d, c.cid AS cid) "
+        f"ELSE acc END)['cid']"
+    )
+
+
 def _sqdist(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
@@ -109,31 +140,20 @@ def _sqdist(a, b) -> F.Column:
 def _assign(points, cent_arr):
     """Nearest centroid per row: argmin fold over the broadcast centroid
     array (tie → smaller cid), entirely inside codegen."""
-    init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("cid")
-    )
-
-    def closer(acc, c):
-        d = _sqdist(F.col("xd"), c["cv"])
-        take = (d < acc["d"]) | ((d == acc["d"]) & (c["cid"] < acc["cid"]))
-        return F.when(
-            take, F.struct(d.alias("d"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
     return points.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id",
         "x",
         "xd",
-        F.aggregate("cents", init, closer)["cid"].alias("cid"),
+        F.expr(_argmin_cid_expr()).alias("cid"),
     )
 
 
 def kmeans_assignments(emb, k: int = _K, rounds: int = _ROUNDS):
     """Run ``rounds`` Lloyd iterations over a (vec_id, embedding) DataFrame;
     returns (vec_id, cluster_id). Seeds = the k smallest vec_ids."""
-    pts = emb.select(
-        "vec_id", _quantize("embedding").alias("x")
-    ).withColumn("xd", F.transform("x", lambda v: v.cast("double")))
+    pts = emb.selectExpr(
+        "vec_id", _QUANTIZE_EXPR.format(col="embedding") + " AS x"
+    ).selectExpr("*", "transform(x, v -> CAST(v AS DOUBLE)) AS xd")
     pts = scratch_persist(pts)
 
     cent_arr = (
@@ -141,23 +161,28 @@ def kmeans_assignments(emb, k: int = _K, rounds: int = _ROUNDS):
         .select(F.col("vec_id").alias("cid"), F.col("xd").alias("cv"))
         .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
     )
+    # one parsed expression for the 64 per-dimension sums (a Column-per-
+    # dimension agg costs ~130 py4j round trips per round) — the struct is
+    # a result projection over the same 65 aggregate functions, so the
+    # HashAggregate is unchanged
+    sums_expr = F.expr(
+        "struct(count(*) AS n, "
+        + ", ".join(f"sum(x[{d}]) AS s{d}" for d in range(_DIM))
+        + ")"
+    ).alias("s")
+    cv_expr = (
+        "array("
+        + ", ".join(
+            f"CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+            for d in range(_DIM)
+        )
+        + ") AS cv"
+    )
     assigned = None
     for _ in range(rounds):
         if assigned is not None:
-            sums = assigned.groupBy("cid").agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("x")[d]).alias(f"s{d}") for d in range(_DIM)],
-            )
-            cent = sums.select(
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"s{d}").cast("double")
-                        / F.col("n").cast("double")
-                        for d in range(_DIM)
-                    ]
-                ).alias("cv"),
-            )
+            sums = assigned.groupBy("cid").agg(sums_expr)
+            cent = sums.selectExpr("cid", cv_expr)
             cent_arr = cent.agg(
                 F.collect_list(F.struct("cid", "cv")).alias("cents")
             )
@@ -318,30 +343,25 @@ def semantic_dedup(spark, sf_dir):
     # element_at chains here: both measured SLOWER than this fold on
     # Spark 4, whose higher-order functions evaluate efficiently; the
     # narrow no-shuffle fold plan won.)
-    init = F.struct(
-        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
+    # SQL-text fold (see functions/vector.py): same expressions, parsed
+    # once in the JVM instead of ~600 py4j round trips per construction
+    sim = f"round({V.dot_expr('ev', 'c.cv')} / (en * c.cn), 6)"
+    take = f"({sim} > acc.sim) OR (({sim} = acc.sim) AND (c.cid < acc.cid))"
+    fold = (
+        "aggregate(cents, "
+        "struct(-2.0D AS sim, CAST(NULL AS BIGINT) AS cid), "
+        f"(acc, c) -> CASE WHEN {take} THEN "
+        f"struct({sim} AS sim, c.cid AS cid) ELSE acc END)['cid']"
     )
-
-    def closer(acc, c):
-        sim = F.round(
-            V.dot(F.col("ev"), c["cv"]) / (F.col("en") * c["cn"]), 6
-        )
-        take = (sim > acc["sim"]) | (
-            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
-        )
-        return F.when(
-            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
     blocked = (
-        aug.withColumn("en", V.norm(F.col("ev")))
+        aug.selectExpr("*", f"{V.norm_expr('ev')} AS en")
         .crossJoin(F.broadcast(cent_arr))
-        .select(
+        .selectExpr(
             "id",
             "ev",
             "en",
-            F.aggregate("cents", init, closer)["cid"].alias("cid"),
-            V.hyperplane_bucket(F.col("ev"), _SEM_PLANES).alias("bucket"),
+            f"{fold} AS cid",
+            f"{V.hyperplane_bucket_expr('ev', _SEM_PLANES)} AS bucket",
         )
     )
     # the window's neighbor check carries (ev, en) structs so each of the
@@ -351,16 +371,14 @@ def semantic_dedup(spark, sf_dir):
         .orderBy("id")
         .rowsBetween(-_SEM_W, -1)
     )
-    return blocked.withColumn("prev", prev).select(
+    dropped = (
+        f"exists(prev, p -> round({V.dot_expr('ev', 'p.ev')} / (en * p.en), 6)"
+        f" >= {_SEM_TAU}D)"
+    )
+    return blocked.withColumn("prev", prev).selectExpr(
         "id",
-        F.col("cid").alias("cluster_id"),
-        F.exists(
-            "prev",
-            lambda p: F.round(
-                V.dot(F.col("ev"), p["ev"]) / (F.col("en") * p["en"]), 6
-            )
-            >= _SEM_TAU,
-        ).alias("is_dropped"),
+        "cid AS cluster_id",
+        f"{dropped} AS is_dropped",
     )
 
 
@@ -431,23 +449,22 @@ def _pi_oracle() -> str:
     "(graph fixpoint), oracle-replayed round by round",
 )
 def pca_power_iteration(spark, sf_dir):
-    e = rebalance(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", _quantize("embedding").alias("x")
+    e = rebalance(load(spark, sf_dir, "embeddings")).selectExpr(
+        "vec_id", _QUANTIZE_EXPR.format(col="embedding") + " AS x"
     )
     e = scratch_persist(e)
-    v_row = spark.range(1).select(
-        F.array(
-            *[F.lit(_PI_VSCALE).cast("long") for _ in range(_DIM)]
-        ).alias("v")
+    v_row = spark.range(1).selectExpr(
+        "array("
+        + ", ".join(f"CAST({_PI_VSCALE} AS BIGINT)" for _ in range(_DIM))
+        + ") AS v"
+    )
+    dot_iv = (
+        "aggregate(zip_with(x, v, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
     )
     for _ in range(_PI_ROUNDS):
-        s = e.crossJoin(F.broadcast(v_row)).select(
-            "x",
-            F.aggregate(
-                F.zip_with("x", "v", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("s"),
+        s = e.crossJoin(F.broadcast(v_row)).selectExpr(
+            "x", f"{dot_iv} AS s"
         )
         raw = (
             s.select(
@@ -531,9 +548,9 @@ def pca_power_iteration(spark, sf_dir):
     "evaluation costs one corpus scan regardless of K",
 )
 def cluster_quality_summary(spark, sf_dir):
-    pts = rebalance(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", _quantize("embedding").alias("x")
-    ).withColumn("xd", F.transform("x", lambda v: v.cast("double")))
+    pts = rebalance(load(spark, sf_dir, "embeddings")).selectExpr(
+        "vec_id", _QUANTIZE_EXPR.format(col="embedding") + " AS x"
+    ).selectExpr("*", "transform(x, v -> CAST(v AS DOUBLE)) AS xd")
     cent_arr = (
         pts.filter(F.col("vec_id") < _K)
         .select(F.col("vec_id").alias("cid"), F.col("xd").alias("cv"))
@@ -541,33 +558,22 @@ def cluster_quality_summary(spark, sf_dir):
     )
     # two-slot argmin fold: carry (best, runner-up) through one pass over
     # the broadcast centroid array — no N x K row expansion, no window
-    big = F.lit(1 << 62).cast("long")
-    nul = F.lit(None).cast("long")
-    init = F.struct(
-        F.struct(big.alias("d"), nul.alias("cid")).alias("b1"),
-        F.struct(big.alias("d"), nul.alias("cid")).alias("b2"),
+    # (SQL-text construction, see _QUANTIZE_EXPR)
+    big = str(1 << 62)
+    slot = f"struct(CAST({big} AS BIGINT) AS d, CAST(NULL AS BIGINT) AS cid)"
+    d = f"CAST({_sqdist_expr('xd', 'c.cv')} AS BIGINT)"
+    cand = f"struct({d} AS d, c.cid AS cid)"
+    better1 = f"({d} < acc.b1.d) OR (({d} = acc.b1.d) AND (c.cid < acc.b1.cid))"
+    better2 = f"({d} < acc.b2.d) OR (({d} = acc.b2.d) AND (c.cid < acc.b2.cid))"
+    fold = (
+        f"aggregate(cents, struct({slot} AS b1, {slot} AS b2), "
+        f"(acc, c) -> CASE WHEN {better1} THEN "
+        f"struct({cand} AS b1, acc.b1 AS b2) "
+        f"WHEN {better2} THEN struct(acc.b1 AS b1, {cand} AS b2) "
+        f"ELSE acc END)"
     )
-
-    def step(acc, c):
-        d = _sqdist(F.col("xd"), c["cv"]).cast("long")
-        cand = F.struct(d.alias("d"), c["cid"].alias("cid"))
-        better1 = (d < acc["b1"]["d"]) | (
-            (d == acc["b1"]["d"]) & (c["cid"] < acc["b1"]["cid"])
-        )
-        better2 = (d < acc["b2"]["d"]) | (
-            (d == acc["b2"]["d"]) & (c["cid"] < acc["b2"]["cid"])
-        )
-        return (
-            F.when(
-                better1,
-                F.struct(cand.alias("b1"), acc["b1"].alias("b2")),
-            )
-            .when(better2, F.struct(acc["b1"].alias("b1"), cand.alias("b2")))
-            .otherwise(acc)
-        )
-
     both = pts.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", F.aggregate("cents", init, step).alias("bb")
+        "vec_id", F.expr(fold).alias("bb")
     )
     return (
         both.select(

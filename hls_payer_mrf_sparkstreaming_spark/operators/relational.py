@@ -1015,6 +1015,13 @@ def top_unshipped_orders(spark, sf_dir):
     ep = lambda c: F.expr(  # noqa: E731
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
     ).cast("long")
+    # date predicates compare the COLUMN to a timestamp literal (the
+    # cutoff re-expressed from integer µs), not a timestampdiff() over it:
+    # a filter on a derived expression never reaches the parquet scan
+    # (guide §6 — PushedFilters stayed empty), while the literal compare
+    # pushes down and lets row-group min/max stats skip data. Equivalent
+    # predicate: timestampdiff(µs, epoch, col) < C  <=>  col < epoch + C.
+    cut = "TIMESTAMP_NTZ'1998-01-01 00:00:00'"  # = _Q3_CUT_US µs
     cust = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -1022,7 +1029,7 @@ def top_unshipped_orders(spark, sf_dir):
     )
     orders = (
         load(spark, sf_dir, "orders")
-        .filter(ep("o_orderdate") < _Q3_CUT_US)
+        .filter(F.expr(f"o_orderdate < {cut}"))
         .select(
             "o_orderkey",
             "o_custkey",
@@ -1032,7 +1039,7 @@ def top_unshipped_orders(spark, sf_dir):
     )
     li = (
         load(spark, sf_dir, "lineitem")
-        .filter(ep("l_shipdate") > _Q3_CUT_US)
+        .filter(F.expr(f"l_shipdate > {cut}"))
         .select(
             "l_orderkey",
             (

@@ -67,7 +67,7 @@ def ann_cosine_topk(spark, sf_dir):
     e = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         e.crossJoin(F.broadcast(qv))
         .select("vec_id", "label", sim.alias("cosine_sim"))
@@ -100,11 +100,13 @@ def ann_lsh_bucketed(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
-    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    b = emb.selectExpr(
+        "*", f"{V.hyperplane_bucket_expr('ev', _PLANES_8)} AS bucket"
+    )
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         b.crossJoin(F.broadcast(q))
         .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
@@ -178,33 +180,28 @@ def ann_ivf_topk(spark, sf_dir):
     # final top-k. Argmax uses rounded cosine with smaller-cid tiebreak so
     # Spark and the oracle agree exactly regardless of centroid-array order.
     cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
-    init = F.struct(
-        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
+    # SQL-text argmax fold (see functions/vector.py)
+    csim = f"round({V.cosine_expr('ev', 'c.cv')}, 6)"
+    take = f"({csim} > acc.sim) OR (({csim} = acc.sim) AND (c.cid < acc.cid))"
+    fold = (
+        "aggregate(cents, struct(-2.0D AS sim, CAST(NULL AS BIGINT) AS cid), "
+        f"(acc, c) -> CASE WHEN {take} THEN "
+        f"struct({csim} AS sim, c.cid AS cid) ELSE acc END)['cid']"
     )
-
-    def closer(acc, c):
-        sim = F.round(V.cosine(F.col("ev"), c["cv"]), 6)
-        take = (sim > acc["sim"]) | (
-            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
-        )
-        return F.when(
-            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
     assigned = (
         emb.crossJoin(F.broadcast(cent_arr))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
             "ev",
-            F.aggregate("cents", init, closer)["cid"].alias("cid"),
+            f"{fold} AS cid",
         )
         .transform(scratch_persist)
     )
     q = assigned.filter(F.col("vec_id") == 0).select(
         F.col("ev").alias("qv"), F.col("cid").alias("qcid")
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         assigned.crossJoin(F.broadcast(q))
         .filter((F.col("cid") == F.col("qcid")) & (F.col("vec_id") != 0))
@@ -218,13 +215,15 @@ def neardup_pairs(emb, threshold: float = 0.8, planes=_PLANES_16):
     """Near-duplicate pairs within hyperplane-LSH buckets over a
     (vec_id, ev: array<double>) DataFrame — the reusable core behind the
     registered query, so tests can plant known near-duplicates."""
-    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), planes))
+    b = emb.selectExpr(
+        "*", f"{V.hyperplane_bucket_expr('ev', planes)} AS bucket"
+    )
     # bucket projection feeds both sides of the self-join; compute it once.
     # persist() keeps lineage (fault-tolerant at scale), unlike localCheckpoint
     b = scratch_persist(b)
     a2 = b.alias("a")
     b2 = b.alias("b")
-    sim = V.cosine(F.col("a.ev"), F.col("b.ev"))
+    sim = F.expr(V.cosine_expr("a.ev", "b.ev"))
     return (
         a2.join(
             b2,
@@ -352,11 +351,11 @@ def embedding_threshold_curve(spark, sf_dir):
         F.col("vec_id") % _ENP_CANARY_MOD == 0
     ).select((-(F.col("vec_id") + 1)).alias("vec_id"), "ev")
     b = scratch_persist(
-        emb.unionAll(twins).withColumn(
-            "bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_16)
+        emb.unionAll(twins).selectExpr(
+            "*", f"{V.hyperplane_bucket_expr('ev', _PLANES_16)} AS bucket"
         )
     )
-    sim = F.round(V.cosine(F.col("a.ev"), F.col("b.ev")), 6)
+    sim = F.round(F.expr(V.cosine_expr("a.ev", "b.ev")), 6)
     pairs = (
         b.alias("a")
         .join(
@@ -427,7 +426,7 @@ def knn_join(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
     )
     corpus = emb.filter(F.col("vec_id") > 4)
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
@@ -666,13 +665,15 @@ def ann_recall_eval(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
-    e = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    e = emb.selectExpr(
+        "*", f"{V.hyperplane_bucket_expr('ev', _PLANES_8)} AS bucket"
+    )
     q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("ev").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("vec_id")
     )
@@ -747,12 +748,10 @@ def _pq_fixed(spark, sf_dir):
             _PQ_CACHE.pop(next(iter(_PQ_CACHE))).unpersist()
         df = (
             rebalance(load(spark, sf_dir, "embeddings"))
-            .select(
+            .selectExpr(
                 "vec_id",
-                F.transform(
-                    V.to_double_array("embedding"),
-                    lambda v: F.floor(v * _PQ_QUANT).cast("long"),
-                ).alias("x"),
+                f"transform({V.to_double_expr('embedding')}, "
+                f"v -> CAST(floor(v * {_PQ_QUANT}) AS BIGINT)) AS x",
             )
             .persist()
         )
@@ -772,36 +771,30 @@ def _pq_codebook(emb):
     )
 
 
-def _pq_codes_col():
+def _pq_codes_expr() -> str:
     """array<struct(d, cid)> of per-subspace nearest-codebook assignments
     — a nested fold over (subspace, code) entirely in codegen; requires
-    columns ``x`` (fixed-point vector) and ``cbs`` (codebook row)."""
-    init = F.struct(
-        F.lit(1 << 62).cast("long").alias("d"),
-        F.lit(None).cast("long").alias("cid"),
+    columns ``x`` (fixed-point vector) and ``cbs`` (codebook row).
+    Returned as Spark-SQL text (see functions/vector.py): the nested
+    8-subspace x 16-code fold built via the Column API cost ~1 s of py4j
+    round trips per construction."""
+    init = (
+        f"struct(CAST({1 << 62} AS BIGINT) AS d, CAST(NULL AS BIGINT) AS cid)"
     )
-
-    def encode_sub(j):
-        def step(acc, c):
-            d = F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("x"), j * _PQ_SUB + 1, _PQ_SUB),
-                    F.slice(c["cx"], j * _PQ_SUB + 1, _PQ_SUB),
-                    lambda p, q: (p - q) * (p - q),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc2, v: acc2 + v,
-            )
-            take = (d < acc["d"]) | (
-                (d == acc["d"]) & (c["cid"] < acc["cid"])
-            )
-            return F.when(
-                take, F.struct(d.alias("d"), c["cid"].alias("cid"))
-            ).otherwise(acc)
-
-        return F.aggregate("cbs", init, step)
-
-    return F.array(*[encode_sub(j) for j in range(_PQ_M)])
+    subs = []
+    for j in range(_PQ_M):
+        lo = j * _PQ_SUB + 1
+        d = (
+            f"aggregate(zip_with(slice(x, {lo}, {_PQ_SUB}), "
+            f"slice(c.cx, {lo}, {_PQ_SUB}), (p, q) -> (p - q) * (p - q)), "
+            f"CAST(0 AS BIGINT), (acc2, v) -> acc2 + v)"
+        )
+        subs.append(
+            f"aggregate(cbs, {init}, (acc, c) -> CASE WHEN ({d} < acc.d) "
+            f"OR (({d} = acc.d) AND (c.cid < acc.cid)) THEN "
+            f"struct({d} AS d, c.cid AS cid) ELSE acc END)"
+        )
+    return "array(" + ", ".join(subs) + ")"
 
 
 @query(
@@ -851,15 +844,13 @@ def _pq_codes_col():
 def pq_encode(spark, sf_dir):
     emb = _pq_fixed(spark, sf_dir)
     cb_arr = _pq_codebook(emb)
-    codes = _pq_codes_col()
-    return emb.crossJoin(F.broadcast(cb_arr)).select(
+    codes = _pq_codes_expr()
+    return emb.crossJoin(F.broadcast(cb_arr)).selectExpr(
         "vec_id",
-        F.array_join(
-            F.transform(codes, lambda s: s["cid"].cast("string")), "-"
-        ).alias("pq_code"),
-        F.aggregate(
-            codes, F.lit(0).cast("long"), lambda acc, s: acc + s["d"]
-        ).alias("sq_err"),
+        f"array_join(transform({codes}, s -> CAST(s.cid AS STRING)), '-') "
+        "AS pq_code",
+        f"aggregate({codes}, CAST(0 AS BIGINT), (acc, s) -> acc + s.d) "
+        "AS sq_err",
     )
 
 
@@ -951,18 +942,16 @@ def pq_adc_topk(spark, sf_dir):
         .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
         .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
     )
-    codes = _pq_codes_col()
+    codes = _pq_codes_expr()
     # cid -> cx lookup for ADC reconstruction (map built from the one
     # broadcast codebook row, evaluated in codegen)
-    cbmap = F.map_from_entries(
-        F.transform("cbs", lambda c: F.struct(c["cid"], c["cx"]))
-    )
     scored = (
         emb.crossJoin(F.broadcast(cb_arr))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.transform(codes, lambda s: s["cid"]).alias("cids"),
-            cbmap.alias("cbmap"),
+            f"transform({codes}, s -> s.cid) AS cids",
+            "map_from_entries(transform(cbs, c -> struct(c.cid, c.cx))) "
+            "AS cbmap",
         )
         .crossJoin(F.broadcast(queries))
         .select(
@@ -974,27 +963,20 @@ def pq_adc_topk(spark, sf_dir):
     )
     subs = []
     for j in range(_PQ_M):
-        cx_j = F.element_at(
-            F.col("cbmap"), F.element_at(F.col("cids"), j + 1)
-        )
+        lo = j * _PQ_SUB + 1
+        cx_j = f"element_at(cbmap, element_at(cids, {j + 1}))"
         subs.append(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("q")["qx"], j * _PQ_SUB + 1, _PQ_SUB),
-                    F.slice(cx_j, j * _PQ_SUB + 1, _PQ_SUB),
-                    lambda p, q: (p - q) * (p - q),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
+            f"aggregate(zip_with(slice(q.qx, {lo}, {_PQ_SUB}), "
+            f"slice({cx_j}, {lo}, {_PQ_SUB}), (p, r) -> (p - r) * (p - r)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-    adc = sum(subs[1:], subs[0])
+    adc = " + ".join(subs)
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
-        scored.select(
-            F.col("q")["q_id"].alias("q_id"),
+        scored.selectExpr(
+            "q.q_id AS q_id",
             "vec_id",
-            adc.cast("long").alias("adc_dist"),
+            f"CAST({adc} AS BIGINT) AS adc_dist",
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _ADC_TOPK)
@@ -1095,21 +1077,18 @@ def pq_recall_eval(spark, sf_dir):
         .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
         .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
     )
-    d_exact = F.aggregate(
-        F.zip_with(
-            F.col("q")["qx"], F.col("x"), lambda p, q: (p - q) * (p - q)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    d_exact = (
+        "aggregate(zip_with(q.qx, x, (p, r) -> (p - r) * (p - r)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("q_id").orderBy("d", "vec_id")
     exact_top = (
         emb.crossJoin(F.broadcast(queries))
         .select("vec_id", F.explode("qs").alias("q"), "x")
-        .select(
-            F.col("q")["q_id"].alias("q_id"),
+        .selectExpr(
+            "q.q_id AS q_id",
             "vec_id",
-            d_exact.alias("d"),
+            f"{d_exact} AS d",
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _ADC_TOPK)
@@ -1204,7 +1183,7 @@ def knn_classify(spark, sf_dir):
             "vec_id",
             "s_id",
             "s_label",
-            F.round(V.cosine(F.col("ev"), F.col("sv")), 6).alias("sim"),
+            F.round(F.expr(V.cosine_expr("ev", "sv")), 6).alias("sim"),
         )
     )
     wtop = Window.partitionBy("vec_id").orderBy(
@@ -1256,7 +1235,7 @@ def ann_filtered_topk(spark, sf_dir):
     e = emb.filter(
         (F.col("vec_id") != 0) & F.col("label").isin(1, 3)
     ).select("vec_id", "label", V.to_double_array("embedding").alias("ev"))
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         e.crossJoin(F.broadcast(qv))
         .select("vec_id", "label", sim.alias("cosine_sim"))
@@ -1303,7 +1282,9 @@ def ann_multiprobe_lsh(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
-    b = emb.withColumn("bucket", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    b = emb.selectExpr(
+        "*", f"{V.hyperplane_bucket_expr('ev', _PLANES_8)} AS bucket"
+    )
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("ev").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -1319,7 +1300,7 @@ def ann_multiprobe_lsh(spark, sf_dir):
         ).alias("bucket"),
         "qv",
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         b.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probes), "bucket")
@@ -1404,7 +1385,7 @@ def embedding_truncate_recall(spark, sf_dir):
     )
 
     def topk(a, b):
-        sim = F.round(V.cosine(F.col(a), F.col(b)), 6)
+        sim = F.round(F.expr(V.cosine_expr(a, b)), 6)
         return (
             e.crossJoin(F.broadcast(q))
             .filter(F.col("vec_id") != F.col("qid"))
@@ -1504,7 +1485,7 @@ def knn_label_disagreement(spark, sf_dir):
             "p_label",
             "vec_id",
             "label",
-            F.round(V.cosine(F.col("ev"), F.col("pv")), 6).alias("sim"),
+            F.round(F.expr(V.cosine_expr("ev", "pv")), 6).alias("sim"),
         )
     )
     wtop = Window.partitionBy("p_id").orderBy(F.col("sim").desc(), "vec_id")
@@ -1692,13 +1673,15 @@ def ann_range_search(spark, sf_dir):
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", V.to_double_array("embedding").alias("ev")
     )
-    b = emb.withColumn("b", V.hyperplane_bucket(F.col("ev"), _PLANES_8))
+    b = emb.selectExpr(
+        "*", f"{V.hyperplane_bucket_expr('ev', _PLANES_8)} AS b"
+    )
     q = b.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("ev").alias("qv"),
         F.col("b").alias("qb"),
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     return (
         b.crossJoin(F.broadcast(q))
         .filter(
@@ -1822,25 +1805,23 @@ def ann_ivf_probe_curve(spark, sf_dir):
         .limit(_IVF_K)
     )
     cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
-    init = F.struct(
-        F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")
+    # SQL-text argmax fold (see functions/vector.py)
+    csim_c = f"round({V.cosine_expr('ev', 'c.cv')}, 6)"
+    take = (
+        f"({csim_c} > acc.sim) OR (({csim_c} = acc.sim) AND "
+        f"(c.cid < acc.cid))"
     )
-
-    def closer(acc, c):
-        sim = F.round(V.cosine(F.col("ev"), c["cv"]), 6)
-        take = (sim > acc["sim"]) | (
-            (sim == acc["sim"]) & (c["cid"] < acc["cid"])
-        )
-        return F.when(
-            take, F.struct(sim.alias("sim"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
+    fold = (
+        "aggregate(cents, struct(-2.0D AS sim, CAST(NULL AS BIGINT) AS cid), "
+        f"(acc, c) -> CASE WHEN {take} THEN "
+        f"struct({csim_c} AS sim, c.cid AS cid) ELSE acc END)['cid']"
+    )
     assigned = (
         emb.crossJoin(F.broadcast(cent_arr))
-        .select(
+        .selectExpr(
             "vec_id",
             "ev",
-            F.aggregate("cents", init, closer)["cid"].alias("cid"),
+            f"{fold} AS cid",
         )
         .transform(scratch_persist)
     )
@@ -1853,7 +1834,7 @@ def ann_ivf_probe_curve(spark, sf_dir):
         .select(
             "qid",
             "cid",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("csim"),
+            F.round(F.expr(V.cosine_expr("qv", "cv")), 6).alias("csim"),
         )
         .withColumn(
             "rk",
@@ -1877,7 +1858,7 @@ def ann_ivf_probe_curve(spark, sf_dir):
     probe = crank.select("qid", "cid", "rk").filter(
         F.col("rk") <= max(_PROBE_TIERS)
     )
-    sim = F.round(V.cosine(F.col("ev"), F.col("qv")), 6)
+    sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
     cand = (
         assigned.join(F.broadcast(probe), "cid")
         .join(F.broadcast(q), "qid")

@@ -2888,39 +2888,69 @@ def _mi_pair_sql(table: str, xc: str, yc: str) -> str:
     "join instead, same term math",
 )
 def mutual_information(spark, sf_dir):
+    from pyspark.sql import Window
+
     def pair(df, xc: str, yc: str, label: str):
-        j = (
-            df.groupBy(
-                F.col(xc).alias("xv"), F.col(yc).alias("yv")
-            )
-            .agg(F.count("*").cast("long").alias("c"))
-            .transform(scratch_persist)
-        )
-        mx = j.groupBy("xv").agg(F.sum("c").cast("long").alias("cx"))
-        my = j.groupBy("yv").agg(F.sum("c").cast("long").alias("cy"))
-        t = j.agg(F.sum("c").cast("long").alias("n"))
+        # ONE lineage over the K-cell joint table (r13 rework): marginals
+        # and the total attach as window sums over the K rows instead of
+        # five separate broadcast-join branches — the old shape launched
+        # ~26 jobs per pair (each broadcast is its own job and each
+        # branch re-read the persisted joint), measured as 53 serial jobs
+        # for the two pairs at sf0.1. Windows over K rows cost the same
+        # K-row exchanges the marginal groupBys already paid, and the
+        # marginal-entropy terms sum over exactly one row per distinct
+        # marginal value (row_number()=1), so every floored integer term
+        # is numerically IDENTICAL to the joined formulation.
+        j = df.groupBy(
+            F.col(xc).alias("xv"), F.col(yc).alias("yv")
+        ).agg(F.count("*").cast("long").alias("c"))
+        wx = Window.partitionBy("xv").orderBy("yv")
+        wy = Window.partitionBy("yv").orderBy("xv")
         cells = (
-            j.join(F.broadcast(mx), "xv")
-            .join(F.broadcast(my), "yv")
-            .crossJoin(F.broadcast(t))
-            .agg(
+            j.withColumn(
+                "cx",
+                F.sum("c").over(
+                    Window.partitionBy("xv")
+                    .orderBy("yv")
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .withColumn("rnx", F.row_number().over(wx))
+            .withColumn(
+                "cy",
+                F.sum("c").over(
+                    Window.partitionBy("yv")
+                    .orderBy("xv")
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .withColumn("rny", F.row_number().over(wy))
+            .withColumn(
+                "n",
+                F.sum("c").over(
+                    Window.partitionBy().rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+        )
+        term_x = _MARG_ENT_TERM.replace("cm", "cx")
+        term_y = _MARG_ENT_TERM.replace("cm", "cy")
+        return (
+            cells.agg(
                 F.count("*").cast("long").alias("n_cells"),
                 F.sum(F.expr(_MI_TERM)).cast("long").alias("mi_nano"),
+                F.sum(F.when(F.col("rnx") == 1, F.expr(term_x)))
+                .cast("long")
+                .alias("hx_nano"),
+                F.sum(F.when(F.col("rny") == 1, F.expr(term_y)))
+                .cast("long")
+                .alias("hy_nano"),
             )
-        )
-
-        def marg_ent(m, cnt_col: str, out: str):
-            return (
-                m.select(F.col(cnt_col).alias("cm"))
-                .crossJoin(F.broadcast(t))
-                .agg(
-                    F.sum(F.expr(_MARG_ENT_TERM)).cast("long").alias(out)
-                )
-            )
-
-        return (
-            cells.crossJoin(F.broadcast(marg_ent(mx, "cx", "hx_nano")))
-            .crossJoin(F.broadcast(marg_ent(my, "cy", "hy_nano")))
             .select(
                 F.lit(label).alias("column_pair"),
                 "n_cells",

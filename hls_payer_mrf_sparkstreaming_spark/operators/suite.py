@@ -160,8 +160,34 @@ def _usec_copy(path: str) -> str:
     return out
 
 
+# Reader-plan cache: load() is called 1-3 times inside EVERY query
+# construction, and each call pays a DataFrameReader round trip plus a JVM
+# parquet footer/schema read (~100 ms on a busy driver) — pure driver
+# overhead repeated per query at any scale. The cache holds the immutable
+# DataFrame (a LOGICAL PLAN, no data): every action on it still scans the
+# parquet files, so nothing about bench/oracle timing semantics changes —
+# this is "build the reader once", not result caching. Keyed by
+# (session, path, mtime): a rewritten fixture (the degenerate sweep
+# re-materializes its corpus) gets a fresh file index instead of a stale
+# listing. FIFO-bounded like the scratch registry.
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+_LOAD_CACHE_MAX = 64
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(_usec_copy(f"{sf_dir}/{table}.parquet"))
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(_usec_copy(path))
+        while len(_LOAD_CACHE) >= _LOAD_CACHE_MAX:
+            _LOAD_CACHE.pop(next(iter(_LOAD_CACHE)))
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def rebalance(df: DataFrame) -> DataFrame:

@@ -909,7 +909,10 @@ def interpolate_missing(spark, sf_dir):
     es_expr = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
     )
-    series = (
+    # persist: the per-user series feeds BOTH the grid-bounds aggregate
+    # and the union's observation branch — without it the scan + groupBy
+    # runs twice (once per consumer)
+    series = scratch_persist(
         load(spark, sf_dir, "events")
         .select(
             "user_id",

@@ -1613,16 +1613,20 @@ def test_spearman_ranks_are_bucket_parallel(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
-def test_mutual_information_broadcasts_marginals(spark):
-    # the joint table is persisted at K-cell size; marginals/totals come
-    # back as broadcast joins and each fact table is scanned exactly once
+def test_mutual_information_is_joinless_window_chain(spark):
+    # r13 rework: marginals and the total attach as window sums over the
+    # K-cell joint relation — ONE lineage per pair, each fact table
+    # scanned exactly once, and NO join of any kind (the old
+    # broadcast-marginal forest launched ~26 jobs per pair). Windows per
+    # pair: (xv), (yv), whole-relation = up to 3 nodes x 2 pairs.
     import re
 
     p = plan(spark, "mutual_information")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
-    assert "CartesianProduct" not in p, p
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in p, (join, p)
+    assert 1 <= len(re.findall(r"\(\d+\) Window", p)) <= 6, p
 
 
 def test_precision_recall_rankings_are_take_ordered(spark):
