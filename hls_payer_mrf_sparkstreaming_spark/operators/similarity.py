@@ -934,26 +934,34 @@ def pq_adc_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _pq_fixed(spark, sf_dir)
-    cb_arr = _pq_codebook(emb)
-    queries = (
-        emb.filter(
-            (F.col("vec_id") >= _ADC_Q_LO) & (F.col("vec_id") < _ADC_Q_HI)
-        )
-        .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
-        .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
+    # codebook AND query set in ONE broadcast row (they partition the
+    # vec_id < _ADC_Q_HI prefix, collect_list skips the CASE's NULLs):
+    # the separate cb_arr/queries aggregates each cost their own
+    # broadcast-build job over the same persisted relation, two serial
+    # barriers where one suffices — element order inside either array is
+    # irrelevant (argmin tie-breaks on cid; queries re-key by q_id)
+    cbq = emb.filter(F.col("vec_id") < _ADC_Q_HI).agg(
+        F.expr(
+            f"collect_list(CASE WHEN vec_id < {_PQ_K} THEN "
+            "struct(vec_id AS cid, x AS cx) END)"
+        ).alias("cbs"),
+        F.expr(
+            f"collect_list(CASE WHEN vec_id >= {_ADC_Q_LO} THEN "
+            "struct(vec_id AS q_id, x AS qx) END)"
+        ).alias("qs"),
     )
     codes = _pq_codes_expr()
     # cid -> cx lookup for ADC reconstruction (map built from the one
     # broadcast codebook row, evaluated in codegen)
     scored = (
-        emb.crossJoin(F.broadcast(cb_arr))
+        emb.crossJoin(F.broadcast(cbq))
         .selectExpr(
             "vec_id",
             f"transform({codes}, s -> s.cid) AS cids",
             "map_from_entries(transform(cbs, c -> struct(c.cid, c.cx))) "
             "AS cbmap",
+            "qs",
         )
-        .crossJoin(F.broadcast(queries))
         .select(
             "vec_id",
             F.explode("qs").alias("q"),

@@ -25,6 +25,7 @@ from hls_payer_mrf_sparkstreaming_spark.plans.silver import (
     build_oon_silver,
     build_silver,
     build_toc_silver,
+    HEADER_KEY_REPORTING_STRUCTURE,
     resolve_remote_provider_groups,
 )
 from hls_payer_mrf_sparkstreaming_spark.sources.datasource import read_payer_mrf
@@ -2149,7 +2150,12 @@ def _toc_manifest_oracle() -> str:
     "parsed exactly once",
 )
 def mrf_toc_manifest(spark, sf_dir):
-    t = build_toc_silver(spark, fixture_toc_path(), chunktargetbytes=65536)
+    t = build_toc_silver(
+        spark,
+        fixture_toc_path(),
+        chunktargetbytes=65536,
+        headerkey=HEADER_KEY_REPORTING_STRUCTURE,
+    )
     return t.file_manifest.groupBy("plan_market_type", "file_kind").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.count_distinct("plan_id").cast("long").alias("n_plans"),
@@ -2213,7 +2219,12 @@ def _toc_shared_files_oracle() -> str:
     "leaves its location-keyed partition",
 )
 def mrf_toc_shared_files(spark, sf_dir):
-    t = build_toc_silver(spark, fixture_toc_path(), chunktargetbytes=65536)
+    t = build_toc_silver(
+        spark,
+        fixture_toc_path(),
+        chunktargetbytes=65536,
+        headerkey=HEADER_KEY_REPORTING_STRUCTURE,
+    )
     per_file = t.file_manifest.groupBy("file_kind", "location").agg(
         F.count("*").alias("np"),
         F.count_distinct("plan_id").alias("npl"),
@@ -2418,7 +2429,12 @@ def _toc_delta_oracle() -> str:
 )
 def mrf_toc_delta(spark, sf_dir):
     def urls(path: str):
-        t = build_toc_silver(spark, path, chunktargetbytes=65536)
+        t = build_toc_silver(
+            spark,
+            path,
+            chunktargetbytes=65536,
+            headerkey=HEADER_KEY_REPORTING_STRUCTURE,
+        )
         return t.file_manifest.select("file_kind", "location").distinct()
 
     a = urls(fixture_toc_path()).withColumn("in_a", F.lit(1))

@@ -552,38 +552,25 @@ def toc_file_manifest(structures: DataFrame) -> DataFrame:
     # in the CMS TOC schema) would otherwise explode to ZERO rows and
     # silently drop its allowed-amounts URL from the manifest.
     ftype = "array<struct<file_kind:string,location:string>>"
-    empty = F.array().cast(ftype)
-    files_arr = F.concat(
-        F.coalesce(
-            F.transform(
-                "in_network_files",
-                lambda f: F.struct(
-                    F.lit("in_network").alias("file_kind"),
-                    f["location"].alias("location"),
-                ),
-            ).cast(ftype),
-            empty,
-        ),
-        F.coalesce(
-            F.when(
-                F.col("allowed_amount_file").isNotNull(),
-                F.array(
-                    F.struct(
-                        F.lit("allowed_amounts").alias("file_kind"),
-                        F.col("allowed_amount_file.location").alias(
-                            "location"
-                        ),
-                    )
-                ),
-            ).otherwise(F.array()).cast(ftype),
-            empty,
-        ),
+    empty = f"CAST(array() AS {ftype})"
+    # one parsed expression (SQL text, see functions/vector.py) — the
+    # Column-API build of this nested transform/when/cast tree cost ~100
+    # py4j round trips per manifest construction
+    files_arr = (
+        "concat("
+        "coalesce(CAST(transform(in_network_files, "
+        "f -> struct('in_network' AS file_kind, f.location AS location)) "
+        f"AS {ftype}), {empty}), "
+        "coalesce(CAST(CASE WHEN allowed_amount_file IS NOT NULL THEN "
+        "array(struct('allowed_amounts' AS file_kind, "
+        "allowed_amount_file.location AS location)) "
+        f"ELSE array() END AS {ftype}), {empty}))"
     )
     return (
-        structures.select(
+        structures.selectExpr(
             "sk_structure_id",
-            F.explode("reporting_plans").alias("p"),
-            files_arr.alias("_files"),
+            "explode(reporting_plans) AS p",
+            f"{files_arr} AS _files",
         )
         .select("sk_structure_id", "p.*", F.explode("_files").alias("f"))
         .select(

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain", default=None)
+    ap.add_argument(
+        "--conf", action="append", default=[], help="extra k=v spark conf"
+    )
     a = ap.parse_args()
 
     from bench import _unpersist_all
@@ -52,6 +55,7 @@ def main() -> None:
         app_name="bench_some",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf=dict(kv.split("=", 1) for kv in a.conf),
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
