@@ -1068,55 +1068,85 @@ def pq_adc_topk(spark, sf_dir):
     description="recall@k of the PQ asymmetric-distance search against "
     "exact fixed-point L2 top-k — the eval that tells you whether the "
     f"{_PQ_M}-byte compression is usable (mirrors ann_recall_eval's "
-    "role for the LSH index). Both rankings shuffle only skinny "
-    "(q_id, vec_id, dist) rows; the corpus is scored twice map-side "
-    "(once exact, once via codes) and never re-partitioned. Exact "
-    "integer distances end to end, so even the recall fractions are "
-    "hash-exact in ppm",
+    "role for the LSH index). ONE corpus pass computes BOTH distances "
+    "(exact and via codes) map-side; the two per-query rankings are "
+    "windows sharing a single q_id exchange of skinny "
+    "(q_id, vec_id, dist, dist) rows, and the recall join disappears — "
+    "a row's membership in both top-k lists is just rn_exact<=k AND "
+    "rn_adc<=k on the same row. Exact integer distances end to end, so "
+    "even the recall fractions are hash-exact in ppm",
 )
 def pq_recall_eval(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _pq_fixed(spark, sf_dir)
-    queries = (
-        emb.filter(
-            (F.col("vec_id") >= _ADC_Q_LO) & (F.col("vec_id") < _ADC_Q_HI)
-        )
-        .select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"))
-        .agg(F.collect_list(F.struct("q_id", "qx")).alias("qs"))
+    # codebook + query set in ONE broadcast row (pq_adc_topk's cbq
+    # shape): r13 fused the formerly separate exact / ADC branches —
+    # each ran its own corpus expansion, its own q_id exchange, and met
+    # in a broadcast join of the whole ADC subquery (13 serial jobs).
+    # Both rankings partition by q_id, so computing both distances in
+    # one projection lets the two windows share ONE exchange and the
+    # final groupBy(q_id) reuses that partitioning (guide §2.4).
+    cbq = emb.filter(F.col("vec_id") < _ADC_Q_HI).agg(
+        F.expr(
+            f"collect_list(CASE WHEN vec_id < {_PQ_K} THEN "
+            "struct(vec_id AS cid, x AS cx) END)"
+        ).alias("cbs"),
+        F.expr(
+            f"collect_list(CASE WHEN vec_id >= {_ADC_Q_LO} THEN "
+            "struct(vec_id AS q_id, x AS qx) END)"
+        ).alias("qs"),
     )
+    codes = _pq_codes_expr()
+    scored = (
+        emb.crossJoin(F.broadcast(cbq))
+        .selectExpr(
+            "vec_id",
+            "x",
+            f"transform({codes}, s -> s.cid) AS cids",
+            "map_from_entries(transform(cbs, c -> struct(c.cid, c.cx))) "
+            "AS cbmap",
+            "qs",
+        )
+        .select(
+            "vec_id",
+            F.explode("qs").alias("q"),
+            "cbmap",
+            "cids",
+            "x",
+        )
+    )
+    subs = []
+    for j in range(_PQ_M):
+        lo = j * _PQ_SUB + 1
+        cx_j = f"element_at(cbmap, element_at(cids, {j + 1}))"
+        subs.append(
+            f"aggregate(zip_with(slice(q.qx, {lo}, {_PQ_SUB}), "
+            f"slice({cx_j}, {lo}, {_PQ_SUB}), (p, r) -> (p - r) * (p - r)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    adc = " + ".join(subs)
     d_exact = (
         "aggregate(zip_with(q.qx, x, (p, r) -> (p - r) * (p - r)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
-    exact_top = (
-        emb.crossJoin(F.broadcast(queries))
-        .select("vec_id", F.explode("qs").alias("q"), "x")
-        .selectExpr(
+    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    w_exact = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    hit = f"CASE WHEN rn_a <= {_ADC_TOPK} THEN 1 END"
+    return (
+        scored.selectExpr(
             "q.q_id AS q_id",
             "vec_id",
+            f"CAST({adc} AS BIGINT) AS adc_dist",
             f"{d_exact} AS d",
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _ADC_TOPK)
-        .select("q_id", "vec_id")
-    )
-    adc_top = pq_adc_topk(spark, sf_dir).select(
-        "q_id", F.col("vec_id").alias("a_vec")
-    )
-    return (
-        exact_top.join(
-            F.broadcast(adc_top),
-            (exact_top.q_id == adc_top.q_id)
-            & (exact_top.vec_id == adc_top.a_vec),
-            "left",
-        )
-        .drop(adc_top.q_id)
+        .withColumn("rn_a", F.row_number().over(w_adc))
+        .withColumn("rn_e", F.row_number().over(w_exact))
+        .filter(F.col("rn_e") <= _ADC_TOPK)
         .groupBy("q_id")
         .agg(
-            F.count("a_vec").cast("long").alias("n_hits"),
-            F.expr(f"count(a_vec) * 1000000 div {_ADC_TOPK}")
+            F.expr(f"count({hit})").cast("long").alias("n_hits"),
+            F.expr(f"count({hit}) * 1000000 div {_ADC_TOPK}")
             .cast("long")
             .alias("recall_ppm"),
         )

@@ -1112,12 +1112,27 @@ def test_token_entropy_shuffles_no_text(spark):
     assert all("text" not in b for b in ex), ex
 
 
-def test_pq_recall_join_is_broadcast(spark):
-    # the two 40-row rankings meet via broadcast; a SortMergeJoin here
-    # would re-sort both ranked sets for no reason
+def test_pq_recall_is_one_pass_two_windows(spark):
+    # r13: ONE corpus pass computes both the exact and the ADC distance;
+    # the two per-query rankings are windows sharing a single q_id
+    # exchange and the recall "join" is rn_exact<=k AND rn_adc<=k on the
+    # same row — no join of ranked sets, no second corpus expansion, and
+    # the final groupBy(q_id) reuses the window partitioning
     p = plan(spark, "pq_recall_eval")
     assert "SortMergeJoin" not in p, p
-    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    assert "ShuffledHashJoin" not in p and "CartesianProduct" not in p, p
+    # the only join is the broadcast of the one-row codebook+query set
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("+- Window (") == 2, p
+    win_ex = [
+        b
+        for b in p.split("\n\n")
+        if b.startswith("(")
+        and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(q_id" in b
+    ]
+    assert len(win_ex) == 1, p
 
 
 def test_target_encoding_broadcasts_stats_never_shuffles_fact(spark):
@@ -1727,14 +1742,18 @@ def test_containment_skew_audit_has_no_join(spark):
     assert "CartesianProduct" not in p, p
 
 
-def test_containment_cap_join_is_broadcast(spark):
-    """dedup_containment's hot-block cap joins the (tiny, usually empty)
-    over-cap block set via broadcast — the corpus must never shuffle for
-    the guard — and the candidate self-join stays key-equi (no
-    cartesian)."""
+def test_containment_cap_rides_the_block_partitioning(spark):
+    """r13: the hot-block cap is a window count over blk — the SAME
+    partitioning the candidate self-join consumes — so the guard adds no
+    count-aggregate pass and no broadcast join, and the persisted capped
+    relation is already blk-partitioned: exactly ONE blk exchange may
+    appear in the whole plan (inside the cached build), never a second
+    one on a join side."""
     p = plan(spark, "dedup_containment")
-    assert "BroadcastHashJoin" in p, p
+    assert "+- Window (" in p, p
     assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("hashpartitioning(blk") == 1, p
 
 
 def test_sketch_only_gram_path_is_codegen(spark):
