@@ -1372,23 +1372,30 @@ _COPURCHASE_TOPK = 20
     "bounded per basket, shuffle carries (part_a, part_b) ids only)",
 )
 def copurchase_pairs(spark, sf_dir):
-    li = (
+    # r13: the distinct + self-join needed three exchanges (the
+    # (orderkey, partkey) distinct, the orderkey-keyed join, the pair
+    # aggregation). Collapsing each basket to ONE sorted distinct-part
+    # array (collect_set partial-aggregates map-side) and generating the
+    # a<b pairs in-row cuts that to two exchanges and drops the join;
+    # the fan-out stays bounded by basket size squared exactly as the
+    # join was (TPC-H baskets <= 7 items), just materialized per row
+    # instead of per join match.
+    baskets = (
         load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pairs.select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")

@@ -891,7 +891,10 @@ def test_overlap_sketch_shuffles_bucket_minima(spark):
     p = plan(spark, "corpus_overlap_sketch")
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
-    assert "ExistingRDD" in p, p  # the snapshot local relation
+    # the snapshot arrives as a parsed VALUES literal (LocalTableScan),
+    # never a py4j-serialized RDD (r13: ExistingRDD -> local relation)
+    assert "LocalTableScan" in p, p
+    assert "ExistingRDD" not in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert runtime_generates(p) <= 1, p  # the gram explode, nothing else
 
@@ -922,14 +925,18 @@ def test_overlap_sketch_shuffles_bucket_minima(spark):
 
 def test_lsh_recall_truth_is_block_equijoin(spark):
     # the exact-truth side must pair docs via an equi-join on the
-    # (lang, bucket) block key, and the hit count must be a semi-join of
-    # id pairs — no cartesian anywhere, no Python
+    # (lang, bucket) block key, and n_true/n_hit must come from ONE
+    # aggregate over a single left outer join of id pairs against the
+    # unique-pair edge list (r13: the separate semi-join pass and the
+    # truth persist are gone) — no cartesian of data relations, no Python
     from hls_payer_mrf_sparkstreaming_spark.operators import dedup
 
     dedup.clear_edge_cache()
     p = plan(spark, "lsh_edge_recall")
     assert "CartesianProduct" not in p, p
-    assert "LeftSemi" in p, p
+    assert "LeftOuter" in p, p
+    assert "LeftSemi" not in p, p
+    assert "InMemoryTableScan" in p, p  # truth sides read the doc cache
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
