@@ -486,7 +486,10 @@ def text_bigram_logprob(spark, sf_dir):
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    uni = (
+    # persisted: BOTH broadcast sides of the LM join (w1 counts, w2
+    # membership) read the top-V vocabulary, and without materialization
+    # each broadcast build re-ran the corpus token count + TakeOrdered
+    uni = scratch_persist(
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c1"))
@@ -511,7 +514,12 @@ def text_bigram_logprob(spark, sf_dir):
             .alias("lp"),
         )
     )
-    tot = pairs.agg(F.count("*").cast("long").alias("total"))
+    # pair count == sum(size - 1) over the kept docs: computable from the
+    # pre-explode relation, so the total no longer re-runs the bigram
+    # explode (one corpus pass fewer)
+    tot = toks.agg(
+        F.sum(F.size("toks") - 1).cast("long").alias("total")
+    )
     oov = F.floor(F.log(0.5 / F.col("total")) * _NANO).cast("long")
     s = (
         pairs.crossJoin(F.broadcast(tot))

@@ -1779,25 +1779,34 @@ def token_cooccurrence_lift(spark, sf_dir):
     "crosses the wire; exact integer ppm output",
 )
 def ngram_novelty_score(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = rebalance(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     grams = docs.select(
         "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
     )
-    grams = scratch_persist(grams)
-    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # r13 (the intra_corpus_dup_ngrams shape): the first-owner used to be
+    # a separate groupBy-h over a persisted gram cache joined back by
+    # digest; a whole-partition MIN window over the digest key attaches
+    # it inline, so the lineage is one explode -> one digest-keyed
+    # exchange -> one doc_id aggregation, no persist and no join. Skew
+    # exposure is unchanged (a hot gram occupies one window group exactly
+    # as it occupied one join key).
+    first = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        grams.join(first_seen, "h")
+        grams.select("doc_id", (first == F.col("doc_id")).alias("is_novel"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.count_if(F.col("first_doc") == F.col("doc_id"))
-            .cast("long")
-            .alias("n_novel"),
-            F.expr(
-                "count_if(first_doc = doc_id) * 1000000 div count(*)"
-            )
+            F.count_if(F.col("is_novel")).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_grams")
             .cast("long")
             .alias("novelty_ppm"),
         )

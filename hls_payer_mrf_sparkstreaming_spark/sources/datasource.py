@@ -729,6 +729,38 @@ def build_manifest_distributed(
     return manifest_path
 
 
+# Reader-plan cache, the read_payer_mrf twin of operators.suite.load's:
+# constructing a Python DataSource reader costs a DataFrameReader py4j
+# round trip plus the datasource's schema/plan handshake on every call —
+# pure driver overhead the silver/TOC query family pays 1-2x per query
+# construction. The cache holds the immutable DataFrame (a LOGICAL PLAN,
+# no data): every action still re-runs discovery partitions and reads the
+# file bytes, so nothing about bench/oracle timing semantics changes.
+# Keyed by (session, path, options, input-file stat signature) so a
+# rewritten fixture or changed option builds a fresh reader; unstatable
+# (remote) inputs skip the cache entirely.
+_READER_CACHE: dict[tuple, object] = {}
+_READER_CACHE_MAX = 64
+
+
+def _reader_cache_key(spark, path: str, opt_l: dict):
+    try:
+        paths = mrf_io.resolve_input_paths(
+            path, opt_l.get("decompressdir")
+        )
+        stat_sig = tuple(
+            (p, os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in paths
+        )
+    except Exception:
+        return None
+    return (
+        spark.sparkContext.applicationId,
+        path,
+        tuple(sorted((k, str(v)) for k, v in opt_l.items())),
+        stat_sig,
+    )
+
+
 def read_payer_mrf(spark, path: str, **options):
     """Batch-read MRF file(s) into the 3-column bronze DataFrame.
 
@@ -782,10 +814,18 @@ def read_payer_mrf(spark, path: str, **options):
                         spark, paths, mpath, chunk_target, buffersize
                     )
                 opt_l["manifestfile"] = mpath
+    key = _reader_cache_key(spark, path, opt_l)
+    if key is not None and key in _READER_CACHE:
+        return _READER_CACHE[key]
     reader = spark.read.format(FORMAT_NAME)
     for k, v in opt_l.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    if key is not None:
+        while len(_READER_CACHE) >= _READER_CACHE_MAX:
+            _READER_CACHE.pop(next(iter(_READER_CACHE)))
+        _READER_CACHE[key] = df
+    return df
 
 
 def stream_payer_mrf(spark, path: str, **options):
