@@ -3115,35 +3115,30 @@ def _ri_oracle() -> str:
     "report is five rows regardless of corpus size",
 )
 def referential_integrity_audit(spark, sf_dir):
-    rows = []
+    # r13: the three separate aggregates per relationship (child count,
+    # anti-join orphan count, null-key count) scanned the child table
+    # three times and crossJoined three single-row relations; one LEFT
+    # join against the parent's DISTINCT keys preserves child cardinality
+    # even under duplicate parent keys (the degenerate sweep ships them),
+    # so all three counts come from ONE conditional aggregate over one
+    # child scan. The whole 5-branch union is one parameterized spark.sql
+    # call — the Column-API loop cost ~300 py4j round trips per build.
+    parts = []
+    tables = {}
     for name, child, ck, parent, pk in _RI_RELATIONSHIPS:
-        c = load(spark, sf_dir, child)
-        p = load(spark, sf_dir, parent)
-        n_child = c.agg(F.count("*").cast("long").alias("n"))
-        orphans = (
-            c.filter(F.col(ck).isNotNull())
-            .join(p, c[ck] == p[pk], "left_anti")
-            .agg(F.count("*").cast("long").alias("n"))
+        tables[child] = load(spark, sf_dir, child)
+        tables[parent] = load(spark, sf_dir, parent)
+        parts.append(
+            f"SELECT '{name}' AS relationship,"
+            " CAST(count(*) AS BIGINT) AS n_child_rows,"
+            f" CAST(count_if(c.{ck} IS NOT NULL AND p.__pk IS NULL)"
+            " AS BIGINT) AS n_orphans,"
+            f" CAST(count_if(c.{ck} IS NULL) AS BIGINT) AS n_null_keys"
+            f" FROM {{{child}}} c LEFT JOIN"
+            f" (SELECT DISTINCT {pk} AS __pk FROM {{{parent}}}) p"
+            f" ON c.{ck} = p.__pk"
         )
-        nulls = c.filter(F.col(ck).isNull()).agg(
-            F.count("*").cast("long").alias("n")
-        )
-        rows.append(
-            n_child.crossJoin(
-                orphans.withColumnRenamed("n", "n_orphans")
-            )
-            .crossJoin(nulls.withColumnRenamed("n", "n_null_keys"))
-            .select(
-                F.lit(name).alias("relationship"),
-                F.col("n").alias("n_child_rows"),
-                "n_orphans",
-                "n_null_keys",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return spark.sql(" UNION ALL ".join(parts), **tables)
 
 
 # ---------------------------------------------------------------------------
@@ -3195,22 +3190,26 @@ def _pk_oracle() -> str:
     "eight rows at any corpus size",
 )
 def pk_uniqueness_audit(spark, sf_dir):
-    rows = []
+    # coalesce the sums so an EMPTY table reports 0/0 like the oracle's
+    # count(*)-based form (max_multiplicity stays NULL on both engines)
+    # — ungrouped sum over zero rows is NULL in Spark. The whole 8-branch
+    # union is ONE parameterized spark.sql call ({t} template args bind
+    # the cached reader plans): the Column-API loop cost ~350 py4j round
+    # trips per construction (profiled ~0.3-0.9 s of driver wall), the
+    # single parse costs one
+    parts = []
     for t, keys in _PK_KEYS:
-        d = load(spark, sf_dir, t)
-        per_key = d.groupBy(*keys).agg(F.count("*").alias("c"))
-        # coalesce the sums so an EMPTY table reports 0/0 like the
-        # oracle's count(*)-based form (max_multiplicity stays NULL on
-        # both engines) — ungrouped sum over zero rows is NULL in Spark
-        agg = per_key.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
-            F.coalesce(F.sum("c") - F.count("*"), F.lit(0))
-            .cast("long")
-            .alias("n_excess_rows"),
-            F.max("c").cast("long").alias("max_multiplicity"),
+        kexpr = ", ".join(keys)
+        parts.append(
+            f"SELECT '{t}' AS tbl,"
+            " CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,"
+            " CAST(coalesce(sum(c) - count(*), 0) AS BIGINT)"
+            " AS n_excess_rows,"
+            " CAST(max(c) AS BIGINT) AS max_multiplicity"
+            f" FROM (SELECT count(*) AS c FROM {{{t}}}"
+            f" GROUP BY {kexpr}) {t}_per_key"
         )
-        rows.append(agg.select(F.lit(t).alias("tbl"), "*"))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return spark.sql(
+        " UNION ALL ".join(parts),
+        **{t: load(spark, sf_dir, t) for t, _ in _PK_KEYS},
+    )
