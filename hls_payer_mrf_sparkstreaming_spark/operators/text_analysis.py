@@ -2470,27 +2470,24 @@ _BPE_STEPS = 3
 
 
 def _bpe_pair_top1(wdf):
-    s = F.filter(F.split("seq", " "), lambda x: x != F.lit(""))
+    # expression text, not Column lambdas. NOTE (r13, measured): a
+    # single parameterized spark.sql per step is NOT cheaper here —
+    # SQLStringFormatter registers and drops a temp view per DataFrame
+    # argument (dropTempView alone profiled ~0.6 s per query build
+    # across the 5 calls), so the method chain stays
     pairs = (
-        wdf.select(s.alias("s"), "wc")
-        .filter(F.size("s") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("s") - 1),
-                    lambda i: F.concat(
-                        F.element_at(F.col("s"), i),
-                        F.lit(" "),
-                        F.element_at(F.col("s"), i + 1),
-                    ),
-                )
-            ).alias("pair"),
+        wdf.selectExpr("filter(split(seq, ' '), x -> x != '') AS s", "wc")
+        .filter("size(s) >= 2")
+        .selectExpr(
+            "explode(transform(sequence(1, size(s) - 1), "
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1))))"
+            " AS pair",
             "wc",
         )
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .agg(F.expr("CAST(sum(wc) AS BIGINT)").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "pair")
         .limit(1)
     )
@@ -2579,26 +2576,17 @@ def bpe_train_steps(spark, sf_dir):
     for k in range(1, _BPE_STEPS + 1):
         p = _bpe_pair_top1(w).transform(scratch_persist)
         steps.append(
-            p.select(
-                F.lit(k).cast("int").alias("step"),
+            p.selectExpr(
+                f"CAST({k} AS INT) AS step",
                 "pair",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
-                    "merged"
-                ),
+                "replace(pair, ' ', '') AS merged",
                 "pair_count",
             )
         )
         if k < _BPE_STEPS:
-            w = w.crossJoin(F.broadcast(p)).select(
-                F.replace(
-                    F.col("seq"),
-                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-                        F.lit(" "),
-                    ),
-                ).alias("seq"),
+            w = w.crossJoin(F.broadcast(p)).selectExpr(
+                "replace(seq, concat(' ', pair, ' '), "
+                "concat(' ', replace(pair, ' ', ''), ' ')) AS seq",
                 "wc",
             )
     out = steps[0]
