@@ -318,12 +318,21 @@ def ngram_counts(spark, sf_dir):
     "are the vocab count and the per-doc re-aggregation",
 )
 def unigram_logprob_score(spark, sf_dir):
-    t = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .transform(scratch_persist)
+    # r13 (the text_bigram_logprob discipline): the raw (doc_id, tok)
+    # stream is corpus-sized — persisting it materialized the whole
+    # token explosion just to serve three consumers. The vocab count and
+    # the scoring pass each recompute the explode from the columnar scan
+    # instead (cheap, codegen), and the token total comes from the
+    # pre-explode relation, so nothing corpus-sized is ever cached.
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    tot = t.agg(F.count("*").cast("long").alias("total"))
+    tot = docs.agg(
+        F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0))
+        .cast("long")
+        .alias("total")
+    )
     v = (
         t.groupBy("tok")
         .agg(F.count("*").alias("cnt"))

@@ -890,29 +890,48 @@ def _entropy_sql(table: str, col: str) -> str:
     "100 TB each branch is a map-side count",
 )
 def column_entropy(spark, sf_dir):
-    def ent(df, col: str, label: str):
-        counts = df.groupBy(col).agg(F.count("*").alias("c"))
-        tot = df.agg(F.count("*").alias("n"))
-        p = F.col("c").cast("double") / F.col("n")
-        return (
-            counts.crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(label).alias("column_name"),
-                F.floor(-p * F.log(p) * _NANO).cast("long").alias("term"),
-            )
-            .groupBy("column_name")
-            .agg(
-                F.count("*").cast("long").alias("n_categories"),
-                F.sum("term").cast("long").alias("entropy_nano"),
-            )
-        )
+    from pyspark.sql import Window
 
+    # r13: each branch used to scan its fact twice (category counts +
+    # the broadcast single-row total, 6 scans across the union); both
+    # documents columns now ride ONE scan as an exploded (column, value)
+    # stream that partial-aggregates immediately, and the per-column
+    # total attaches as a window sum over the K-category relation (the
+    # mutual_information/chi_square shape) — 2 scans, no joins. The
+    # floored term is the same expression over the same operands, so the
+    # driver hash is unchanged.
     docs = load(spark, sf_dir, "documents")
     ev = load(spark, sf_dir, "events")
+    d2 = docs.selectExpr(
+        "explode(array("
+        "struct('documents.lang' AS column_name, lang AS v), "
+        "struct('documents.source' AS column_name, source AS v)"
+        ")) AS a"
+    ).select("a.*")
+    e1 = ev.selectExpr(
+        "'events.event_type' AS column_name", "event_type AS v"
+    )
+    counts = (
+        d2.unionAll(e1)
+        .groupBy("column_name", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    cw = counts.select(
+        "column_name",
+        "c",
+        F.sum("c").over(Window.partitionBy("column_name")).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
     return (
-        ent(docs, "lang", "documents.lang")
-        .unionAll(ent(docs, "source", "documents.source"))
-        .unionAll(ent(ev, "event_type", "events.event_type"))
+        cw.select(
+            "column_name",
+            F.floor(-p * F.log(p) * _NANO).cast("long").alias("term"),
+        )
+        .groupBy("column_name")
+        .agg(
+            F.count("*").cast("long").alias("n_categories"),
+            F.sum("term").cast("long").alias("entropy_nano"),
+        )
     )
 
 
@@ -1271,57 +1290,62 @@ def gini_by_segment(spark, sf_dir):
     "them; raw rows are touched exactly once regardless of scale",
 )
 def chi_square_independence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    # r13 (the mutual_information shape, 24 -> 2 jobs): the marginal
+    # tables, total and dims used to branch off a persisted contingency
+    # aggregate as five broadcast-build jobs joined back onto it; they
+    # now attach as window sums over the SAME K-cell relation (partition
+    # lang / partition source / whole-relation — all K-row inputs), and
+    # nr/nc fold into the final aggregate as distinct counts. Every
+    # floored double term is computed by the same expression over the
+    # same operands, so the driver hash is unchanged. One lineage, no
+    # joins, no persist.
     cells = (
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").cast("long").alias("o"))
-        # rr, cc, tot, dims and terms all branch off the contingency
-        # aggregate; persist it (mirroring mutual_information's joint
-        # histogram) or the documents fact is re-scanned ~5 times
-        .transform(scratch_persist)
     )
-    rr = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
-    cc = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
-    dims = rr.agg(F.count("*").cast("long").alias("nr")).crossJoin(
-        cc.agg(F.count("*").cast("long").alias("nc"))
+    cellsw = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("o").over(Window.partitionBy("source")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
     )
-    terms = (
-        cells.join(F.broadcast(rr), "lang")
-        .join(F.broadcast(cc), "source")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.floor(
-                (F.col("o").cast("double") * F.col("n")
-                 - F.col("r").cast("double") * F.col("c"))
-                * (F.col("o").cast("double") * F.col("n")
-                   - F.col("r").cast("double") * F.col("c"))
-                / (F.col("n").cast("double") * F.col("r") * F.col("c"))
-                * _NANO
-            )
-            .cast("long")
-            .alias("term_nano")
+    term = (
+        F.floor(
+            (F.col("o").cast("double") * F.col("n")
+             - F.col("r").cast("double") * F.col("c"))
+            * (F.col("o").cast("double") * F.col("n")
+               - F.col("r").cast("double") * F.col("c"))
+            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+            * _NANO
         )
+        .cast("long")
+        .alias("term_nano")
     )
-    agg = terms.agg(F.sum("term_nano").cast("long").alias("chi2_nano"))
-    return (
-        agg.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(dims))
-        .select(
-            "n",
-            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
-            "chi2_nano",
-            F.floor(
-                F.sqrt(
-                    F.col("chi2_nano").cast("double") / _NANO
-                    / (F.col("n").cast("double")
-                       * F.least(F.col("nr") - 1, F.col("nc") - 1))
-                )
-                * _NANO
+    agg = cellsw.select("lang", "source", "n", term).agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("lang").cast("long").alias("nr"),
+        F.count_distinct("source").cast("long").alias("nc"),
+        F.sum("term_nano").cast("long").alias("chi2_nano"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        "chi2_nano",
+        F.floor(
+            F.sqrt(
+                F.col("chi2_nano").cast("double") / _NANO
+                / (F.col("n").cast("double")
+                   * F.least(F.col("nr") - 1, F.col("nc") - 1))
             )
-            .cast("long")
-            .alias("cramers_v_nano"),
+            * _NANO
         )
+        .cast("long")
+        .alias("cramers_v_nano"),
     )
 
 

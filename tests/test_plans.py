@@ -1027,12 +1027,16 @@ def test_bigram_lm_joins_are_broadcast(spark):
 
 
 def test_column_entropy_never_shuffles_raw_rows(spark):
-    # each branch: partial-agg groupBy to K category rows + broadcast
-    # single-row total; the only nested-loop join allowed is that
-    # single-row total attach
+    # one exploded (column, value) stream partial-aggregates to K
+    # category rows before any exchange; per-column totals attach as a
+    # window sum over that K-row relation (r13) — no join of any kind,
+    # documents scanned once for both of its columns
+    import re
+
     p = plan(spark, "column_entropy")
-    assert "SortMergeJoin" not in p, p
-    assert p.count("HashAggregate") >= 6, p  # partial+final per branch
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final, two tiers
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
 
 
 def test_quantile_normalize_is_one_exchange_no_join(spark):
@@ -1378,12 +1382,18 @@ def test_simhash_hamming_joins_on_band_key(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
 
 
-def test_chi_square_broadcasts_marginals(spark):
-    # contingency cells reduce first (partial agg); the marginal and
-    # grand-total tables join back as broadcasts, raw rows scanned once
+def test_chi_square_is_joinless_window_chain(spark):
+    # contingency cells reduce first (partial agg); marginals and the
+    # grand total attach as window sums over the SAME K-cell relation
+    # (r13, the mutual_information shape) — no join of any kind, raw
+    # rows scanned once
     p = plan(spark, "chi_square_independence")
-    assert "BroadcastExchange" in p, p
+    assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
+    assert p.count("Window") >= 2, p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
 
 
 def test_ab_test_single_user_shuffle(spark):
