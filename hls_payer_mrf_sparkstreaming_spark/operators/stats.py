@@ -822,30 +822,25 @@ def join_size_estimate(spark, sf_dir):
         .groupBy((F.col("user_id") % 1000).alias("k"))
         .agg(F.count("*").cast("long").alias("nb"))
     )
-    j = a.join(b, "k").select(
-        (F.col("na") * F.col("nb")).alias("prod")
+    # r13: n_keys_a / n_keys_b used to re-aggregate each fact into two
+    # extra broadcast-build jobs; a FULL OUTER join of the (unique-key)
+    # count relations yields every statistic from ONE aggregate — per
+    # side count = non-null side rows, shared = both present, and the
+    # na*nb product is NULL unless both sides match, exactly the inner
+    # join's term set. Each fact is aggregated once.
+    j = a.join(b, "k", "full_outer").select(
+        "na", "nb", (F.col("na") * F.col("nb")).alias("prod")
     )
-    counts_a = a.agg(F.count("*").cast("long").alias("n_keys_a"))
-    counts_b = b.agg(F.count("*").cast("long").alias("n_keys_b"))
-    return (
-        j.agg(
-            F.count("*").cast("long").alias("n_shared_keys"),
-            F.coalesce(F.sum("prod"), F.lit(0))
-            .cast("long")
-            .alias("predicted_rows"),
-            F.coalesce(F.max("prod"), F.lit(0))
-            .cast("long")
-            .alias("max_key_rows"),
-        )
-        .crossJoin(F.broadcast(counts_a))
-        .crossJoin(F.broadcast(counts_b))
-        .select(
-            "n_keys_a",
-            "n_keys_b",
-            "n_shared_keys",
-            "predicted_rows",
-            "max_key_rows",
-        )
+    return j.agg(
+        F.count("na").cast("long").alias("n_keys_a"),
+        F.count("nb").cast("long").alias("n_keys_b"),
+        F.count("prod").cast("long").alias("n_shared_keys"),
+        F.coalesce(F.sum("prod"), F.lit(0))
+        .cast("long")
+        .alias("predicted_rows"),
+        F.coalesce(F.max("prod"), F.lit(0))
+        .cast("long")
+        .alias("max_key_rows"),
     )
 
 

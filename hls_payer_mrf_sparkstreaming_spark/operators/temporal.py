@@ -321,34 +321,60 @@ def scd2_intervals(spark, sf_dir):
     "expressed so no stage ever materializes per-user event lists",
 )
 def event_funnel(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+    from pyspark.sql import Window
+
+    # r13: the three stage groupBys chained by user_id joins plus three
+    # crossJoined count aggregates replanned the earlier stages' subtrees
+    # repeatedly (12 jobs, events subtree instantiated up to 6x in the
+    # final plan); the strict-ordering recurrence instead runs as three
+    # conditional MIN windows over ONE user-partitioned pass — each
+    # stage's anchor is constant per partition, so `ts > anchor` inside
+    # the next window reproduces the join-then-filter exactly, including
+    # the NULL (user never reached the stage) propagation. One scan with
+    # the stage-type In-filter pushed, one exchange, no joins.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        v.agg(F.count("*").cast("long").alias("n_view_users"))
-        .crossJoin(
-            c.agg(F.count("*").cast("long").alias("n_click_users"))
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.withColumn(
+            "v_ts",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
         )
-        .crossJoin(
-            p.agg(F.count("*").cast("long").alias("n_purchase_users"))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("v_ts").cast("long").alias("n_view_users"),
+        F.count("c_ts").cast("long").alias("n_click_users"),
+        F.count("p_ts").cast("long").alias("n_purchase_users"),
     )
 
 

@@ -1698,6 +1698,15 @@ _PMI_TOPV = 32  # co-occurrence is computed over the top-V vocab only
     "scalar row — document text never shuffles",
 )
 def token_cooccurrence_lift(spark, sf_dir):
+    # r13, measured and REJECTED (interleaved A/B): collapsing each
+    # doc's top-V tokens to a sorted struct array with in-row a<b pair
+    # generation (the copurchase_pairs shape) ran 2.2 -> 3.2 s — at
+    # V=32 the 496-pair interpreted transform-in-transform lambda costs
+    # more than the SMJ self-join it replaces (CodegenFallback, the r11
+    # gram-hash lesson); copurchase wins the same trade only because
+    # TPC-H baskets are <= 7 items. Dropping the toks persist also
+    # measured slower (the array_distinct explode is the dominant cost
+    # and would run twice). Shape kept as is.
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")

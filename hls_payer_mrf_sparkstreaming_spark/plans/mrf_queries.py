@@ -943,6 +943,13 @@ def mrf_rate_outliers(spark, sf_dir):
             .alias("cents"),
         )
     )
+    # r13: the med/mad relations used to be filter-then-join branches
+    # whose subtrees replanned the earlier windows per join side; each
+    # median instead attaches inline as a window MAX of the single
+    # rank-selected value over the SAME billing_code partitioning (the
+    # selected element is unique per partition, so max picks exactly the
+    # old join value, ties in the sort included). One lineage, one
+    # exchange, two sorts, zero joins.
     wcode = Window.partitionBy("billing_code")
     ranked = c.select(
         "billing_code",
@@ -950,37 +957,46 @@ def mrf_rate_outliers(spark, sf_dir):
         F.row_number().over(wcode.orderBy("cents")).alias("rn"),
         F.count("*").over(wcode).alias("n"),
     )
-    med = ranked.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("billing_code", F.col("cents").alias("med_cents"))
-    dev = c.join(med, "billing_code").select(
+    dev = ranked.select(
+        "billing_code",
+        "cents",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .over(wcode)
+        .alias("med_cents"),
+    ).select(
         "billing_code",
         "med_cents",
         F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
     )
     dranked = dev.select(
         "billing_code",
+        "med_cents",
         "d",
         F.row_number().over(wcode.orderBy("d")).alias("rn"),
         F.count("*").over(wcode).alias("n"),
     )
-    mad = dranked.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("billing_code", F.col("d").alias("mad_cents"))
-    return (
-        dev.join(mad, "billing_code")
-        .groupBy("billing_code")
-        .agg(
-            F.count("*").cast("long").alias("n_prices"),
-            F.max("med_cents").cast("long").alias("med_cents"),
-            F.max("mad_cents").cast("long").alias("mad_cents"),
-            F.sum(
-                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers"),
-            F.max("d").cast("long").alias("max_abs_dev_cents"),
+    withmad = dranked.select(
+        "billing_code",
+        "med_cents",
+        "d",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d"))
         )
+        .over(wcode)
+        .alias("mad_cents"),
+    )
+    return withmad.groupBy("billing_code").agg(
+        F.count("*").cast("long").alias("n_prices"),
+        F.max("med_cents").cast("long").alias("med_cents"),
+        F.max("mad_cents").cast("long").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("d").cast("long").alias("max_abs_dev_cents"),
     )
 
 

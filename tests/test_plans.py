@@ -586,11 +586,15 @@ def test_driver_window_self_rotation_invariants():
 
 
 def test_event_funnel_shuffles_only_stage_subsets(spark):
-    # each funnel stage filters its event type before any shuffle: the
-    # pushed filters must include all three stage predicates
+    # the stage-type restriction must reach the ONE scan as a pushed
+    # In-filter (r13: three per-stage scans + user_id joins became one
+    # user-partitioned window pass), and no join may remain
+    import re
+
     p = plan(spark, "event_funnel")
-    for stage in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{stage})" in p, stage
+    assert re.search(r"In\(event_type, \[[^\]]*view", p), p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
 
 
 def test_pq_encode_is_broadcast_only(spark):
