@@ -673,37 +673,49 @@ def ann_recall_eval(spark, sf_dir):
         F.col("ev").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
+    # r13: the exact and LSH sides each re-ran the corpus parse + q
+    # scoring and met in a pair join; the LSH candidate set is a SUBSET
+    # of the exact all-pairs set, so ONE crossJoin pass (which the exact
+    # twin already pays by design) carries an in-bucket flag, the two
+    # top-K ranks come from two windows over the same qid partitioning,
+    # and the hit test is row-local — one corpus scan, no pair join.
+    # Identical sim expression and tie-breaks, so rows are unchanged.
     sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
-    w = Window.partitionBy("qid").orderBy(
+    w_ex = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("vec_id")
     )
-
-    def topk(scored):
-        return (
-            scored.select("qid", "vec_id", sim.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _RECALL_K)
-            .select("qid", "vec_id")
-        )
-
-    ex = topk(
-        e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    w_ls = Window.partitionBy("qid", "in_bucket").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
     )
-    ls = topk(
-        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
-            F.col("vec_id") != F.col("qid")
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.alias("sim"),
+            (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "in_bucket",
+            F.row_number().over(w_ex).alias("ex_rn"),
+            F.row_number().over(w_ls).alias("ls_rn"),
         )
     )
-    hit = ls.withColumn("hit", F.lit(1))
+    in_ex = F.col("ex_rn") <= _RECALL_K
+    in_ls = F.col("in_bucket") & (F.col("ls_rn") <= _RECALL_K)
     return (
-        ex.join(hit, ["qid", "vec_id"], "left")
+        scored.filter(in_ex)
+        .select("qid", in_ls.alias("hit"))
         .groupBy(F.col("qid").alias("query_id"))
         .agg(
             F.count("*").cast("long").alias("n_exact"),
-            F.count("hit").cast("long").alias("n_hits"),
-            F.expr("CAST(count(hit) * 1000000 DIV count(*) AS LONG)").alias(
-                "recall_ppm"
-            ),
+            F.count_if(F.col("hit")).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(count_if(hit) * 1000000 DIV count(*) AS LONG)"
+            ).alias("recall_ppm"),
         )
     )
 
