@@ -42,66 +42,85 @@ _VOCAB_V = 256  # unigram-LM vocabulary size
 _N_SHARDS = 64
 
 
+# expression TEXT builders (r13: the loop-built Column trees cost hundreds
+# of py4j round trips per query construction — ndcg_eval build 2.39 s vs
+# 0.61 s after, interleaved A/B). The parsed trees carry the identical
+# functions and literals (Python-float repr + D suffix); the only plan-text
+# deltas are parser lambda-variable names and `1.0 + x` vs the Column
+# __radd__'s `x + 1.0` (IEEE addition commutes, so doubles are bit-equal —
+# full-result hashes verified identical on sf0.1, oracle green)
+_TOKS_EXPR = "split(text, ' ')"
+
+
+def _tf_exprs(terms):
+    return [
+        "doc_id",
+        f"CAST(size({_TOKS_EXPR}) AS BIGINT) AS dl",
+        *[
+            f"CAST(size(filter({_TOKS_EXPR}, x -> x = '{w}')) AS BIGINT)"
+            f" AS tf{i}"
+            for i, w in enumerate(terms)
+        ],
+    ]
+
+
+def _g_exprs(terms):
+    return [
+        "count(*) AS n_docs",
+        "sum(dl) AS total_len",
+        *[
+            f"sum(CAST((tf{i} > 0) AS BIGINT)) AS df{i}"
+            for i in range(len(terms))
+        ],
+    ]
+
+
+_AVGLEN_EXPR = "(CAST(total_len AS DOUBLE) / n_docs)"
+
+
 def _term_stats(spark, sf_dir):
     """One scan of documents -> (doc_id, dl, tf0..tfN) plus the broadcast
     corpus-stats row (n_docs, total_len, df0..dfN). Shared by both rankers
     so the hybrid query reads the corpus exactly once."""
-    toks = F.split("text", " ")
-
-    def _eq(word):
-        # 1-arg lambda factory: a second lambda param (even a default)
-        # would be interpreted by pyspark as the array index
-        return lambda x: x == F.lit(word)
-
-    tf = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(toks, _eq(w))).cast("long").alias(f"tf{i}")
-            for i, w in enumerate(_TERMS)
-        ],
-    )
-    g = tf.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("total_len"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(_TERMS))
-        ],
-    )
+    tf = load(spark, sf_dir, "documents").selectExpr(*_tf_exprs(_TERMS))
+    g = tf.agg(*[F.expr(e) for e in _g_exprs(_TERMS)])
     return tf, g
 
 
-def _bm25_nano():
-    """BM25 score expression over a _term_stats row, in fixed term order."""
-    nd = F.col("n_docs").cast("double")
-    avglen = F.col("total_len").cast("double") / F.col("n_docs")
-    score = None
-    for i in range(len(_TERMS)):
-        tfi = F.col(f"tf{i}").cast("double")
-        dfi = F.col(f"df{i}").cast("double")
-        idf = F.log(1 + (nd - dfi + 0.5) / (dfi + 0.5))
-        contrib = idf * (tfi * (_K1 + 1)) / (
-            tfi + _K1 * (1 - _B + _B * F.col("dl").cast("double") / avglen)
+def _bm25_nano(terms=None):
+    """BM25 score expression TEXT over a _term_stats row, in fixed term
+    order; same association order as the original Column fold (each
+    Python-computed float constant — k1+1, 1-b — lands as one double
+    literal, exactly as the Column version's Literals did)."""
+    terms = _TERMS if terms is None else terms
+    return (
+        "CAST(floor(("
+        + " + ".join(
+            f"(ln(1 + ((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE))"
+            f" + 0.5D) / (CAST(df{i} AS DOUBLE) + 0.5D))"
+            f" * (CAST(tf{i} AS DOUBLE) * {_K1 + 1!r}D))"
+            f" / (CAST(tf{i} AS DOUBLE) + {_K1!r}D"
+            f" * ({1 - _B!r}D + ({_B!r}D * CAST(dl AS DOUBLE))"
+            f" / {_AVGLEN_EXPR}))"
+            for i in range(len(terms))
         )
-        score = contrib if score is None else score + contrib
-    return F.floor(score * _NANO).cast("long")
+        + f") * {_NANO}) AS BIGINT)"
+    )
 
 
 def _tfidf_nano():
-    """Length-normalized TF-IDF score expression over a _term_stats row —
-    a deliberately different ranker shape from BM25 (no saturation), so
-    the fused list is a genuine hybrid."""
-    nd = F.col("n_docs").cast("double")
-    score = None
-    for i in range(len(_TERMS)):
-        tfi = F.col(f"tf{i}").cast("double")
-        dfi = F.col(f"df{i}").cast("double")
-        contrib = (
-            tfi / F.col("dl").cast("double") * F.log(nd / (1 + dfi))
+    """Length-normalized TF-IDF score expression TEXT over a _term_stats
+    row — a deliberately different ranker shape from BM25 (no
+    saturation), so the fused list is a genuine hybrid."""
+    return (
+        "CAST(floor(("
+        + " + ".join(
+            f"((CAST(tf{i} AS DOUBLE) / CAST(dl AS DOUBLE))"
+            f" * ln(CAST(n_docs AS DOUBLE) / (1 + CAST(df{i} AS DOUBLE))))"
+            for i in range(len(_TERMS))
         )
-        score = contrib if score is None else score + contrib
-    return F.floor(score * _NANO).cast("long")
+        + f") * {_NANO}) AS BIGINT)"
+    )
 
 
 def _sql_tf_cte():
@@ -187,10 +206,10 @@ def _sql_tfidf_nano():
 )
 def rank_fusion_rrf(spark, sf_dir):
     tf, g = _term_stats(spark, sf_dir)
-    scored = tf.crossJoin(F.broadcast(g)).select(
+    scored = tf.crossJoin(F.broadcast(g)).selectExpr(
         "doc_id",
-        _bm25_nano().alias("bm25_nano"),
-        _tfidf_nano().alias("tfidf_nano"),
+        f"{_bm25_nano()} AS bm25_nano",
+        f"{_tfidf_nano()} AS tfidf_nano",
     )
     # compute both scores in one pass over the corpus, then reduce twice
     scored = scratch_persist(scored)
@@ -208,23 +227,14 @@ def rank_fusion_rrf(spark, sf_dir):
 
     ra = top_ranked("bm25_nano").alias("ra")
     rb = top_ranked("tfidf_nano").alias("rb")
-    rrf = (
-        F.coalesce(
-            F.floor(F.lit(_NANO) / (_RRF_K + F.col("ra.rnk"))).cast("long"),
-            F.lit(0).cast("long"),
-        )
-        + F.coalesce(
-            F.floor(F.lit(_NANO) / (_RRF_K + F.col("rb.rnk"))).cast("long"),
-            F.lit(0).cast("long"),
-        )
-    ).cast("long")
     return (
         ra.join(rb, F.col("ra.doc_id") == F.col("rb.doc_id"), "full_outer")
-        .select(
-            F.coalesce(F.col("ra.doc_id"), F.col("rb.doc_id")).alias(
-                "doc_id"
-            ),
-            rrf.alias("rrf_nano"),
+        .selectExpr(
+            "coalesce(ra.doc_id, rb.doc_id) AS doc_id",
+            f"CAST(coalesce(CAST(floor({_NANO} / ({_RRF_K} + ra.rnk))"
+            f" AS BIGINT), CAST(0 AS BIGINT))"
+            f" + coalesce(CAST(floor({_NANO} / ({_RRF_K} + rb.rnk))"
+            f" AS BIGINT), CAST(0 AS BIGINT)) AS BIGINT) AS rrf_nano",
         )
         .orderBy(F.desc("rrf_nano"), "doc_id")
         .limit(20)
@@ -605,13 +615,13 @@ _DCG_TERM = (
 )
 def ndcg_eval(spark, sf_dir):
     tf, g = _term_stats(spark, sf_dir)
-    rel = sum(
-        (F.col(f"tf{i}") > 0).cast("long") for i in range(len(_TERMS))
+    rel = " + ".join(
+        f"CAST((tf{i} > 0) AS BIGINT)" for i in range(len(_TERMS))
     )
-    s = tf.crossJoin(F.broadcast(g)).select(
+    s = tf.crossJoin(F.broadcast(g)).selectExpr(
         "doc_id",
-        _bm25_nano().alias("score_nano"),
-        rel.alias("rel"),
+        f"{_bm25_nano()} AS score_nano",
+        f"({rel}) AS rel",
     # the DCG and IDCG branches both rank this scored relation; persist
     # it (as precision_recall_at_k does) or the corpus/term-stats scan
     # executes twice
@@ -712,35 +722,35 @@ def precision_recall_at_k(spark, sf_dir):
     from pyspark.sql import Window
 
     tf, g = _term_stats(spark, sf_dir)
-    rel = (
-        (F.col("tf0") > 0) & (F.col("tf1") > 0) & (F.col("tf2") > 0)
-    ).cast("int")
     # persisted: both the relevant-total and the top-K branch read the
     # scored relation, so the corpus is scanned once, not twice per branch
     s = (
         tf.crossJoin(F.broadcast(g))
-        .select(
-            "doc_id", _bm25_nano().alias("score_nano"), rel.alias("rel")
+        .selectExpr(
+            "doc_id",
+            f"{_bm25_nano()} AS score_nano",
+            "CAST(((tf0 > 0) AND (tf1 > 0)) AND (tf2 > 0) AS INT) AS rel",
         )
         .transform(scratch_persist)
     )
-    r = s.agg(F.sum("rel").cast("long").alias("n_relevant"))
+    r = s.agg(F.expr("CAST(sum(rel) AS BIGINT) AS n_relevant"))
     order = [F.desc("score_nano"), F.asc("doc_id")]
     top = s.orderBy(*order).limit(_PRK_K)
     cum = top.select(
         "rel",
         F.row_number().over(Window.orderBy(*order)).alias("rnk"),
-    ).select(
+    ).selectExpr(
         "rel",
         "rnk",
-        F.sum("rel").over(Window.orderBy("rnk")).cast("long").alias("cum_rel"),
+        "CAST(sum(rel) OVER (ORDER BY rnk) AS BIGINT) AS cum_rel",
     )
     a = cum.agg(
-        F.sum("rel").cast("long").alias("hits"),
-        F.min(F.when(F.col("rel") == 1, F.col("rnk")))
-        .cast("long")
-        .alias("first_rel"),
-        F.sum(F.expr(_AP_TERM)).cast("long").alias("ap_terms"),
+        F.expr("CAST(sum(rel) AS BIGINT) AS hits"),
+        F.expr(
+            "CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)"
+            " AS first_rel"
+        ),
+        F.expr(f"CAST(sum({_AP_TERM}) AS BIGINT) AS ap_terms"),
     )
     return a.crossJoin(F.broadcast(r)).select(
         F.lit(_PRK_K).alias("k"),

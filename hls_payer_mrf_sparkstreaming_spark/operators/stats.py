@@ -1701,55 +1701,46 @@ _MWU_Z = f"""CASE
     "robust to outliers that sink a t-test",
 )
 def mann_whitney_u(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # expression-text construction (r13): identical functions/literals to
+    # the original Column fold, so plan and hash are unchanged; build
+    # 0.41 -> 0.08 s (interleaved A/B)
     v = (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "click"))
+        .where("event_type IN ('purchase', 'click')")
         .groupBy(
-            F.round(F.col("value") * 100).cast("long").alias("cents")
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
         )
         .agg(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("na"),
-            F.sum(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("nb"),
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'purchase'"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS na"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'click'"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS nb"
+            ),
         )
     )
-    wcum = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = v.select(
+    r = v.selectExpr(
         "cents",
         "na",
         "nb",
-        (F.col("na") + F.col("nb")).alias("t"),
-        F.sum(F.col("na") + F.col("nb")).over(wcum).cast("long").alias("cum"),
+        "(na + nb) AS t",
+        "CAST(sum(na + nb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS cum",
     )
     m = r.agg(
-        F.sum("na").cast("long").alias("n_a"),
-        F.sum("nb").cast("long").alias("n_b"),
-        F.sum(F.col("na") * (2 * F.col("cum") - F.col("t") + 1))
-        .cast("long")
-        .alias("r2_a"),
-        F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        )
-        .cast("long")
-        .alias("tie3"),
+        F.expr("CAST(sum(na) AS BIGINT) AS n_a"),
+        F.expr("CAST(sum(nb) AS BIGINT) AS n_b"),
+        F.expr("CAST(sum(na * (2 * cum - t + 1)) AS BIGINT) AS r2_a"),
+        F.expr("CAST(sum(t * t * t - t) AS BIGINT) AS tie3"),
     )
-    return m.select(
+    return m.selectExpr(
         "n_a",
         "n_b",
-        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2"),
+        "(r2_a - n_a * (n_a + 1)) AS u2",
         "tie3",
-        F.expr(_MWU_Z).alias("z_nano"),
+        f"{_MWU_Z} AS z_nano",
     )
 
 
@@ -2010,54 +2001,49 @@ _JK_DEV2 = """CAST(floor(
     "{k} rows".replace("{k}", str(_JK_BLOCKS)),
 )
 def jackknife_variance(spark, sf_dir):
-    r = load(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.col("event_id") % _JK_BLOCKS).cast("long").alias("blk"),
+    # expression-text construction (r13): identical functions/literals to
+    # the original Column fold, so plan and hash are unchanged; build
+    # 0.36 -> 0.09 s (interleaved A/B)
+    wall = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    r = load(spark, sf_dir, "events").selectExpr(
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"CAST(event_id % {_JK_BLOCKS} AS BIGINT) AS blk",
     )
     b = r.groupBy("blk").agg(
-        F.count("*").cast("long").alias("n_b"),
-        F.sum("cents").cast("long").alias("s_b"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_b"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS s_b"),
     )
     # every global quantity comes from unpartitioned windows over the
     # K-row block relation — ONE lineage, so raw rows are scanned once
     # (a separate agg + crossJoin would re-derive the block relation per
     # reference: 4 parquet scans, caught by the plan test)
-    from pyspark.sql import Window
-
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    th = b.select(
+    th = b.selectExpr(
         "n_b",
         "s_b",
-        F.sum("n_b").over(wall).cast("long").alias("n"),
-        F.sum("s_b").over(wall).cast("long").alias("s"),
-        F.count("*").over(wall).cast("long").alias("kk"),
-    ).select(
+        f"CAST(sum(n_b) OVER ({wall}) AS BIGINT) AS n",
+        f"CAST(sum(s_b) OVER ({wall}) AS BIGINT) AS s",
+        f"CAST(count(*) OVER ({wall}) AS BIGINT) AS kk",
+    ).selectExpr(
         "kk",
         "n",
         "s",
-        F.expr("((s - s_b) * 1000000000) div (n - n_b)").alias(
-            "theta_nano"
-        ),
+        "((s - s_b) * 1000000000) div (n - n_b) AS theta_nano",
     )
-    d = th.select(
+    d = th.selectExpr(
         "kk",
         "n",
         "s",
-        (
-            F.col("kk") * F.col("theta_nano")
-            - F.sum("theta_nano").over(wall).cast("long")
-        ).alias("dkk"),
+        f"(kk * theta_nano"
+        f" - CAST(sum(theta_nano) OVER ({wall}) AS BIGINT)) AS dkk",
     )
     agg = d.groupBy("kk", "n", "s").agg(
-        F.sum(F.expr(_JK_DEV2)).cast("long").alias("dev2")
+        F.expr(f"CAST(sum({_JK_DEV2}) AS BIGINT) AS dev2")
     )
-    return agg.select(
+    return agg.selectExpr(
         "n",
-        F.col("kk").alias("n_blocks"),
-        F.expr("(s * 1000000000) div n").alias("mean_cents_nano"),
-        F.expr("((kk - 1) * dev2) div kk").alias("jk_var_nano"),
+        "kk AS n_blocks",
+        "(s * 1000000000) div n AS mean_cents_nano",
+        "((kk - 1) * dev2) div kk AS jk_var_nano",
     )
 
 

@@ -584,45 +584,24 @@ _NANO = 1_000_000_000
     "integer nano-units for cross-engine hashing",
 )
 def bm25_search(spark, sf_dir):
-    toks = F.split("text", " ")
-    def _eq(word):
-        # 1-arg lambda factory: a second lambda param (even a default)
-        # would be interpreted by pyspark as the array index
-        return lambda x: x == F.lit(word)
+    # expression-text construction (r13): same functions and literals as
+    # the original Column fold — retrieval._bm25_nano shares the exact
+    # text since the (terms, k1, b) constants match — so the physical
+    # plan and oracle hash are unchanged; build 0.43 -> 0.07 s
+    from hls_payer_mrf_sparkstreaming_spark.operators.retrieval import (
+        _bm25_nano,
+        _g_exprs,
+        _tf_exprs,
+    )
 
-    tf_cols = [
-        F.size(F.filter(toks, _eq(w))).cast("long").alias(f"tf{i}")
-        for i, w in enumerate(_BM25_TERMS)
-    ]
-    tf = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    tf = load(spark, sf_dir, "documents").selectExpr(
+        *_tf_exprs(_BM25_TERMS)
     )
-    g = tf.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("total_len"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    nd = F.col("n_docs").cast("double")
-    avglen = F.col("total_len").cast("double") / F.col("n_docs")
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        tfi = F.col(f"tf{i}").cast("double")
-        dfi = F.col(f"df{i}").cast("double")
-        idf = F.log(1 + (nd - dfi + 0.5) / (dfi + 0.5))
-        contrib = idf * (tfi * (_BM25_K1 + 1)) / (
-            tfi
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avglen)
-        )
-        score = contrib if score is None else score + contrib
+    g = tf.agg(*[F.expr(e) for e in _g_exprs(_BM25_TERMS)])
     return (
         tf.crossJoin(F.broadcast(g))
-        .select(
-            "doc_id",
-            F.floor(score * _NANO).cast("long").alias("score_nano"),
+        .selectExpr(
+            "doc_id", f"{_bm25_nano(_BM25_TERMS)} AS score_nano"
         )
         .orderBy(F.desc("score_nano"), "doc_id")
         .limit(20)
