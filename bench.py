@@ -403,32 +403,70 @@ def main() -> None:
     )
     # full-precision per-query timings + spreads go to a sidecar; the stdout
     # JSON line must stay under ~1.9 KB because the driver's capture keeps
-    # only a 2000-char stdout tail (round 4's line outgrew it -> parsed:null)
+    # only a 2000-char stdout tail (round 4's line outgrew it -> parsed:null;
+    # re-verified r14: every BENCH_r*.json tail is exactly 2000 chars, so the
+    # full 245-name medians map (~5 KB) can never ride the parsed line — the
+    # per-query record is instead printed as its OWN earlier stdout line for
+    # any full-stdout capture, and persisted per core count for the judge)
+    try:
+        import subprocess
+
+        git_sha = subprocess.run(
+            ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_sha = None
+    details = {
+        "queries_sec_median": timings,
+        "query_spread_rel": spreads,
+        "edge_build_sec": edge_build_sec,
+        "edge_build_samples": [
+            round(s, 3) for s in edge_build_samples
+        ],
+        "silver_build_sec": silver_build_sec,
+        "silver_build_samples": [
+            round(s, 3) for s in silver_build_samples
+        ],
+        "ingest_file_gb": round(ingest_gb, 3),
+        "ingest_small_file_gb": round(ingest_small_gb, 3),
+        "runs": RUNS,
+        "sf": sf_val,
+        "cpus": CPUS,
+        "git_sha": git_sha,
+    }
+    # r13 VERDICT item 8: the c8 scaling run used to overwrite the c32
+    # details — write a per-core-count file too, so both survive a round
     details_path = os.path.join(REPO_ROOT, "bench_details.json")
-    with open(details_path, "w") as f:
-        json.dump(
+    details_cpu_path = os.path.join(
+        REPO_ROOT, f"bench_details_c{CPUS}.json"
+    )
+    for p in (details_path, details_cpu_path):
+        with open(p, "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    print(f"per-query spreads written to {details_path}", flush=True)
+    # r13 VERDICT item 1: per-query medians on stdout. They cannot fit the
+    # final parsed line (2000-char driver tail, above), so they go out as a
+    # SEPARATE earlier JSON line — additions-only: the driver still parses
+    # the LAST line, which keeps the same keys as every prior round.
+    print(
+        json.dumps(
             {
-                "queries_sec_median": timings,
-                "query_spread_rel": spreads,
-                "edge_build_sec": edge_build_sec,
-                "edge_build_samples": [
-                    round(s, 3) for s in edge_build_samples
-                ],
-                "silver_build_sec": silver_build_sec,
-                "silver_build_samples": [
-                    round(s, 3) for s in silver_build_samples
-                ],
-                "ingest_file_gb": round(ingest_gb, 3),
-                "ingest_small_file_gb": round(ingest_small_gb, 3),
-                "runs": RUNS,
+                "metric": "per_query_medians",
+                "unit": "sec",
                 "sf": sf_val,
                 "cpus": CPUS,
+                "git_sha": git_sha,
+                "queries_sec_median": timings,
+                "query_spread_rel": spreads,
             },
-            f,
-            indent=1,
+            separators=(",", ":"),
             sort_keys=True,
-        )
-    print(f"per-query spreads written to {details_path}", flush=True)
+        ),
+        flush=True,
+    )
     record = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -455,15 +493,20 @@ def main() -> None:
         line = json.dumps(record, separators=(",", ":"))
         if len(line) > 1900:
             # the full per-query dict no longer fits the driver's 2000-char
-            # stdout tail; keep the top-8 slowest (the perf-review signal)
-            # and point at the sidecar for the rest
+            # stdout tail; keep as many of the slowest as fit (r14: grown
+            # from a fixed 8 — the 0.3 s tail is noise, the slow head is
+            # the per-query perf signal) and point at the sidecar
             record.pop("queries")
-            record["slowest"] = {
-                k: round(timings[k], 2)
-                for k in sorted(timings, key=timings.get, reverse=True)[:8]
-            }
-            record["detail"] = "bench_details.json"
+            record["detail"] = f"bench_details_c{CPUS}.json"
+            by_cost = sorted(timings, key=timings.get, reverse=True)
+            record["slowest"] = {}
             line = json.dumps(record, separators=(",", ":"))
+            for k in by_cost:
+                entry_len = len(json.dumps({k: round(timings[k], 2)})) + 1
+                if len(line) + entry_len > 1880:
+                    break
+                record["slowest"][k] = round(timings[k], 2)
+                line = json.dumps(record, separators=(",", ":"))
     spark.stop()
     # printed after spark.stop() so no late JVM log line can land after it:
     # the driver parses the LAST stdout line as the bench record

@@ -1309,22 +1309,32 @@ def chi_square_independence(spark, sf_dir):
         F.sum("o").over(Window.partitionBy("source")).alias("c"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
+    # NULL-key semantics must match the oracle's joins exactly (r14, ADVICE):
+    # the oracle's JOIN ... USING (lang/source) drops NULL-keyed cells from
+    # the chi2 terms (NULL never equi-joins), while its dims CTE counts the
+    # NULL marginal GROUP in nr/nc (count(*) over the GROUP BY result). So
+    # the window formulation (where NULL forms a real partition) gates the
+    # term on both keys being non-NULL, and nr/nc count distinct STRUCTS —
+    # struct(NULL) is itself non-null, so the NULL group is counted like
+    # the oracle's, and an empty input still yields 0 (not NULL).
     term = (
-        F.floor(
-            (F.col("o").cast("double") * F.col("n")
-             - F.col("r").cast("double") * F.col("c"))
-            * (F.col("o").cast("double") * F.col("n")
-               - F.col("r").cast("double") * F.col("c"))
-            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
-            * _NANO
+        F.when(
+            F.col("lang").isNotNull() & F.col("source").isNotNull(),
+            F.floor(
+                (F.col("o").cast("double") * F.col("n")
+                 - F.col("r").cast("double") * F.col("c"))
+                * (F.col("o").cast("double") * F.col("n")
+                   - F.col("r").cast("double") * F.col("c"))
+                / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+                * _NANO
+            ).cast("long"),
         )
-        .cast("long")
         .alias("term_nano")
     )
     agg = cellsw.select("lang", "source", "n", term).agg(
         F.max("n").cast("long").alias("n"),
-        F.count_distinct("lang").cast("long").alias("nr"),
-        F.count_distinct("source").cast("long").alias("nc"),
+        F.count_distinct(F.struct("lang")).cast("long").alias("nr"),
+        F.count_distinct(F.struct("source")).cast("long").alias("nc"),
         F.sum("term_nano").cast("long").alias("chi2_nano"),
     )
     return agg.select(
@@ -2945,10 +2955,24 @@ def mutual_information(spark, sf_dir):
         )
         term_x = _MARG_ENT_TERM.replace("cm", "cx")
         term_y = _MARG_ENT_TERM.replace("cm", "cy")
+        # NULL-key semantics must match the oracle (r14, ADVICE): the
+        # oracle's j JOIN mx USING (xv) JOIN my USING (yv) drops NULL-keyed
+        # joint cells from n_cells and mi_nano (NULL never equi-joins),
+        # while hx/hy DO include the NULL marginal group (plain GROUP BY).
+        # The window cx/cy values already match mx/my for non-NULL keys
+        # (the partition sums include cells whose OTHER key is NULL, just
+        # like the single-column GROUP BY), so only the cell filter below
+        # is needed; count(when(...)) keeps the empty-input value at 0
+        # like the oracle's count(*) over an empty join.
+        both = F.col("xv").isNotNull() & F.col("yv").isNotNull()
         return (
             cells.agg(
-                F.count("*").cast("long").alias("n_cells"),
-                F.sum(F.expr(_MI_TERM)).cast("long").alias("mi_nano"),
+                F.count(F.when(both, F.lit(1)))
+                .cast("long")
+                .alias("n_cells"),
+                F.sum(F.when(both, F.expr(_MI_TERM)))
+                .cast("long")
+                .alias("mi_nano"),
                 F.sum(F.when(F.col("rnx") == 1, F.expr(term_x)))
                 .cast("long")
                 .alias("hx_nano"),

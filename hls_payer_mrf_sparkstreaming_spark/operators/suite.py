@@ -137,7 +137,22 @@ def _usec_copy(path: str) -> str:
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
     ):
         return path
-    key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    # key on the SOURCE's stat signature, not just its path (r14, ADVICE):
+    # _LOAD_CACHE keys on source mtime and promises a rewritten fixture a
+    # fresh read, but a path-only copy key would hand that fresh reader the
+    # STALE converted bytes. A rewrite now lands in a new copy directory;
+    # old copies are tmp files that expire with the sandbox.
+    def _sig(p: str) -> str:
+        st = os.stat(p)
+        return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+
+    if os.path.isdir(path):
+        sig = ";".join(_sig(p) for p in parts)
+    else:
+        sig = _sig(path)
+    key = hashlib.md5(
+        (os.path.abspath(path) + "|" + sig).encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_usec", key)
     out = os.path.join(out_dir, os.path.basename(path))
     if not os.path.exists(out):
