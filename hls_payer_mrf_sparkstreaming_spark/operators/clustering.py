@@ -462,45 +462,36 @@ def pca_power_iteration(spark, sf_dir):
         "aggregate(zip_with(x, v, (a, b) -> a * b), "
         "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
     )
+    # r14 rework (the kmeans struct-agg precedent): X'(Xv) used to
+    # posexplode every row into 64 (dim, s*x_d) rows — a 64x row multiply
+    # of the whole corpus — then groupBy(d) (one exchange) and a window
+    # max for the renormalizer (another pass over the 64-row relation).
+    # The 64 dimension sums are instead ONE map-side-combinable aggregate
+    # producing a single 64-element array row (identical integer sums,
+    # any order), and the max-abs renormalizer plus the sign/floor-div
+    # become in-row array expressions over that one row. Per round this
+    # drops the posexplode blowup, the dim exchange and the window: the
+    # plan is cache-scan -> partial agg -> one-row project -> broadcast.
+    raw_expr = (
+        "array("
+        + ", ".join(
+            f"CAST(sum(s * element_at(x, {d + 1})) AS BIGINT)"
+            for d in range(_DIM)
+        )
+        + ") AS raw"
+    )
+    # g = max |raw_d| in-row; v_d = sign(raw_d) * (|raw_d| * SCALE div g),
+    # the same exact integer expression the oracle computes per dimension
+    norm_expr = (
+        "transform(raw, r -> CAST(CASE WHEN r < 0 THEN -1 ELSE 1 END "
+        f"* (abs(r) * {_PI_VSCALE} div "
+        "array_max(transform(raw, t -> abs(t)))) AS BIGINT)) AS v"
+    )
     for _ in range(_PI_ROUNDS):
         s = e.crossJoin(F.broadcast(v_row)).selectExpr(
             "x", f"{dot_iv} AS s"
         )
-        raw = (
-            s.select(
-                F.posexplode("x").alias("d0", "xd"), F.col("s")
-            )
-            .groupBy((F.col("d0") + 1).alias("d"))
-            .agg(F.sum(F.col("s") * F.col("xd")).alias("raw"))
-        )
-        # renormalize with a window max over the 64-row raw relation: a
-        # separate raw.agg() branch would duplicate raw's whole subtree
-        # (no exchange reuse across the join), doubling the corpus-wide
-        # explode EACH round — 14 executions of it for 3 rounds instead
-        # of 3. The empty-frame window moves only the 64 (dim, raw) rows.
-        v_row = (
-            raw.withColumn(
-                "g",
-                F.max(F.abs("raw")).over(
-                    Window.partitionBy().rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                ),
-            )
-            .select(
-                "d",
-                (
-                    F.when(F.col("raw") < 0, -1).otherwise(1)
-                    * F.expr(f"abs(raw) * {_PI_VSCALE} div g")
-                ).alias("vd"),
-            )
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "vd"))),
-                    lambda t: t["vd"],
-                ).alias("v")
-            )
-        )
+        v_row = s.agg(F.expr(raw_expr)).selectExpr(norm_expr)
     return v_row.select(
         F.posexplode("v").alias("i0", "v_milli")
     ).select((F.col("i0") + 1).alias("dim"), "v_milli")
