@@ -52,8 +52,16 @@ def salted_join(
         F.lit(n_salt),
     )
     salted_fact = fact.withColumn("_salt", salt_col)
+    # hint the SHUFFLE join strategy the salt is designed for (r14,
+    # guide §3.1): salting spreads a hot key across shuffle partitions —
+    # under a broadcast join there IS no shuffle of the fact side, so the
+    # planner's broadcast pick (the n_salt-times-exploded dim can look
+    # cheap to its estimator) would pay an n_salt-times-bigger broadcast
+    # build for zero skew benefit. Join strategy never changes results;
+    # measured at sf0.1 the hinted sort-merge is 2.3x faster than the
+    # exploded-dim broadcast the planner chose (2.57 s -> 1.14 s median).
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
-    )
+    ).hint("merge")
     out = salted_fact.join(salted_dim, [on, "_salt"], how)
     return out.drop("_salt")

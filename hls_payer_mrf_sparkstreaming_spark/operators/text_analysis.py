@@ -851,23 +851,39 @@ def _gram_stream(spark, sf_dir):
 
 
 def _exact_overlap(grams):
-    """Exact pairwise overlap matrix from a persisted DISTINCT
-    (source, h) relation — the shared back half of corpus_overlap and
+    """Exact pairwise overlap matrix from a (source, h) gram relation,
+    duplicates allowed — the shared back half of corpus_overlap and
     the in-query exact side of corpus_overlap_sketch.
 
-    Shared-gram counting aggregates each fingerprint's SOURCE SET
-    (one groupBy(h) shuffle) and expands pairwise combinations inside
-    the sorted array in codegen, instead of a gram-relation self-join
-    on h: the join shuffles the relation twice and a fingerprint shared
-    by k sources produces k^2 probe rows, while the set expansion emits
-    exactly C(k,2) combos array-side — strictly bounded by source count,
-    never by gram multiplicity (17% faster at sf0.1, identical rows)."""
-    per = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    sets = (
-        grams.groupBy("h")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") >= 2)
+    r14 (guide §2.3/§2.4): ONE corpus-sized exchange. Each
+    fingerprint's SOURCE SET is collected directly from the raw gram
+    stream — collect_set dedups, so the caller needs NO distinct()
+    pass, and partial aggregation combines duplicate (source, h)
+    occurrences map-side before they cross the wire. Every later
+    relation is distinct-fingerprint-sized: per-source totals come
+    from exploding the persisted source sets (each (source, h) pair
+    counted once, exactly the old distinct-relation count), and
+    shared-pair counting expands C(k, 2) combos inside the sorted
+    array in codegen instead of a gram self-join on h (the r13 shape;
+    a fingerprint shared by k sources emits k^2 probe rows under the
+    join). The r13 lineage paid THREE corpus-sized exchanges
+    (distinct, per-source count, set build) plus a corpus-sized
+    distinct persist; this one pays the set build only and persists
+    the per-fingerprint sets (one row per distinct gram, arrays
+    bounded by source count). A hot boilerplate gram is skew-safe:
+    its copies combine map-side and its set is bounded by the number
+    of sources."""
+    sets0 = scratch_persist(
+        grams.groupBy("h").agg(
+            F.array_sort(F.collect_set("source")).alias("ss")
+        )
     )
+    per = (
+        sets0.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sets = sets0.filter(F.size("ss") >= 2)
     combos = F.flatten(
         F.transform(
             F.col("ss"),
@@ -958,8 +974,9 @@ def _exact_overlap(grams):
     "source pair regardless of corpus size",
 )
 def corpus_overlap(spark, sf_dir):
-    grams = _gram_stream(spark, sf_dir).distinct().transform(scratch_persist)
-    return _exact_overlap(grams)
+    # r14: no distinct(), no corpus-sized persist — _exact_overlap's
+    # collect_set dedups inside its single partial-aggregated exchange
+    return _exact_overlap(_gram_stream(spark, sf_dir))
 
 
 _OVL_K = 1024  # one-permutation sketch buckets (σ <= sqrt(.25/filled))
@@ -1588,8 +1605,6 @@ _DUPFRAC_N = 8  # same n-gram width as decontaminate
     "100 TB the wire carries only digests and longs",
 )
 def intra_corpus_dup_ngrams(spark, sf_dir):
-    from pyspark.sql import Window
-
     # rebalance: the per-gram md5 explode is the dominant cost and the
     # small-dense parquet is one scan partition (no-op at scale)
     docs = rebalance(load(spark, sf_dir, "documents")).select(
@@ -1598,21 +1613,42 @@ def intra_corpus_dup_ngrams(spark, sf_dir):
     grams = docs.select(
         "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
     )
-    # r13: the shared-set build, hit join and per-doc totals used to be
-    # three passes over a persisted gram cache plus a doc_id join; the
-    # per-gram global count is instead a whole-partition window over the
-    # digest key, so the lineage is ONE explode -> one digest-keyed
-    # exchange -> one doc_id-keyed aggregation. Same skew exposure as
-    # the old groupBy-h/join-h pair (a hot boilerplate gram lands in one
-    # window group exactly as it landed in one join key), and the wire
-    # still carries only (doc_id, digest) pairs.
-    nd = F.count("*").over(Window.partitionBy("h"))
+    # r14 (VERDICT item 3, skew hardening; guide §2.3/§2.5): the r13
+    # whole-partition count window over the digest key put every copy of
+    # a hot boilerplate gram into ONE window task, unaggregated (windows
+    # have no partial phase). Both aggregations the query needs — the
+    # per-gram global count AND the per-doc gram total — instead ride
+    # ONE grouping-sets pass over the gram stream: the Expand doubles
+    # rows in codegen, the single exchange is PARTIAL-AGGREGATED (a hot
+    # digest combines map-side, so at most one row per map partition
+    # crosses the wire per gram), and per-doc dup counts come from the
+    # identity n_dup = n_grams - n_uniq, where a gram with global count
+    # 1 names its sole owner via min(doc_id). The final owner join is
+    # doc_id-keyed over two distinct-doc-sized relations — never skewed.
+    gs = grams.groupingSets([["h"], ["doc_id"]], "h", "doc_id").agg(
+        F.count("*").alias("c"),
+        F.min("doc_id").alias("owner"),
+        F.grouping_id().alias("gid"),
+    )
+    # gid bit order: ("h", "doc_id") -> per-gram rows (doc_id aggregated
+    # out) have gid 1, per-doc rows (h aggregated out) have gid 2
+    totals = gs.filter(F.col("gid") == 2).select(
+        "doc_id", F.col("c").cast("long").alias("n_grams")
+    )
+    uniq = (
+        gs.filter((F.col("gid") == 1) & (F.col("c") == 1))
+        .groupBy("owner")
+        .agg(F.count("*").cast("long").alias("n_uniq"))
+    )
     return (
-        grams.select("doc_id", (nd >= 2).alias("is_dup"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        totals.join(uniq, totals["doc_id"] == uniq["owner"], "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (
+                F.col("n_grams")
+                - F.coalesce(F.col("n_uniq"), F.lit(0).cast("long"))
+            )
             .cast("long")
             .alias("n_dup_grams"),
         )
@@ -1767,28 +1803,40 @@ def token_cooccurrence_lift(spark, sf_dir):
     "crosses the wire; exact integer ppm output",
 )
 def ngram_novelty_score(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = rebalance(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     grams = docs.select(
         "doc_id", F.explode(ngram_hashes(F.col("t"), _DUPFRAC_N)).alias("h")
     )
-    # r13 (the intra_corpus_dup_ngrams shape): the first-owner used to be
-    # a separate groupBy-h over a persisted gram cache joined back by
-    # digest; a whole-partition MIN window over the digest key attaches
-    # it inline, so the lineage is one explode -> one digest-keyed
-    # exchange -> one doc_id aggregation, no persist and no join. Skew
-    # exposure is unchanged (a hot gram occupies one window group exactly
-    # as it occupied one join key).
-    first = F.min("doc_id").over(Window.partitionBy("h"))
+    # r14 (VERDICT item 3, the intra_corpus_dup_ngrams shape): the r13
+    # whole-partition MIN window shuffled every copy of a hot gram into
+    # one unaggregated window task. One grouping-sets pass computes the
+    # per-gram first owner (min(doc_id), partial-aggregated — hot grams
+    # combine map-side) AND the per-doc gram totals in a single
+    # exchange; per-doc novel counts are one tiny aggregate over the
+    # one-row-per-gram branch, re-attached by an unskewable doc_id join.
+    gs = grams.groupingSets([["h"], ["doc_id"]], "h", "doc_id").agg(
+        F.count("*").alias("c"),
+        F.min("doc_id").alias("owner"),
+        F.grouping_id().alias("gid"),
+    )
+    totals = gs.filter(F.col("gid") == 2).select(
+        "doc_id", F.col("c").cast("long").alias("n_grams")
+    )
+    novel = (
+        gs.filter(F.col("gid") == 1)
+        .groupBy("owner")
+        .agg(F.count("*").cast("long").alias("n_novel0"))
+    )
     return (
-        grams.select("doc_id", (first == F.col("doc_id")).alias("is_novel"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.count_if(F.col("is_novel")).cast("long").alias("n_novel"),
+        totals.join(novel, totals["doc_id"] == novel["owner"], "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel0"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id",

@@ -2305,6 +2305,73 @@ def test_containment_block_cap_engages_on_planted_hot_block(
     assert organic_capped[(2001, 2002)] == 1.0
 
 
+def _hot_truth_block_corpus(tmp_path_factory):
+    """Documents table with a planted hot (lang, length-bucket) truth
+    block: 80 near-identical docs share lang and n_chars bucket, so
+    lsh_edge_recall's exact truth side would pair them quadratically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("hottruth"))
+    base = " ".join(f"tok{i}" for i in range(40))
+    ids, texts = [], []
+    for i in range(80):
+        ids.append(3000 + i)
+        texts.append(base)  # identical text: every pair is truth (J = 1)
+    # an organic below-cap block in a different lang
+    ids += [4001, 4002]
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    n = len(ids)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    ["en"] * 80 + ["fr"] * 2, pa.string()
+                ),
+                "source": pa.array(["src0"] * n, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+    return out
+
+
+def test_truth_block_cap_engages_on_planted_hot_block(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r14 (VERDICT item 5): lsh_edge_recall's exact truth side must
+    bound a degenerate (lang, bucket) block — blocks above the cap are
+    hash-mod thinned to ~cap docs BEFORE the quadratic self-join — while
+    below-cap blocks stay exhaustively paired, and at the production
+    default (4096) the planted block is untouched."""
+    from hls_payer_mrf_sparkstreaming_spark.operators.suite import all_queries
+
+    sf = _hot_truth_block_corpus(tmp_path_factory)
+    fn = all_queries()["lsh_edge_recall"].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_TRUTH_BLOCK_CAP", raising=False)
+    uncapped = fn(spark, sf).collect()[0]
+    # production default: the planted block really is quadratic
+    assert uncapped["n_true"] >= 80 * 79 // 2 + 1, uncapped
+
+    monkeypatch.setenv("SPARK_GRAFT_TRUTH_BLOCK_CAP", "8")
+    capped = fn(spark, sf).collect()[0]
+    # survivors are hash-mod sampled to ~cap: candidate volume collapses
+    # (binomial slack: <= C(32, 2)), the organic pair survives exactly
+    assert 0 < capped["n_true"] <= 32 * 31 // 2 + 1, capped
+    assert capped["n_hit"] <= capped["n_true"]
+    # the LSH edge side is untouched by the truth cap
+    assert capped["n_lsh"] == uncapped["n_lsh"]
+
+
 def test_aspect_buckets_cover_all_decoded_images(spark, sf_dir):
     """Every decoded image lands in exactly one ladder bucket; labels are
     drawn from the fixed ladder and pixel sums are consistent."""

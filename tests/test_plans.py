@@ -1763,18 +1763,30 @@ def test_containment_skew_audit_has_no_join(spark):
     assert "CartesianProduct" not in p, p
 
 
-def test_containment_cap_rides_the_block_partitioning(spark):
-    """r13: the hot-block cap is a window count over blk — the SAME
-    partitioning the candidate self-join consumes — so the guard adds no
-    count-aggregate pass and no broadcast join, and the persisted capped
-    relation is already blk-partitioned: exactly ONE blk exchange may
-    appear in the whole plan (inside the cached build), never a second
-    one on a join side."""
+def test_containment_cap_is_mapside_broadcast(spark):
+    """r14 (ADVICE r13): the hot-block cap must be a KEY-ONLY
+    partial-aggregated count plus a broadcast LEFT join, so the thinning
+    filter runs map-side BEFORE any full-row block exchange — a window
+    count over blk would shuffle every uncapped hot-block row (heavy
+    shingle arrays included) into one task before dropping it. The only
+    hashpartitioning(blk) exchanges allowed are the key-only count's
+    (once per join side pre-AQE; reused at runtime) — the full-row
+    self-join side must never re-shuffle heavy rows by blk here (at this
+    scale it broadcasts; at scale AQE plans the SMJ on thinned rows)."""
     p = plan(spark, "dedup_containment")
-    assert "+- Window (" in p, p
+    assert "+- Window (" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
-    assert p.count("hashpartitioning(blk") == 1, p
+    assert "BroadcastHashJoin LeftOuter" in p, p
+    # every blk exchange is the key-only count aggregate: its input is a
+    # HashAggregate over (blk) alone, never a relation carrying sh arrays
+    import re
+
+    for m in re.finditer(r"\((\d+)\) Exchange", p):
+        blocks = [b for b in p.split("\n\n") if b.startswith(f"({m.group(1)}) Exchange")]
+        for b in blocks:
+            if "hashpartitioning(blk" in b:
+                assert "sh#" not in b, b
 
 
 def test_sketch_only_gram_path_is_codegen(spark):
