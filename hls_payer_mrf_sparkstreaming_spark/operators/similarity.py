@@ -1909,45 +1909,54 @@ def ann_ivf_probe_curve(spark, sf_dir):
         F.col("rk") <= max(_PROBE_TIERS)
     )
     sim = F.round(F.expr(V.cosine_expr("ev", "qv")), 6)
-    cand = (
-        assigned.join(F.broadcast(probe), "cid")
-        .join(F.broadcast(q), "qid")
+    # r14 fusion (the ann_recall_eval precedent; guide §2.4): the exact
+    # and IVF sides used to be two separate corpus expansions — `ex`
+    # cosined emb x Q and windowed, `cand` re-cosined the probed subset
+    # through two more joins, and they met in a 4-tier LEFT join (19
+    # jobs). The IVF candidate pairs are a SUBSET of the exact pairs, so
+    # ONE corpus-x-queries pass computes every cosine once; each pair
+    # carries its cell's probe rank (broadcast left join, NULL = cell
+    # not probed for that query), the exact rank is one qid window, the
+    # tier fanout explodes AFTER that window (4 skinny rows per pair, no
+    # new exchange — hashpartitioning(qid) already clusters (qid,
+    # nprobe)), and the per-tier candidate rank is a running count of
+    # probed rows in the same sort order, which equals row_number over
+    # the candidate subset because (sim desc, vec_id) is a total order.
+    # hit = exact-top-k AND candidate-rank <= k, so the final relation
+    # aggregates in place — no ivf/exact join at all. Plan: 19 -> 7
+    # jobs, one window exchange instead of two windows + a 4-tier SMJ.
+    pairs = (
+        assigned.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "rk", "vec_id", sim.alias("sim"))
-        .select("qid", "vec_id", "sim", "rk", tiers)
-        .filter(F.col("rk") <= F.col("nprobe"))
-        .select("qid", "nprobe", "vec_id", "sim")
+        .select("qid", "cid", "vec_id", sim.alias("sim"))
+        .join(F.broadcast(probe), ["qid", "cid"], "left")
     )
-    wt = Window.partitionBy("qid", "nprobe").orderBy(
+    w_all = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("vec_id")
     )
-    ivf = (
-        cand.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("qid", "nprobe", "vec_id")
+    tiered = (
+        pairs.withColumn("rn_all", F.row_number().over(w_all))
+        .select("qid", "vec_id", "sim", "rk", "rn_all", tiers)
     )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
+    is_cand = F.col("rk").isNotNull() & (F.col("rk") <= F.col("nprobe"))
+    w_tier = (
+        Window.partitionBy("qid", "nprobe")
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ex = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("qid", "vec_id")
+    cand_rank = F.sum(F.when(is_cand, 1).otherwise(0)).over(w_tier)
+    flagged = tiered.withColumn(
+        "ivf_hit",
+        F.when(is_cand & (cand_rank <= _RECALL_K), F.lit(1)),
     )
-    tier_dim = spark.range(1).select(tiers)
-    hit = ivf.withColumn("hit", F.lit(1))
     return (
-        ex.crossJoin(F.broadcast(tier_dim))
-        .join(hit, ["qid", "nprobe", "vec_id"], "left")
+        flagged.filter(F.col("rn_all") <= _RECALL_K)
         .groupBy(F.col("nprobe").cast("long").alias("nprobe"))
         .agg(
             F.count("*").cast("long").alias("n_exact"),
-            F.count("hit").cast("long").alias("n_hits"),
+            F.count("ivf_hit").cast("long").alias("n_hits"),
             F.expr(
-                "CAST(count(hit) * 1000000 DIV count(*) AS LONG)"
+                "CAST(count(ivf_hit) * 1000000 DIV count(*) AS LONG)"
             ).alias("recall_ppm"),
         )
     )

@@ -878,10 +878,23 @@ def _exact_overlap(grams):
             F.array_sort(F.collect_set("source")).alias("ss")
         )
     )
-    per = (
+    # per-source totals come back as ONE one-row source->count map
+    # (crossJoin broadcast attach) instead of two separate broadcast
+    # joins of renamed copies — the r13 shape re-ran the explode+count
+    # pass once per join side (two broadcast-build jobs); a map lookup
+    # over <= |sources| entries is O(20) per output row on a
+    # source-pair-sized relation. (The bloom_prefilter counter-case —
+    # GetMapValue is a linear scan — does not bite here: the map is
+    # source-count-sized, never domain-sized.)
+    per_map = (
         sets0.select(F.explode("ss").alias("source"))
         .groupBy("source")
         .agg(F.count("*").cast("long").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("source", "n"))
+            ).alias("nm")
+        )
     )
     sets = sets0.filter(F.size("ss") >= 2)
     combos = F.flatten(
@@ -903,22 +916,17 @@ def _exact_overlap(grams):
         )
         .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
     )
-    pa = per.select(
-        F.col("source").alias("source_a"), F.col("n").alias("na")
-    )
-    pb = per.select(
-        F.col("source").alias("source_b"), F.col("n").alias("nb")
-    )
+    na = F.element_at("nm", F.col("source_a"))
+    nb = F.element_at("nm", F.col("source_b"))
     return (
-        shared.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
+        shared.crossJoin(F.broadcast(per_map))
         .select(
             "source_a",
             "source_b",
             "n_shared_ngrams",
             F.floor(
                 F.col("n_shared_ngrams").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared_ngrams"))
+                / (na + nb - F.col("n_shared_ngrams"))
                 * 1_000_000
             )
             .cast("long")
@@ -1372,7 +1380,10 @@ def _sketch_vs_exact_twin(spark, sf_dir):
     )
 
     _ensure_checkpoint_dir(spark)
-    grams = _gram_stream(spark, sf_dir).distinct().checkpoint(eager=True)
+    # localCheckpoint (r14): query-local lineage cut — no file round-trip
+    grams = (
+        _gram_stream(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    )
     v = F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long")
     # per-bucket MIN is duplicate-invariant, so sketching from the
     # distinct relation equals the raw-stream production sketch exactly

@@ -1708,11 +1708,13 @@ def test_audit_plans_truncated_at_checkpoint(spark):
     )
     p = df._jdf.queryExecution().explainString(jmode)
     assert "ExistingRDD" in p, p
-    # exactly ONE runtime Generate survives: _exact_overlap's source-pair
-    # combo expansion (C(k,2) structs per shared gram). The gram explode
-    # itself is behind the checkpoint — a second Generate means it leaked
-    # back into the per-action plan
-    assert runtime_generates(p) == 1, p
+    # exactly TWO runtime Generates survive, both over the
+    # distinct-fingerprint-sized source-set relation: _exact_overlap's
+    # source-pair combo expansion (C(k,2) structs per shared gram) and
+    # the r14 per-source-totals set explode. The corpus-sized gram
+    # explode itself is behind the checkpoint — a third Generate means
+    # it leaked back into the per-action plan
+    assert runtime_generates(p) == 2, p
     p = plan(spark, "minhash_error_eval")
     assert "ExistingRDD" in p, p
     assert "array_min" not in p, p
