@@ -937,7 +937,15 @@ def interpolate_missing(spark, sf_dir):
     )
     # persist: the per-user series feeds BOTH the grid-bounds aggregate
     # and the union's observation branch — without it the scan + groupBy
-    # runs twice (once per consumer)
+    # runs twice (once per consumer).
+    # r14 NEGATIVE RESULT, measured and kept as-is: a single-exchange
+    # rework (bounds as whole-partition window MIN/MAX, grid rows
+    # emitted by one struct-array explode on each user's first row, no
+    # persist/union — 6 -> 3 jobs) LOST the interleaved A/B, 1.94 s ->
+    # 2.50 s median: the per-row struct-array build + explode and the
+    # second in-partition sort cost more than the branch-and-union shape
+    # saves. Guide §1.1's warning in action — the fewer-exchanges
+    # "ideal" plan is not automatically faster.
     series = scratch_persist(
         load(spark, sf_dir, "events")
         .select(
