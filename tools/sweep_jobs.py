@@ -76,10 +76,15 @@ def main() -> None:
         t0 = time.time()
         df = fn(spark, SF_DIR)
         t1 = time.time()
-        j0 = len(tracker.getJobIdsForGroup(None) or [])
+        # max job ID, not len(): the AppStatusStore evicts jobs past
+        # spark.ui.retainedJobs (~1000), so len() deltas go NEGATIVE once
+        # a long sweep crosses the eviction horizon (the r14 first-sweep
+        # bug: 9 queries reported -87..-98 jobs). Job IDs are monotonic,
+        # so a max-ID delta is eviction-immune.
+        j0 = max(tracker.getJobIdsForGroup(None) or [-1])
         _noop(df)
         t2 = time.time()
-        j1 = len(tracker.getJobIdsForGroup(None) or [])
+        j1 = max(tracker.getJobIdsForGroup(None) or [-1])
         out[name] = {
             "jobs": j1 - j0,
             "build_s": round(t1 - t0, 3),
