@@ -1421,6 +1421,18 @@ _EMB_T = f"list_slice({_EMB_D}, 1, {_TRUNC_D})"
 def embedding_truncate_recall(spark, sf_dir):
     from pyspark.sql import Window
 
+    # r14 (ann_recall_eval's r13 fusion precedent, guide §2.4 "share one
+    # exchange"): the full-dim and truncated rankings used to be TWO
+    # corpus crossJoin passes met by a left join — the corpus was scored
+    # twice and the skinny (qid, vec_id) sets paid a third exchange to
+    # meet. One pass now computes BOTH cosines per (corpus row, query);
+    # the two rankings are row_number windows sharing a single
+    # hashpartitioning(qid) exchange (the second ordering is an
+    # in-partition re-sort, not a new shuffle), and the hit test is
+    # row-local: a truncated-ranking hit is simply rn_tr <= K on a row
+    # already inside the exact top-K. Equivalence: row_number gives
+    # exactly K exact rows per qid with the same (sim desc, vec_id)
+    # tie-break, and count_if(rn_tr <= K) over those rows IS |ex ∩ tr|.
     emb = rebalance(load(spark, sf_dir, "embeddings")).select(
         "vec_id", V.to_double_array("embedding").alias("ev")
     )
@@ -1430,32 +1442,36 @@ def embedding_truncate_recall(spark, sf_dir):
         F.col("ev").alias("qv"),
         F.col("tv").alias("qtv"),
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
+    w_ex = Window.partitionBy("qid").orderBy(
+        F.col("sim_ex").desc(), F.col("vec_id")
     )
-
-    def topk(a, b):
-        sim = F.round(F.expr(V.cosine_expr(a, b)), 6)
-        return (
-            e.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .select("qid", "vec_id", sim.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _TRUNC_K)
-            .select("qid", "vec_id")
+    w_tr = Window.partitionBy("qid").orderBy(
+        F.col("sim_tr").desc(), F.col("vec_id")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.expr(V.cosine_expr("ev", "qv")), 6).alias("sim_ex"),
+            F.round(F.expr(V.cosine_expr("tv", "qtv")), 6).alias("sim_tr"),
         )
-
-    ex = topk("ev", "qv")
-    tr = topk("tv", "qtv").withColumn("hit", F.lit(1))
+    )
     return (
-        ex.join(tr, ["qid", "vec_id"], "left")
+        scored.withColumn("rn_ex", F.row_number().over(w_ex))
+        .withColumn("rn_tr", F.row_number().over(w_tr))
+        .filter(F.col("rn_ex") <= _TRUNC_K)
         .groupBy(F.col("qid").alias("query_id"))
         .agg(
             F.count("*").cast("long").alias("n_exact"),
-            F.count("hit").cast("long").alias("n_hits"),
-            F.expr("CAST(count(hit) * 1000000 DIV count(*) AS LONG)").alias(
-                "recall_ppm"
+            F.expr(f"CAST(count_if(rn_tr <= {_TRUNC_K}) AS BIGINT)").alias(
+                "n_hits"
             ),
+            F.expr(
+                f"CAST(count_if(rn_tr <= {_TRUNC_K}) * 1000000"
+                " DIV count(*) AS LONG)"
+            ).alias("recall_ppm"),
         )
     )
 

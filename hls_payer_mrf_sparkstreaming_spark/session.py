@@ -28,6 +28,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect advisoryPartitionSizeInBytes when coalescing instead of
+        # maximizing parallelism: Spark's own tuning guide recommends false
+        # on busy clusters (partitions sized for efficiency, not core
+        # count), and two independent interleaved A/B sessions over an
+        # 18-query tail sample measured B/A totals of 0.940 and 0.945
+        # (r14; per-query winners flip run-to-run under host noise, the
+        # total-level ~5.5% win reproduces). Partition coalescing never
+        # changes results; full oracle re-verified after landing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any pandas-UDF path; never row-at-a-time python UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
