@@ -28,18 +28,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect advisoryPartitionSizeInBytes when coalescing instead of
-        # maximizing parallelism: Spark's own tuning guide recommends false
-        # on busy clusters (partitions sized for efficiency, not core
-        # count), and two independent interleaved A/B sessions over an
-        # 18-query tail sample measured B/A totals of 0.940 and 0.945
-        # (r14; per-query winners flip run-to-run under host noise, the
-        # total-level ~5.5% win reproduces). Partition coalescing never
-        # changes results; full oracle re-verified after landing.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
-        )
+        # coalescePartitions.parallelismFirst stays at its default (true).
+        # r14 measured BOTH arms: over an 18-query light-tail sample,
+        # false (respect the advisory size) won 5.5-6% twice — those
+        # queries' reduce stages are scheduling-bound, so fewer post-
+        # shuffle tasks help. But over the compute-heavy set the same
+        # knob LOST 20% (interleaved A/B: copurchase_pairs -62%,
+        # percentile_summary -45%, anomaly_mad -39%): advisory-size
+        # coalescing collapses their post-shuffle parallelism to 1-2
+        # tasks at bench scale, costing more absolute seconds than the
+        # tail gains. On a real 100 TB cluster post-shuffle partitions
+        # exceed the advisory size anyway, so flipping it here buys
+        # nothing at scale either — rejected, evidence in
+        # OPTIMIZATION_r14.md §7.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any pandas-UDF path; never row-at-a-time python UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
